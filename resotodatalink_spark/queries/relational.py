@@ -1,0 +1,741 @@
+"""Relational operator slugs (SURVEY.md §2.2-§2.5) with DuckDB oracles.
+
+The reference exposes this whole surface through its SQL passthrough
+(reference collect_plugins.py:220-228); here every family is shown as
+an idiomatic DataFrame/Spark-SQL plan.  Aliases match the oracle SQL
+exactly (the driver sorts columns by name before hashing).
+
+Float discipline: any aggregate over doubles is wrapped in
+``round(x, 2..6)`` on BOTH sides so summation-order differences between
+engines can't flip the value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from resotodatalink_spark.operators.sql import execute_sql
+from resotodatalink_spark.registry import query
+from resotodatalink_spark.sources.tables import load_tables, table
+
+
+# --- S4: SQL passthrough -------------------------------------------------
+
+_PASSTHROUGH_SQL = """
+WITH region_sales AS (
+  SELECT n.n_regionkey AS regionkey,
+         round(sum(o.o_totalprice), 2) AS total_sales,
+         count(*) AS n_orders
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_regionkey
+)
+SELECT r.r_name AS region_name, rs.total_sales, rs.n_orders
+FROM region_sales rs
+JOIN region r ON rs.regionkey = r.r_regionkey
+"""
+
+
+@query("sql_passthrough", oracle=_PASSTHROUGH_SQL)
+def sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference execute_sql (collect_plugins.py:220-228): one SQL string,
+    valid in both engines, run through spark.sql on registered views."""
+    load_tables(spark, sf_dir)
+    return execute_sql(spark, _PASSTHROUGH_SQL)
+
+
+# --- P1: projection with typed NULL-fill ---------------------------------
+
+
+@query(
+    "project_columns",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           l_extendedprice * (1 - l_discount) AS disc_price,
+           CAST(NULL AS VARCHAR) AS comment_null
+    FROM lineitem
+    """,
+)
+def project_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width projection with typed NULL-fill for absent props —
+    reference node_to_json known_props path (sql.py:236-240)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("disc_price"),
+        F.lit(None).cast("string").alias("comment_null"),
+    )
+
+
+# --- P2: nested field access ---------------------------------------------
+
+
+@query(
+    "nested_field_access",
+    oracle="""
+    SELECT c_custkey, c_name AS name, c_mktsegment AS segment,
+           c_acctbal AS acctbal
+    FROM customer
+    """,
+)
+def nested_field_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the reference's nested node shape (ancestors.cloud.reported.id,
+    sql.py:231-234) then extract with native dotted paths."""
+    c = table(spark, sf_dir, "customer")
+    nested = c.select(
+        "c_custkey",
+        F.struct(
+            F.struct("c_name", "c_mktsegment").alias("reported"),
+            F.col("c_acctbal").alias("balance"),
+        ).alias("ancestors"),
+    )
+    return nested.select(
+        "c_custkey",
+        F.col("ancestors.reported.c_name").alias("name"),
+        F.col("ancestors.reported.c_mktsegment").alias("segment"),
+        F.col("ancestors.balance").alias("acctbal"),
+    )
+
+
+# --- P4: filter predicates ------------------------------------------------
+
+
+@query(
+    "filter_predicate",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem
+    WHERE l_returnflag = 'R' AND l_quantity > 25
+      AND l_linestatus IN ('F') AND l_shipdate >= TIMESTAMP '1999-01-01'
+    """,
+)
+def filter_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-type-filter analog (collect_plugins.py:45-47) — conjunctive
+    predicates; all of these push down to the parquet scan."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_returnflag") == "R")
+        & (F.col("l_quantity") > 25)
+        & F.col("l_linestatus").isin("F")
+        & (F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+
+# --- P6: map ops ------------------------------------------------------------
+
+
+@query(
+    "map_ops",
+    oracle="""
+    SELECT event_id,
+           CAST(props->>'k' AS INTEGER) AS k_val,
+           CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
+           (props->>'k') IS NOT NULL AS has_k
+    FROM events
+    """,
+)
+def map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column ops — reference normalizes dicts for Arrow MapType
+    (writer.py:93-168); Spark parses straight into MapType."""
+    ev = table(spark, sf_dir, "events")
+    m = ev.select("event_id", F.from_json("props", "map<string,int>").alias("m"))
+    return m.select(
+        "event_id",
+        F.try_element_at("m", F.lit("k")).alias("k_val"),
+        F.size(F.map_keys("m")).alias("n_keys"),
+        F.map_contains_key("m", F.lit("k")).alias("has_k"),
+    )
+
+
+# --- P7: json ops -----------------------------------------------------------
+
+
+@query(
+    "json_ops",
+    oracle="""
+    SELECT event_id,
+           props->>'k' AS k_str,
+           CAST(props->>'k' AS INTEGER) AS k_int,
+           concat('{"event_id":', CAST(event_id AS VARCHAR),
+                  ',"event_type":"', event_type, '"}') AS packed
+    FROM events
+    """,
+)
+def json_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON stringify/parse — reference writer.py:130-146 json.dumps path;
+    Spark: get_json_object / from_json / to_json."""
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.from_json("props", "struct<k:int>").getField("k").alias("k_int"),
+        F.to_json(F.struct("event_id", "event_type")).alias("packed"),
+    )
+
+
+# --- P8: date/time functions -----------------------------------------------
+
+
+@query(
+    "date_functions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+           CAST(month(l_shipdate) AS INTEGER) AS ship_month,
+           date_trunc('month', l_shipdate) AS ship_month_start,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01', l_shipdate) AS BIGINT)
+             AS days_since_95,
+           strftime(l_shipdate, '%Y-%m-%d') AS ship_str
+    FROM lineitem
+    """,
+)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime codec family — reference DateTimeString round-trip
+    (sql.py:43-70): timestamps internally, formatted strings at egress."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.year("l_shipdate").cast("int").alias("ship_year"),
+        F.month("l_shipdate").cast("int").alias("ship_month"),
+        F.date_trunc("month", F.col("l_shipdate")).alias("ship_month_start"),
+        F.datediff(F.col("l_shipdate"), F.lit("1995-01-01").cast("timestamp"))
+        .cast("long")
+        .alias("days_since_95"),
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_str"),
+    )
+
+
+# --- D4: string functions ----------------------------------------------------
+
+
+@query(
+    "string_functions",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           CAST(length(p_name) AS INTEGER) AS name_len,
+           substring(p_type, 1, 4) AS type_prefix,
+           concat(p_brand, '#', CAST(p_size AS VARCHAR)) AS brand_size,
+           replace(p_name, ' ', '_') AS name_snake,
+           p_name LIKE '%red%' AS has_red,
+           regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+           trim(concat('  ', p_brand, ' ')) AS brand_trim
+    FROM part
+    """,
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.substring("p_type", 1, 4).alias("type_prefix"),
+        F.concat(
+            F.col("p_brand"), F.lit("#"), F.col("p_size").cast("string")
+        ).alias("brand_size"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.col("p_name").like("%red%").alias("has_red"),
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.trim(F.concat(F.lit("  "), F.col("p_brand"), F.lit(" "))).alias(
+            "brand_trim"
+        ),
+    )
+
+
+# --- D4: math functions -------------------------------------------------------
+
+
+@query(
+    "math_functions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_extendedprice - 1000.0) AS abs_diff,
+           CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+           CAST(floor(l_tax * 100) AS BIGINT) AS tax_floor,
+           sqrt(l_extendedprice) AS price_sqrt,
+           round(ln(l_extendedprice + 1), 6) AS price_ln,
+           round(pow(l_discount + 1, 2), 6) AS disc_pow,
+           CAST(l_quantity AS BIGINT) % 7 AS qty_mod
+    FROM lineitem
+    """,
+)
+def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_extendedprice") - 1000.0).alias("abs_diff"),
+        F.ceil("l_quantity").cast("long").alias("qty_ceil"),
+        F.floor(F.col("l_tax") * 100).cast("long").alias("tax_floor"),
+        F.sqrt("l_extendedprice").alias("price_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        F.round(F.pow(F.col("l_discount") + 1, 2), 6).alias("disc_pow"),
+        (F.col("l_quantity").cast("long") % 7).alias("qty_mod"),
+    )
+
+
+# --- J1: broadcast dimension join --------------------------------------------
+
+
+@query(
+    "join_broadcast",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation_name, r.r_name AS region_name
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference's node_by_chksum dict lookup (collect_plugins.py:126-138)
+    re-expressed as an explicit broadcast hash join: the dimension is
+    shipped to every executor, no shuffle of the fact side."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nation_name"),
+            F.col("r_name").alias("region_name"),
+        )
+    )
+
+
+# --- J2: link-table equi-join --------------------------------------------------
+
+
+@query(
+    "join_link_table",
+    oracle="""
+    SELECT c.c_custkey,
+           count(DISTINCT o.o_orderkey) AS n_orders,
+           sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) / 10000.0
+             AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY c.c_custkey
+    """,
+)
+def join_link_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a ⋈ link ⋈ b bridge join the reference's link tables are built for
+    (sql.py:190-201). Both joins shuffle on their keys; AQE picks
+    broadcast for the customer side when it fits.
+
+    Revenue uses exact integer-cents arithmetic: money columns carry two
+    decimals, so summing ``cents * (100 - disc_pct)`` as BIGINT is exact
+    and reorder-proof — float sums of price*(1-disc) products land on
+    half-cent boundaries where engines' rounding diverges (and at 100 TB,
+    float accumulation error grows with partition count; integers don't).
+    """
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_pct = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("c_custkey")
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            (F.sum(cents * (100 - disc_pct)) / 10000.0).alias("revenue"),
+        )
+    )
+
+
+# --- J3/J4: semi / anti / outer / theta ----------------------------------------
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no high-value order — anti join on a filtered build
+    side (filter pushes below the join)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_outer",
+    oracle="""
+    SELECT c.c_custkey,
+           count(o.o_orderkey) AS n_orders,
+           round(coalesce(sum(o.o_totalprice), 0.0), 2) AS total_spent
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+                "total_spent"
+            ),
+        )
+    )
+
+
+@query(
+    "join_theta_range",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, p.p_partkey, p.p_size, l.l_quantity
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+               AND l.l_quantity BETWEEN p.p_size - 5 AND p.p_size + 5
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/theta join anchored on an equi key — the scalable shape:
+    the equi conjunct drives the shuffle, the band predicate filters
+    inside each co-partition."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    cond = (
+        (li.l_partkey == p.p_partkey)
+        & (li.l_quantity >= p.p_size - 5)
+        & (li.l_quantity <= p.p_size + 5)
+    )
+    return li.join(p, cond).select(
+        "l_orderkey", "l_linenumber", "p_partkey", "p_size", "l_quantity"
+    )
+
+
+# --- A-family: aggregation ------------------------------------------------------
+
+
+@query(
+    "groupby_count",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def groupby_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BatchStream per-key grouping analog (batch_stream.py:16-64) as a
+    hash aggregate with map-side partials."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(F.count("*").alias("n"))
+
+
+@query(
+    "distinct_agg",
+    oracle="SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+)
+def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-kind-pair set accumulation (collect_plugins.py:120-123) as
+    distinct aggregation."""
+    o = table(spark, sf_dir, "orders")
+    return o.select("o_orderstatus", "o_orderpriority").distinct()
+
+
+@query(
+    "topk_argmax",
+    oracle="""
+    SELECT event_type, n FROM (
+      SELECT event_type, count(*) AS n,
+             row_number() OVER (ORDER BY count(*) DESC, event_type) AS rn
+      FROM events GROUP BY event_type
+    ) t WHERE rn = 1
+    """,
+)
+def topk_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-group selection — reference max(dict, key=len)
+    (batch_stream.py:53) as window argmax."""
+    ev = table(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    w = W.orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        g.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", "n")
+    )
+
+
+@query(
+    "agg_sum_avg_min_max",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(avg(l_extendedprice), 2) AS avg_price,
+           round(min(l_discount), 2) AS min_disc,
+           round(max(l_tax), 2) AS max_tax,
+           count(*) AS n,
+           count(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_sum_avg_min_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary — the flagship aggregate."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        F.round(F.min("l_discount"), 2).alias("min_disc"),
+        F.round(F.max("l_tax"), 2).alias("max_tax"),
+        F.count("*").alias("n"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+@query(
+    "groupby_having",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_customers, round(avg(c_acctbal), 2) AS avg_bal
+    FROM customer GROUP BY c_mktsegment HAVING count(*) > 100
+    """,
+)
+def groupby_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+        )
+        .filter(F.col("n_customers") > 100)
+    )
+
+
+@query(
+    "rollup_cube",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets surface (SQL passthrough promise, A5). Input group
+    columns are non-null so coalesce('ALL') disambiguates the totals."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+# --- D1: sort / limit / top-k ----------------------------------------------------
+
+
+@query(
+    "sort_limit",
+    oracle="""
+    SELECT o_orderkey, o_totalprice AS totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k via TakeOrderedAndProject — no full sort materialization."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", F.col("o_totalprice").alias("totalprice"))
+    )
+
+
+@query(
+    "topk_per_group",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, c_acctbal AS acctbal, rn FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer
+    ) t WHERE rn <= 5
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "c_mktsegment",
+            "c_custkey",
+            F.col("c_acctbal").alias("acctbal"),
+            "rn",
+        )
+    )
+
+
+# --- D2: set ops -------------------------------------------------------------------
+
+
+@query(
+    "set_ops",
+    oracle="""
+    SELECT 'cust_only' AS src, k FROM (
+      SELECT c_nationkey AS k FROM customer
+      EXCEPT SELECT s_nationkey AS k FROM supplier) t1
+    UNION ALL
+    SELECT 'both' AS src, k FROM (
+      SELECT c_nationkey AS k FROM customer
+      INTERSECT SELECT s_nationkey AS k FROM supplier) t2
+    UNION ALL
+    SELECT 'any' AS src, k FROM (
+      SELECT c_nationkey AS k FROM customer
+      UNION SELECT s_nationkey AS k FROM supplier) t3
+    """,
+)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    cust_only = c.subtract(s).select(F.lit("cust_only").alias("src"), "k")
+    both = c.intersect(s).select(F.lit("both").alias("src"), "k")
+    any_ = c.union(s).distinct().select(F.lit("any").alias("src"), "k")
+    return cust_only.unionByName(both).unionByName(any_)
+
+
+# --- D3: windows -------------------------------------------------------------------
+
+
+@query(
+    "window_rank",
+    oracle="""
+    SELECT s_suppkey, s_nationkey, s_acctbal AS acctbal,
+           rank() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS rnk,
+           dense_rank() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS drnk,
+           lag(s_suppkey) OVER (PARTITION BY s_nationkey
+                                ORDER BY s_acctbal DESC, s_suppkey) AS prev_supp
+    FROM supplier
+    """,
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = table(spark, sf_dir, "supplier")
+    w_rank = W.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"))
+    w_det = W.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.col("s_acctbal").alias("acctbal"),
+        F.rank().over(w_rank).alias("rnk"),
+        F.dense_rank().over(w_rank).alias("drnk"),
+        F.lag("s_suppkey").over(w_det).alias("prev_supp"),
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM orders
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+# --- D5: array ops -----------------------------------------------------------------
+
+
+@query(
+    "array_ops",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER)
+             AS n_distinct_tokens,
+           list_contains(string_split(text, ' '), 'spark') AS has_spark,
+           array_to_string(list_slice(list_sort(string_split(text, ' ')), 1, 3), ',')
+             AS first3_sorted
+    FROM documents
+    """,
+)
+def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-kind surface (T[] kinds, sql.py:75) via higher-order funcs."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.array_join(F.slice(F.array_sort(toks), 1, 3), ",").alias("first3_sorted"),
+    )
+
+
+# --- D6: subqueries ----------------------------------------------------------------
+
+_SUBQUERY_SQL = """
+SELECT c.c_custkey, c.c_name
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_totalprice > (SELECT avg(o2.o_totalprice) FROM orders o2)
+)
+"""
+
+
+@query("subquery_exists", oracle=_SUBQUERY_SQL)
+def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS + scalar subquery — Catalyst decorrelates into a
+    semi-join against a broadcast scalar aggregate."""
+    load_tables(spark, sf_dir)
+    return execute_sql(spark, _SUBQUERY_SQL)

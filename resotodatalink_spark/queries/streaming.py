@@ -1,0 +1,92 @@
+"""Event-time window slugs (SURVEY.md §2.7 T4).
+
+These run the exact window functions used by the Structured Streaming
+path (resotodatalink_spark.streaming) in batch mode, so the DuckDB
+oracle can verify semantics: Spark's ``window``/``session_window``
+produce identical groups in batch and streaming — the streaming tests
+in tests/test_streaming.py drive the same helpers through readStream.
+
+Tumbling windows align to the Unix epoch; DuckDB's ``time_bucket``
+aligns to 2000-01-01 — identical for divisors of a day, which every
+width we expose is.  Session gap semantics: an event at exactly
+``prev + gap`` starts a NEW session (Spark session windows are
+half-open ``[start, last+gap)``), mirrored in the oracle's
+``ts >= prev + INTERVAL`` test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from resotodatalink_spark.registry import query
+from resotodatalink_spark.sources.tables import table
+
+
+@query(
+    "stream_tumbling_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "stream_session_window",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN prev_ts IS NULL
+                       OR ts >= prev_ts + INTERVAL '6 hours' THEN 1 ELSE 0 END
+               AS new_session
+      FROM ordered
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 6h inactivity gap; Spark's session_window
+    merges events with inter-arrival < gap, i.e. a new session starts at
+    ts >= prev + gap — the oracle replays that with lag + running sum."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "6 hours").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )

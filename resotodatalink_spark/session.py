@@ -1,0 +1,46 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode defaults mirror what we would set fleet-wide on a real
+cluster: AQE on (runtime re-plan, skew-join handling, partition
+coalescing), Arrow for any Python exchange, UTC session time zone so
+timestamp semantics match the reference's UTC string round-trip
+(reference sql.py:43-55).  ``spark.sql.shuffle.partitions`` is sized to
+the core count locally; on a 1000-executor cluster it would be sized to
+2-3x total cores and AQE coalesces the rest.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "resotodatalink-spark", cpus: int | None = None) -> SparkSession:
+    """Return (or create) the tuned session.
+
+    ``SPARK_GRAFT_CPUS`` controls local parallelism (driver contract);
+    shuffle partitions match it so local runs don't over-partition tiny
+    shuffles — AQE coalescing handles the rest.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        # the driver's events table stores TIMESTAMP(NANOS) which Spark's
+        # vectorized reader rejects; read as long and convert (tables.py)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
