@@ -1,0 +1,84 @@
+"""File sinks with staged write + atomic publish.
+
+The reference appends batches via per-table Parquet/CSV writers
+(writer.py:171-184, 222-253) and publishes SQL tables by writing
+``tmp_*`` tables then renaming (sql.py:129-159).  Spark's file commit
+protocol already makes each ``df.write`` atomic per table; the
+cross-table all-or-nothing publish the reference gets from its single
+transaction (collect_plugins.py:193-194) is emulated with staging
+directories renamed in one final pass.
+
+CSV cannot hold nested types; nested columns are JSON-stringified the
+way the reference's CSV type map does (type_converter.py:35-55,
+writer.py:130-146).
+
+Cloud paths (s3a://, gs://) work through the Hadoop filesystem — the
+reference's spool-and-upload dance (writer.py:187-219) disappears.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+STAGING_SUFFIX = "__staging"
+
+
+def stringify_nested(df: DataFrame) -> DataFrame:
+    """JSON-encode array/map/struct columns for flat formats."""
+    cols = []
+    for f in df.schema.fields:
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+            cols.append(F.to_json(F.col(f.name)).alias(f.name))
+        else:
+            cols.append(F.col(f.name))
+    return df.select(*cols)
+
+
+def write_table(
+    df: DataFrame,
+    dest_dir: str,
+    table_name: str,
+    fmt: str = "parquet",
+    staging: bool = True,
+) -> str:
+    """Write one table under ``dest_dir``; with ``staging`` the data
+    lands in ``<table>__staging`` until ``swap_staging`` publishes it."""
+    name = table_name + STAGING_SUFFIX if staging else table_name
+    path = os.path.join(dest_dir, name)
+    if fmt == "csv":
+        stringify_nested(df).write.mode("overwrite").option("header", True).csv(path)
+    elif fmt == "parquet":
+        df.write.mode("overwrite").parquet(path)
+    else:
+        raise ValueError(f"unsupported format: {fmt}")
+    return path
+
+
+def swap_staging(dest_dir: str) -> list[str]:
+    """Atomically publish every ``*__staging`` dir: drop the previous
+    table dir, rename staging into place (reference swap_temp_tables,
+    sql.py:129-159).  Local-FS implementation; on HDFS/S3 the same
+    sequence goes through the Hadoop FileSystem API."""
+    published = []
+    for entry in sorted(os.listdir(dest_dir)):
+        if not entry.endswith(STAGING_SUFFIX):
+            continue
+        final = entry[: -len(STAGING_SUFFIX)]
+        final_path = os.path.join(dest_dir, final)
+        if os.path.exists(final_path):
+            shutil.rmtree(final_path)
+        os.rename(os.path.join(dest_dir, entry), final_path)
+        published.append(final)
+    return published
+
+
+def read_table(spark: SparkSession, dest_dir: str, table_name: str, fmt: str = "parquet") -> DataFrame:
+    path = os.path.join(dest_dir, table_name)
+    if fmt == "csv":
+        return spark.read.option("header", True).option("inferSchema", True).csv(path)
+    return spark.read.parquet(path)

@@ -1,0 +1,49 @@
+"""JDBC sink — the reference's SQL-database path (sql.py:245-261).
+
+The reference chunks INSERT statements at ``insert_batch_size`` (5000,
+sql.py:173); Spark's JDBC writer does the same via ``batchsize`` with
+one connection per partition, so ingest parallelism scales with the
+DataFrame's partitioning instead of a single connection.
+
+The dialect-updater registry (reference sql.py:264-272, snowflake
+variant snowflake.py:49-92) collapses to URL-scheme dispatch: Spark
+JDBC handles the standard dialects, and VARIANT-style columns for
+Snowflake are produced by JSON-stringifying nested types
+(sinks.files.stringify_nested) before the write.
+
+No database server exists in this environment, so this module is a
+thin, untested-by-CI wrapper kept deliberately free of logic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from resotodatalink_spark.sinks.files import stringify_nested
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "overwrite",
+    batch_size: int = 5000,
+    properties: dict[str, str] | None = None,
+    stringify: bool = True,
+) -> None:
+    props = {"batchsize": str(batch_size), **(properties or {})}
+    out = stringify_nested(df) if stringify else df
+    out.write.jdbc(url=url, table=table, mode=mode, properties=props)
+
+
+def swap_temp_tables_sql(tables: list[str], temp_prefix: str = "tmp_") -> list[str]:
+    """The DDL the reference's swap performs (sql.py:129-159), emitted
+    as statements for the target database to run."""
+    stmts = []
+    for t in tables:
+        if not t.startswith(temp_prefix):
+            continue
+        prod = t[len(temp_prefix):]
+        stmts.append(f"DROP TABLE IF EXISTS {prod}")
+        stmts.append(f"ALTER TABLE {t} RENAME TO {prod}")
+    return stmts
