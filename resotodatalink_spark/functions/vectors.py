@@ -1,0 +1,101 @@
+"""Vector math over ``array<float>`` embedding columns, built from
+engine-native expressions (no UDF — stays in codegen).
+
+Cross-engine determinism: float addition isn't associative, so the
+Spark expression (sequential ``aggregate`` fold) and the DuckDB oracle
+(explicit left-associative 64-term chain) are constructed to perform
+the SAME double-precision operations in the SAME order — results are
+bit-identical, no rounding slop needed.
+
+Hyperplane LSH for the ANN scale path: K fixed ±1 hyperplanes (literal
+coefficients shared by both dialects); bucket = sign-bit integer.  On a
+cluster the bucket join turns an O(n^2) similarity scan into a per-
+bucket equi-join — same shape as the MinHash band join.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+EMBED_DIM = 64
+N_HYPERPLANES = 8
+
+# Deterministic ±1 hyperplanes (fixed seed — literal constants, shared
+# verbatim by Spark exprs and oracle SQL).
+_rng = random.Random(0xC0FFEE)
+HYPERPLANES: list[list[float]] = [
+    [float(_rng.choice((-1, 1))) for _ in range(EMBED_DIM)]
+    for _ in range(N_HYPERPLANES)
+]
+
+
+def dot_spark(a: str, b: str) -> Column:
+    """Sequential-fold dot product of two array<float> columns as double."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        f" CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def dot_duck(a: str, b: str, dim: int = EMBED_DIM) -> str:
+    """Left-associative explicit chain — same op order as dot_spark."""
+    terms = [
+        f"CAST(list_extract({a}, {i}) AS DOUBLE) * CAST(list_extract({b}, {i}) AS DOUBLE)"
+        for i in range(1, dim + 1)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = f"({out} + {t})"
+    return out
+
+
+def cosine_spark(a: str, b: str) -> Column:
+    return dot_spark(a, b) / (
+        F.sqrt(dot_spark(a, a)) * F.sqrt(dot_spark(b, b))
+    )
+
+
+def cosine_duck(a: str, b: str, dim: int = EMBED_DIM) -> str:
+    return (
+        f"({dot_duck(a, b, dim)}) / "
+        f"(sqrt({dot_duck(a, a, dim)}) * sqrt({dot_duck(b, b, dim)}))"
+    )
+
+
+def _plane_dot_spark(col: str, plane: list[float]) -> str:
+    arr = "array(" + ", ".join(f"CAST({w} AS DOUBLE)" for w in plane) + ")"
+    return (
+        f"aggregate(zip_with({col}, {arr}, (x, y) -> CAST(x AS DOUBLE) * y),"
+        f" CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def _plane_dot_duck(col: str, plane: list[float]) -> str:
+    terms = [
+        f"CAST(list_extract({col}, {i + 1}) AS DOUBLE) * CAST({w} AS DOUBLE)"
+        for i, w in enumerate(plane)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = f"({out} + {t})"
+    return out
+
+
+def lsh_bucket_spark(col: str) -> Column:
+    """Sign-bit bucket id over the fixed hyperplanes (0..2^K-1)."""
+    expr = " + ".join(
+        f"(CASE WHEN ({_plane_dot_spark(col, p)}) >= 0.0 THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(HYPERPLANES)
+    )
+    return F.expr(expr).cast("int")
+
+
+def lsh_bucket_duck(col: str) -> str:
+    expr = " + ".join(
+        f"(CASE WHEN ({_plane_dot_duck(col, p)}) >= 0.0 THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(HYPERPLANES)
+    )
+    return f"CAST({expr} AS INTEGER)"

