@@ -1,26 +1,30 @@
 """Event-time window slugs (SURVEY.md §2.7 T4).
 
-These run the exact window functions used by the Structured Streaming
-path (resotodatalink_spark.streaming) in batch mode, so the DuckDB
-oracle can verify semantics: Spark's ``window``/``session_window``
-produce identical groups in batch and streaming — the streaming tests
-in tests/test_streaming.py drive the same helpers through readStream.
+These run the exact window helpers used by the Structured Streaming
+path (resotodatalink_spark.streaming.windows) in batch mode, so the
+DuckDB oracle can verify semantics: Spark's ``window`` /
+``session_window`` produce identical groups in batch and streaming —
+tests/test_streaming.py drives the same helpers through readStream.
 
-Tumbling windows align to the Unix epoch; DuckDB's ``time_bucket``
-aligns to 2000-01-01 — identical for divisors of a day, which every
-width we expose is.  Session gap semantics: an event at exactly
-``prev + gap`` starts a NEW session (Spark session windows are
-half-open ``[start, last+gap)``), mirrored in the oracle's
+Tumbling/sliding windows align to the Unix epoch; DuckDB's
+``time_bucket`` aligns to 2000-01-01 — identical for divisors of a
+day, which every width we expose is.  Session gap semantics: an event
+at exactly ``prev + gap`` starts a NEW session (Spark session windows
+are half-open ``[start, last+gap)``), mirrored in the oracle's
 ``ts >= prev + INTERVAL`` test.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from resotodatalink_spark.registry import query
 from resotodatalink_spark.sources.tables import table
+from resotodatalink_spark.streaming.windows import (
+    session_counts,
+    sliding_counts,
+    tumbling_counts,
+)
 
 
 @query(
@@ -35,20 +39,25 @@ from resotodatalink_spark.sources.tables import table
     """,
 )
 def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
-        )
-        .select(
-            F.col("w.start").alias("window_start"),
-            "event_type",
-            "n_events",
-            "total_value",
-        )
-    )
+    return tumbling_counts(table(spark, sf_dir, "events"), "1 hour")
+
+
+@query(
+    "stream_sliding_window",
+    oracle="""
+    SELECT ws AS window_start, count(*) AS n_events FROM (
+      SELECT unnest([
+        time_bucket(INTERVAL '30 minutes', ts),
+        time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'
+      ]) AS ws
+      FROM events
+    ) t GROUP BY ws
+    """,
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1h windows sliding by 30min — every event lands in exactly two
+    windows; the oracle materializes both membership rows explicitly."""
+    return sliding_counts(table(spark, sf_dir, "events"), "1 hour", "30 minutes")
 
 
 @query(
@@ -80,13 +89,4 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows with a 6h inactivity gap; Spark's session_window
     merges events with inter-arrival < gap, i.e. a new session starts at
     ts >= prev + gap — the oracle replays that with lag + running sum."""
-    ev = table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.session_window("ts", "6 hours").alias("w"), "user_id")
-        .agg(F.count("*").alias("n_events"))
-        .select(
-            "user_id",
-            F.col("w.start").alias("session_start"),
-            "n_events",
-        )
-    )
+    return session_counts(table(spark, sf_dir, "events"), "6 hours")

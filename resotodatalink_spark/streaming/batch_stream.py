@@ -1,0 +1,120 @@
+"""Streaming ingest with the reference's BatchStream semantics.
+
+The reference's ``BatchStream`` (batch_stream.py:16-64) buffers
+elements per key and emits ``(key, batch)`` when a batch reaches
+``batch_size``; its "watermark" is a MEMORY bound (total buffered
+count), not an event-time lateness bound — on overflow it flushes the
+*largest* group early, and drains everything at end-of-stream.
+
+Spark Structured Streaming mapping (the semantic gaps are deliberate
+and documented):
+
+* per-key grouping     -> micro-batch ``foreachBatch`` + repartition by
+                          key (shuffle+spill replaces the hand-rolled
+                          memory watermark — executors spill instead of
+                          evicting, reference batch_stream.py:51-56).
+* count trigger        -> Spark triggers are time/availability based;
+                          the count-based chunking happens inside
+                          ``foreachBatch`` where each key group is
+                          split into <=batch_size chunks.
+* end-of-stream drain  -> ``Trigger.AvailableNow`` drains the source
+                          and stops (batch_stream.py:57-64 analog).
+
+``stream_events`` applies the same nanos->micros normalization as the
+batch reader (sources/tables.py).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),  # nanos-as-long
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet (file source, schema pinned)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # file streaming sources need a directory; glob-filter to the table
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def run_keyed_batches(
+    stream_df: DataFrame,
+    key_col: str,
+    batch_size: int,
+    on_batch: Callable[[str, DataFrame], None],
+    checkpoint_dir: str,
+) -> None:
+    """Drain ``stream_df`` with AvailableNow, delivering (key, chunk)
+    callbacks where every chunk has <= batch_size rows — the
+    BatchStream contract (count conservation + bound, reference
+    batch_stream_test.py:5-19).  Chunking happens executor-side via
+    row_number; only the per-key delivery loop touches the driver,
+    mirroring the reference's per-batch insert loop
+    (collect_plugins.py:203-212)."""
+
+    def handle(batch_df: DataFrame, _batch_id: int) -> None:
+        from pyspark.sql import Window as W
+
+        chunked = batch_df.withColumn(
+            "__chunk",
+            ((F.row_number().over(W.partitionBy(key_col).orderBy(F.lit(1))) - 1)
+             / batch_size).cast("int"),
+        )
+        keys = [
+            (r[0], r[1])
+            for r in chunked.select(key_col, "__chunk").distinct().collect()
+        ]
+        for key, chunk in sorted(keys):
+            on_batch(
+                key,
+                chunked.filter(
+                    (F.col(key_col) == key) & (F.col("__chunk") == chunk)
+                ).drop("__chunk"),
+            )
+
+    (
+        stream_df.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(handle)
+        .start()
+        .awaitTermination()
+    )
+
+
+def stream_sync_to_tables(
+    stream_df: DataFrame, key_col: str, dest_dir: str, checkpoint_dir: str
+) -> None:
+    """The scalable sink shape: partition each micro-batch by key and
+    append — no driver loop at all; the key is a partition column
+    (this is what replaces per-kind writers, reference writer.py:263-277)."""
+
+    def handle(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("append").partitionBy(key_col).parquet(dest_dir)
+
+    (
+        stream_df.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(handle)
+        .start()
+        .awaitTermination()
+    )

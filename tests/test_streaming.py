@@ -1,0 +1,83 @@
+"""Structured Streaming paths: readStream windows agree with the batch
+(oracle-checked) slugs; count-trigger batching honors the BatchStream
+contract (count conservation + batch-size bound, reference
+batch_stream_test.py:5-19)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from resotodatalink_spark.sources.tables import table
+from resotodatalink_spark.streaming.batch_stream import (
+    run_keyed_batches,
+    stream_events,
+    stream_sync_to_tables,
+)
+from resotodatalink_spark.streaming.windows import session_counts, tumbling_counts
+from tests.conftest import SF_DIR
+
+
+def _run_to_memory(spark, stream_df, name, checkpoint, mode="complete"):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def test_stream_tumbling_agrees_with_batch(spark, tmp_path):
+    ev = stream_events(spark, SF_DIR)
+    assert ev.isStreaming
+    got = _run_to_memory(
+        spark,
+        tumbling_counts(ev, "1 hour", watermark="1 hour"),
+        "t_tumble",
+        str(tmp_path / "cp1"),
+    ).collect()
+    want = tumbling_counts(table(spark, SF_DIR, "events"), "1 hour").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_stream_session_agrees_with_batch(spark, tmp_path):
+    ev = stream_events(spark, SF_DIR)
+    got = _run_to_memory(
+        spark,
+        session_counts(ev, "6 hours", watermark="1 hour"),
+        "t_session",
+        str(tmp_path / "cp2"),
+    ).collect()
+    want = session_counts(table(spark, SF_DIR, "events"), "6 hours").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_keyed_batches_contract(spark, tmp_path):
+    ev = stream_events(spark, SF_DIR)
+    total = table(spark, SF_DIR, "events").count()
+    seen: list[tuple[str, int]] = []
+
+    def on_batch(key, df):
+        seen.append((key, df.count()))
+
+    run_keyed_batches(ev, "event_type", 300, on_batch, str(tmp_path / "cp3"))
+    # count conservation
+    assert sum(n for _, n in seen) == total
+    # batch-size bound
+    assert all(n <= 300 for _, n in seen)
+    # every key delivered
+    assert {k for k, _ in seen} == {"click", "signup", "purchase", "error", "view"}
+
+
+def test_stream_sync_partitioned_tables(spark, tmp_path):
+    ev = stream_events(spark, SF_DIR)
+    dest = str(tmp_path / "out")
+    stream_sync_to_tables(ev, "event_type", dest, str(tmp_path / "cp4"))
+    back = spark.read.parquet(dest)
+    assert back.count() == table(spark, SF_DIR, "events").count()
+    # partition pruning works: reading one key touches one partition dir
+    one = back.filter(F.col("event_type") == "click")
+    assert one.count() > 0
