@@ -50,6 +50,8 @@ EXTENDED = [
     "token_count",
     "quality_score",
     "ann_cosine_topk",
+    "dedup_simhash",
+    "doc_fingerprint",
 ]
 
 

@@ -102,7 +102,11 @@ def in_list_sql(item: str, words: list[str], dialect: str) -> str:
 
 def spark_shingle_hashes(text_col: str, n: int = 3) -> str:
     """Spark SQL expression: array of word-``n``-gram hashes of ``text_col``.
-    Whole-stage-codegen friendly (sequence/transform/slice, no UDF)."""
+
+    NOTE: kept for reference/ad-hoc use, but operators.dedup uses the
+    staged explode-then-project form instead — expressions inside
+    higher-order-function lambdas are interpreted (no codegen/CSE), and
+    this inline form re-evaluates split/slice per ascii() call."""
     toks = f"split({text_col}, ' ')"
     sh = f"array_join(slice({toks}, i, {n}), ' ')"
     return (

@@ -32,12 +32,23 @@ HYPERPLANES: list[list[float]] = [
 ]
 
 
-def dot_spark(a: str, b: str) -> Column:
-    """Sequential-fold dot product of two array<float> columns as double."""
-    return F.expr(
-        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
-        f" CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
-    )
+def dot_spark(a: str, b: str, dim: int = EMBED_DIM) -> Column:
+    """Dot product of two array<float> columns as double.
+
+    An explicit left-associative element_at chain, NOT an
+    aggregate/zip_with fold: higher-order-function lambdas are
+    interpreted per row (no whole-stage codegen), which made cosine
+    scans ~3x slower at sf0.1.  The chain performs the identical IEEE
+    op sequence as the fold (0.0 + t1 == t1 exactly), so values are
+    unchanged and still bit-equal to the DuckDB oracle chain."""
+    terms = [
+        f"CAST(element_at({a}, {i}) AS DOUBLE) * CAST(element_at({b}, {i}) AS DOUBLE)"
+        for i in range(1, dim + 1)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = f"({out} + {t})"
+    return F.expr(out)
 
 
 def dot_duck(a: str, b: str, dim: int = EMBED_DIM) -> str:
@@ -66,11 +77,14 @@ def cosine_duck(a: str, b: str, dim: int = EMBED_DIM) -> str:
 
 
 def _plane_dot_spark(col: str, plane: list[float]) -> str:
-    arr = "array(" + ", ".join(f"CAST({w} AS DOUBLE)" for w in plane) + ")"
-    return (
-        f"aggregate(zip_with({col}, {arr}, (x, y) -> CAST(x AS DOUBLE) * y),"
-        f" CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
-    )
+    terms = [
+        f"CAST(element_at({col}, {i + 1}) AS DOUBLE) * CAST({w} AS DOUBLE)"
+        for i, w in enumerate(plane)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = f"({out} + {t})"
+    return out
 
 
 def _plane_dot_duck(col: str, plane: list[float]) -> str:

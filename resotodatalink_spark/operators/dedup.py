@@ -32,7 +32,6 @@ from resotodatalink_spark.functions.hashing import (
     MOD,
     N_BANDS,
     N_MINHASH,
-    spark_shingle_hashes,
     spread_sql,
 )
 
@@ -54,10 +53,29 @@ def exact_dedup(
 def shingle_hashes(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """(id, h): one row per word n-gram occurrence."""
-    return docs.select(
-        F.col(id_col), F.explode(F.expr(spark_shingle_hashes(text_col, n))).alias("h")
+    """(id, h): one row per word n-gram occurrence.
+
+    Staged explode-then-project on purpose: putting the hash inside a
+    higher-order ``transform`` lambda keeps it out of whole-stage
+    codegen (lambdas are interpreted, no common-subexpression
+    elimination), which re-evaluates split/slice per ascii() call —
+    measured 10x slower at sf0.1.  Here each level is a materialized
+    column and the 16-term hash projection codegens with CSE."""
+    from resotodatalink_spark.functions.hashing import str_hash_sql
+
+    toks = docs.select(F.col(id_col), F.split(text_col, " ").alias("__toks"))
+    pos = toks.select(
+        F.col(id_col),
+        "__toks",
+        F.explode(
+            F.expr(f"sequence(1, greatest(size(__toks) - {n - 1}, 1))")
+        ).alias("__i"),
     )
+    sh = pos.select(
+        F.col(id_col),
+        F.expr(f"array_join(slice(__toks, __i, {n}), ' ')").alias("__sh"),
+    )
+    return sh.select(F.col(id_col), F.expr(str_hash_sql("__sh")).alias("h"))
 
 
 def minhash_signatures(

@@ -44,7 +44,9 @@ def reachable(
             .withColumn("depth", F.lit(depth).cast("int"))
         )
         nxt.persist(StorageLevel.MEMORY_AND_DISK)
-        if nxt.isEmpty():
+        # the emptiness probe is an extra job — only worth it when there
+        # are more levels left to prune
+        if depth < max_depth and nxt.isEmpty():
             break
         out = nxt if out is None else out.unionByName(nxt)
         visited = visited.unionByName(nxt)

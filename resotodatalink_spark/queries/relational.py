@@ -43,7 +43,7 @@ JOIN region r ON rs.regionkey = r.r_regionkey
 def sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference execute_sql (collect_plugins.py:220-228): one SQL string,
     valid in both engines, run through spark.sql on registered views."""
-    load_tables(spark, sf_dir)
+    load_tables(spark, sf_dir, names=("orders", "customer", "nation", "region"))
     return execute_sql(spark, _PASSTHROUGH_SQL)
 
 
@@ -344,13 +344,20 @@ def join_link_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     disc_pct = F.round(F.col("l_discount") * 100).cast("long")
+    # pre-aggregate the fact table per order key BEFORE the join: the
+    # join then moves |orders| rows instead of |lineitem|, and the
+    # expensive countDistinct over a multiplied join disappears — the
+    # plan shape that survives a 100x fact-table scale-up
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(cents * (100 - disc_pct)).alias("rev_c4")
+    )
     return (
         c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(per_order, o.o_orderkey == per_order.l_orderkey)
         .groupBy("c_custkey")
         .agg(
-            F.countDistinct("o_orderkey").alias("n_orders"),
-            (F.sum(cents * (100 - disc_pct)) / 10000.0).alias("revenue"),
+            F.count("*").alias("n_orders"),
+            (F.sum("rev_c4") / 10000.0).alias("revenue"),
         )
     )
 
@@ -737,5 +744,5 @@ WHERE EXISTS (
 def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated EXISTS + scalar subquery — Catalyst decorrelates into a
     semi-join against a broadcast scalar aggregate."""
-    load_tables(spark, sf_dir)
+    load_tables(spark, sf_dir, names=("customer", "orders"))
     return execute_sql(spark, _SUBQUERY_SQL)

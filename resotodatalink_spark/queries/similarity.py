@@ -49,14 +49,22 @@ _TOPK = 5
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-5 cosine neighbors for each of the 10 query vectors."""
     e = table(spark, sf_dir, "embeddings")
+    # norms are precomputed per vector (sqrt(dot(x,x)) once, not per
+    # pair) — identical value, ~n x fewer dot products at scale
     q = e.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.sqrt(V.dot_spark("embedding", "embedding")).alias("qn"),
     )
     c = e.filter(F.col("vec_id") >= _N_QUERIES).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.sqrt(V.dot_spark("embedding", "embedding")).alias("cn"),
     )
     sims = c.crossJoin(F.broadcast(q)).select(
-        "query_id", "neighbor_id", V.cosine_spark("qe", "ce").alias("cosine")
+        "query_id",
+        "neighbor_id",
+        (V.dot_spark("qe", "ce") / (F.col("qn") * F.col("cn"))).alias("cosine"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -96,13 +104,22 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     b = e.withColumn("bucket", V.lsh_bucket_spark("embedding"))
     q = b.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "bucket"
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.sqrt(V.dot_spark("embedding", "embedding")).alias("qn"),
+        "bucket",
     )
     c = b.filter(F.col("vec_id") >= _N_QUERIES).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"), "bucket"
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.sqrt(V.dot_spark("embedding", "embedding")).alias("cn"),
+        "bucket",
     )
     sims = c.join(F.broadcast(q), "bucket").select(
-        "query_id", "bucket", "neighbor_id", V.cosine_spark("qe", "ce").alias("cosine")
+        "query_id",
+        "bucket",
+        "neighbor_id",
+        (V.dot_spark("qe", "ce") / (F.col("qn") * F.col("cn"))).alias("cosine"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -130,12 +147,20 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (exact, threshold 0.35)."""
     e = table(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.sqrt(V.dot_spark("embedding", "embedding")).alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.sqrt(V.dot_spark("embedding", "embedding")).alias("nb"),
+    )
     return (
         a.crossJoin(b)
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cosine", V.cosine_spark("ea", "eb"))
+        .withColumn("cosine", V.dot_spark("ea", "eb") / (F.col("na") * F.col("nb")))
         .filter(F.col("cosine") >= 0.35)
         .select("vec_a", "vec_b", "cosine")
     )

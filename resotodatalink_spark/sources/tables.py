@@ -52,11 +52,16 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_tables(
-    spark: SparkSession, sf_dir: str, register: bool = True
+    spark: SparkSession,
+    sf_dir: str,
+    register: bool = True,
+    names: tuple[str, ...] | None = None,
 ) -> dict[str, DataFrame]:
-    """Read all tables; optionally register them as temp views (the SQL
-    surface the reference promises via execute_sql)."""
-    dfs = {name: table(spark, sf_dir, name) for name in TABLES}
+    """Read tables (all by default); optionally register them as temp
+    views (the SQL surface the reference promises via execute_sql).
+    Pass ``names`` to skip footer reads for tables a query never touches
+    — each spark.read.parquet costs a driver round-trip for the schema."""
+    dfs = {name: table(spark, sf_dir, name) for name in (names or TABLES)}
     if register:
         for name, df in dfs.items():
             df.createOrReplaceTempView(name)
