@@ -1,0 +1,109 @@
+"""Top-level pipeline entry points — the analogs of the reference's
+``collect_sql`` / ``collect_to_file`` / ``execute_sql`` API
+(collect_plugins.py:103-152, 30-68, 220-228).
+
+The reference's lifecycle is collect -> model -> batch-stream ->
+DDL -> chunked inserts -> swap, all on a dedicated IO thread.  On
+Spark the same lifecycle is: graph DataFrames -> model-compiled
+flatten -> distributed write to staging -> atomic swap; Catalyst and
+the cluster scheduler replace the hand-rolled batching and threading.
+
+Progress feedback mirrors the reference's ``CoreFeedback.progress_done``
+threading (collect_plugins.py:34, 95-96, 196-212) as a plain callback
+protocol — table-level granularity, since tasks inside a write are the
+cluster's business, not the driver loop's.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Protocol
+
+from pyspark.sql import DataFrame, SparkSession
+
+from resotodatalink_spark.model.kinds import Model
+from resotodatalink_spark.operators.flatten import sync_views
+from resotodatalink_spark.sinks.files import swap_staging, write_table
+from resotodatalink_spark.sources.graph import GraphSource
+
+
+class Feedback(Protocol):
+    def progress_done(self, step: str, current: int, total: int) -> None: ...
+
+
+class NoFeedback:
+    """No-op feedback (the reference's analytics NoEventSender spirit,
+    analytics.py:13-62 — nothing leaves the process)."""
+
+    def progress_done(self, step: str, current: int, total: int) -> None:
+        pass
+
+
+def collect_to_views(
+    spark: SparkSession,
+    source: GraphSource,
+    model: Model,
+    feedback: Feedback | None = None,
+) -> dict[str, DataFrame]:
+    """Graph -> registered per-kind + link views (the in-session analog
+    of collect_sql's table sync)."""
+    feedback = feedback or NoFeedback()
+    views = sync_views(spark, source, model)
+    feedback.progress_done("sync_views", len(views), len(views))
+    return views
+
+
+def collect_to_files(
+    spark: SparkSession,
+    source: GraphSource,
+    model: Model,
+    dest_dir: str,
+    fmt: str = "parquet",
+    swap: bool = True,
+    feedback: Feedback | None = None,
+) -> list[str]:
+    """Graph -> staged table files -> atomic publish (collect_to_file +
+    swap_temp_tables semantics: readers see either the old or the new
+    complete set, never a mix)."""
+    feedback = feedback or NoFeedback()
+    views = sync_views(spark, source, model)
+    names = sorted(views)
+    for i, name in enumerate(names, 1):
+        write_table(views[name], dest_dir, name, fmt=fmt, staging=True)
+        feedback.progress_done("write_tables", i, len(names))
+    if swap:
+        published = swap_staging(dest_dir)
+        feedback.progress_done("swap", len(published), len(published))
+        return published
+    return names
+
+
+def collect_sql(
+    spark: SparkSession,
+    source: GraphSource,
+    model: Model,
+    url: str,
+    feedback: Feedback | None = None,
+    batch_size: int = 5000,
+) -> list[str]:
+    """Graph -> JDBC database with tmp-table swap DDL (collect_sql
+    analog; needs a reachable database, so exercised only via its parts
+    in CI: sync_views here, write_jdbc/swap statements in sinks.jdbc)."""
+    from resotodatalink_spark.sinks.jdbc import swap_temp_tables_sql, write_jdbc
+
+    feedback = feedback or NoFeedback()
+    views = sync_views(spark, source, model, temp_prefix=True)
+    names = sorted(views)
+    for i, name in enumerate(names, 1):
+        write_jdbc(views[name], url, name, batch_size=batch_size)
+        feedback.progress_done("write_jdbc", i, len(names))
+    return swap_temp_tables_sql(names)
+
+
+def on_progress(fn: Callable[[str, int, int], None]) -> Feedback:
+    """Adapt a bare callable to the Feedback protocol."""
+
+    class _F:
+        def progress_done(self, step: str, current: int, total: int) -> None:
+            fn(step, current, total)
+
+    return _F()

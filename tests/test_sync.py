@@ -1,0 +1,59 @@
+"""Pipeline entry points: collect_to_views / collect_to_files with
+progress feedback + execute_sql bind vars (reference
+collect_plugins.py:103-152, 220-228)."""
+
+from __future__ import annotations
+
+from resotodatalink_spark.operators.sql import execute_sql, stream_rows
+from resotodatalink_spark.operators.sync import (
+    collect_to_files,
+    collect_to_views,
+    on_progress,
+)
+from resotodatalink_spark.sinks.files import read_table
+from resotodatalink_spark.sources.graph import GraphSource
+from tests.fixtures import example_docs, example_model
+
+
+def test_collect_to_views_with_feedback(spark):
+    events = []
+    views = collect_to_views(
+        spark,
+        GraphSource.from_docs(spark, example_docs()),
+        example_model(),
+        feedback=on_progress(lambda s, c, t: events.append((s, c, t))),
+    )
+    assert len(views) == 3
+    assert events == [("sync_views", 3, 3)]
+
+
+def test_collect_to_files_swaps_atomically(spark, tmp_path):
+    dest = str(tmp_path)
+    steps = []
+    published = collect_to_files(
+        spark,
+        GraphSource.from_docs(spark, example_docs()),
+        example_model(),
+        dest,
+        feedback=on_progress(lambda s, c, t: steps.append(s)),
+    )
+    assert sorted(published) == [
+        "link_some_instance_some_volume",
+        "some_instance",
+        "some_volume",
+    ]
+    assert steps[-1] == "swap"
+    assert read_table(spark, dest, "some_volume").count() == 1
+
+
+def test_execute_sql_bind_vars_and_row_stream(spark):
+    collect_to_views(
+        spark, GraphSource.from_docs(spark, example_docs()), example_model()
+    )
+    df = execute_sql(
+        spark,
+        "select id, cores from some_instance where cores >= :min_cores",
+        {"min_cores": 4},
+    )
+    rows = list(stream_rows(df))
+    assert rows == [{"id": "i-123", "cores": 4}]
