@@ -52,6 +52,10 @@ EXTENDED = [
     "ann_cosine_topk",
     "dedup_simhash",
     "doc_fingerprint",
+    "dedup_clusters",
+    "text_normalize",
+    "median_stats",
+    "pivot_table",
 ]
 
 

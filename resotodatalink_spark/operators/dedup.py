@@ -251,3 +251,57 @@ def jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(doc_id, cluster_id): connected components over an undirected
+    pair list; cluster_id = min node id in the component.
+
+    Iterative min-label propagation (the simple cousin of
+    large-star/small-star): each round every node takes the min of its
+    own label and its neighbors' labels — one shuffle join per round,
+    converging in O(component diameter) rounds.  Near-dup components
+    are short chains, so this terminates in a handful of rounds even at
+    billions of edges; persist each round to cut lineage."""
+    edges = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+    edges = edges.distinct().localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("lab", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    # labels only ever decrease, so sum(lab) strictly decreases until
+    # the fixpoint — one cheap aggregate per round beats a self-join
+    # convergence check
+    prev_sum = labels.agg(F.sum("lab")).collect()[0][0]
+    for _ in range(max_iter):
+        msgs = (
+            edges.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("lab").alias("nbr_lab"))
+        )
+        new_labels = labels.join(msgs, "node", "left").select(
+            "node",
+            F.least(F.col("lab"), F.coalesce("nbr_lab", F.col("lab"))).alias("lab"),
+        )
+        # localCheckpoint TRUNCATES the lineage, not just caches it —
+        # without this the logical plan deepens every round and blows
+        # the planner's stack after ~8 iterations (persist alone does
+        # not cut the plan).  On a cluster prefer checkpoint() with a
+        # reliable dir; localCheckpoint is the local/executor-disk form.
+        new_labels = new_labels.localCheckpoint(eager=True)
+        cur_sum = new_labels.agg(F.sum("lab")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), F.col("lab").alias("cluster_id"))

@@ -1,0 +1,50 @@
+"""Skew-mitigation operators: salting and two-stage aggregation.
+
+At 100 TB a handful of hot keys (one giant customer, one dominant
+event_type) can pin a whole stage on one task.  AQE's skew-join
+splitting (on in session.py) covers joins; for aggregations the classic
+fix is salting: shard each key into ``n_salts`` sub-keys, aggregate
+partially per shard, then merge the shards — two small shuffles instead
+of one skewed one.
+
+Salting is semantics-preserving for any algebraic aggregate
+(sum/count/min/max), so the result is value-identical to the plain
+groupBy — which is exactly what the ``salted_groupby`` slug's oracle
+(a plain GROUP BY) checks.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[Column, Column]],
+    n_salts: int = 16,
+    salt_source: Column | None = None,
+) -> DataFrame:
+    """Two-stage skew-proof aggregation.
+
+    ``aggs`` maps output name -> (partial_agg_expr, merge_agg_expr),
+    e.g. ``{"n": (F.count("*"), F.sum("n")), "total": (F.sum(c), F.sum("total"))}``.
+    ``salt_source`` defaults to a deterministic hash of a monotonic id —
+    pass a column (e.g. a high-cardinality id) for reproducible tests.
+    """
+    salt = (
+        F.pmod(F.hash(salt_source), F.lit(n_salts))
+        if salt_source is not None
+        else F.floor(F.rand() * n_salts)
+    )
+    partial = (
+        df.withColumn("__salt", salt)
+        .groupBy(*keys, "__salt")
+        .agg(*[expr.alias(name) for name, (expr, _) in aggs.items()])
+    )
+    return partial.groupBy(*keys).agg(
+        *[merge.alias(name) for name, (_, merge) in aggs.items()]
+    )

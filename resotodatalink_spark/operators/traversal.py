@@ -17,7 +17,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 
 def reachable(
@@ -33,7 +32,6 @@ def reachable(
     reference's ``-[2:]->`` style traversal semantics)."""
     frontier = start_nodes.select(F.col(id_col)).distinct()
     visited = frontier.withColumn("depth", F.lit(0).cast("int"))
-    visited.persist(StorageLevel.MEMORY_AND_DISK)
     out: DataFrame | None = None
     for depth in range(1, max_depth + 1):
         nxt = (
@@ -43,7 +41,9 @@ def reachable(
             .join(visited.select(id_col), id_col, "left_anti")
             .withColumn("depth", F.lit(depth).cast("int"))
         )
-        nxt.persist(StorageLevel.MEMORY_AND_DISK)
+        # localCheckpoint truncates lineage so deep traversals don't
+        # grow the logical plan each hop (persist alone does not)
+        nxt = nxt.localCheckpoint(eager=True)
         # the emptiness probe is an extra job — only worth it when there
         # are more levels left to prune
         if depth < max_depth and nxt.isEmpty():

@@ -114,3 +114,40 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard >= 0.5 via inverted-index join."""
     d = table(spark, sf_dir, "documents")
     return D.jaccard_pairs(d, threshold=0.5)
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLE_CTE.strip().rstrip()},
+    sig AS (SELECT doc_id, {_MINS} FROM __hashes GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({_BAND_COND})
+      WHERE ({_AGREE}) >= 8
+    ),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, lab) AS (
+      SELECT DISTINCT s, s FROM edges
+      UNION
+      SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.node
+    )
+    SELECT node AS doc_id, min(lab) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over VERIFIED MinHash
+    pairs (>= 8/16 agreeing hashes, est. Jaccard >= 0.5) — the step
+    that turns pair lists into keep/drop decisions.  Verification
+    before clustering is what keeps components honest at scale: raw
+    band collisions grow ~n^2 x P(band) and chain unrelated docs into
+    giant components (measured 40x slower and semantically wrong at
+    sf0.1).  Spark: iterative min-label propagation (one join per
+    round, O(diameter) rounds); oracle: recursive CTE closure."""
+    d = table(spark, sf_dir, "documents")
+    verified = D.minhash_pairs_with_agreement(d).filter(F.col("n_common") >= 8)
+    return D.connected_components(verified)

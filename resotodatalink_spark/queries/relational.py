@@ -746,3 +746,44 @@ def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-join against a broadcast scalar aggregate."""
     load_tables(spark, sf_dir, names=("customer", "orders"))
     return execute_sql(spark, _SUBQUERY_SQL)
+
+
+@query(
+    "pivot_table",
+    oracle="""
+    SELECT l_returnflag,
+           sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS F,
+           sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS O
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (delegated SQL surface, A5 family): sums of whole-number
+    quantities are exact doubles — no rounding needed."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum("l_quantity"))
+    )
+
+
+@query(
+    "median_stats",
+    oracle="""
+    SELECT l_returnflag,
+           median(l_quantity) AS median_qty,
+           quantile_cont(l_extendedprice, 0.25) AS p25_price,
+           quantile_cont(l_extendedprice, 0.75) AS p75_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def median_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median / interpolated percentiles — Spark percentile() and
+    DuckDB quantile_cont share the linear-interpolation definition."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.median("l_quantity").alias("median_qty"),
+        F.percentile("l_extendedprice", F.lit(0.25)).alias("p25_price"),
+        F.percentile("l_extendedprice", F.lit(0.75)).alias("p75_price"),
+    )

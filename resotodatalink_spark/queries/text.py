@@ -164,3 +164,29 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("h") % H.MOD).alias("fp_mix"),
         F.countDistinct("h").cast("int").alias("n_shingles"),
     )
+
+
+@query(
+    "text_normalize",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[0-9]+', '', 'g'),
+                ' +', ' ', 'g')) AS norm_text,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[0-9]+', '', 'g'),
+                ' +', ' ', 'g'))) AS norm_hash
+    FROM documents
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization pass for dedup keys: lowercase, strip digits,
+    collapse whitespace, content hash.  (Spark regexp_replace is
+    global by default; DuckDB needs the 'g' flag — same semantics.)"""
+    d = table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[0-9]+", ""), " +", " "
+        )
+    )
+    return d.select(
+        "doc_id", norm.alias("norm_text"), F.md5(norm).alias("norm_hash")
+    )
