@@ -81,3 +81,44 @@ def test_stream_sync_partitioned_tables(spark, tmp_path):
     # partition pruning works: reading one key touches one partition dir
     one = back.filter(F.col("event_type") == "click")
     assert one.count() > 0
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    """applyInPandasWithState: the LAST emitted snapshot per user must
+    equal the batch group-by (state survives across micro-batches —
+    maxFilesPerTrigger forces multiple batches)."""
+    from resotodatalink_spark.streaming.stateful import (
+        running_user_totals,
+        user_totals_batch,
+    )
+
+    # split events into several files so AvailableNow runs >1 micro-batch
+    # (written from the batch reader, so ts is already micros timestamps)
+    src_dir = str(tmp_path / "src")
+    batch_events = table(spark, SF_DIR, "events")
+    batch_events.repartition(4).write.parquet(src_dir)
+    ev = (
+        spark.readStream.schema(batch_events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    out = running_user_totals(ev)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_stateful")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    snaps = spark.table("t_stateful").toPandas()
+    # multiple micro-batches -> multiple snapshots for at least one user
+    assert len(snaps) > snaps["user_id"].nunique()
+    # last snapshot per user == batch totals
+    last = snaps.groupby("user_id").last().reset_index()
+    want = user_totals_batch(table(spark, SF_DIR, "events")).toPandas()
+    merged = last.merge(want, on="user_id", suffixes=("_s", "_b"))
+    assert len(merged) == len(want)
+    assert (merged["n_events_s"] == merged["n_events_b"]).all()
+    assert (abs(merged["total_value_s"] - merged["total_value_b"]) < 1e-6).all()
