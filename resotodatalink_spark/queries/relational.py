@@ -5,9 +5,14 @@ The reference exposes this whole surface through its SQL passthrough
 an idiomatic DataFrame/Spark-SQL plan.  Aliases match the oracle SQL
 exactly (the driver sorts columns by name before hashing).
 
-Float discipline: any aggregate over doubles is wrapped in
-``round(x, 2..6)`` on BOTH sides so summation-order differences between
-engines can't flip the value hash.
+Float discipline (what keeps value hashes equal across engines):
+* raw column passthrough and row-level arithmetic stay UNROUNDED —
+  single IEEE ops are bit-identical; rounding them actually diverges,
+  because Spark rounds the shortest decimal repr while DuckDB rounds
+  the binary value (x.xx5 products are common in money data);
+* money sums use exact integer-cents (reorder-proof);
+* only order-sensitive float aggregates (sums/avgs of already-inexact
+  doubles) get round(x, 2..6) on BOTH sides.
 """
 
 from __future__ import annotations

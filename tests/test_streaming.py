@@ -122,3 +122,28 @@ def test_stateful_running_totals(spark, tmp_path):
     assert len(merged) == len(want)
     assert (merged["n_events_s"] == merged["n_events_b"]).all()
     assert (abs(merged["total_value_s"] - merged["total_value_b"]) < 1e-6).all()
+
+
+def test_stream_graph_sync(spark, tmp_path):
+    """NDJSON graph stream -> live kind tables (remote-graph S2 shape,
+    driven through real readStream with two source files)."""
+    import json
+
+    from resotodatalink_spark.streaming.graph_ingest import stream_graph_sync
+    from tests.fixtures import example_docs, example_model
+
+    src_dir = tmp_path / "graph_src"
+    src_dir.mkdir()
+    docs = example_docs()
+    (src_dir / "a.ndjson").write_text("\n".join(json.dumps(d) for d in docs[:1]))
+    (src_dir / "b.ndjson").write_text("\n".join(json.dumps(d) for d in docs[1:]))
+    dest = str(tmp_path / "tables")
+    stream_graph_sync(
+        spark, str(src_dir), example_model(), dest, str(tmp_path / "cp_g")
+    )
+    inst = spark.read.parquet(f"{dest}/some_instance")
+    vol = spark.read.parquet(f"{dest}/some_volume")
+    link = spark.read.parquet(f"{dest}/link_some_instance_some_volume")
+    assert inst.count() == 1 and vol.count() == 1
+    assert [tuple(r) for r in link.collect()] == [("i-123", "v-123")]
+    assert inst.filter(F.col("cloud") == "some_cloud").count() == 1
