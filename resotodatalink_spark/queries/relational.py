@@ -792,3 +792,27 @@ def median_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("l_extendedprice", F.lit(0.25)).alias("p25_price"),
         F.percentile("l_extendedprice", F.lit(0.75)).alias("p75_price"),
     )
+
+
+@query(
+    "string_agg",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS names,
+           count(*) AS n
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation — Spark listagg WITHIN GROUP ==
+    DuckDB string_agg with ORDER BY."""
+    load_tables(spark, sf_dir, names=("nation",))
+    return execute_sql(
+        spark,
+        """
+        SELECT n_regionkey,
+               listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS names,
+               count(*) AS n
+        FROM nation GROUP BY n_regionkey
+        """,
+    )

@@ -190,3 +190,35 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", norm.alias("norm_text"), F.md5(norm).alias("norm_hash")
     )
+
+
+@query(
+    "udtf_tokenize",
+    oracle="""
+    SELECT doc_id, tok, CAST(pos AS INTEGER) AS pos FROM (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ) t WHERE doc_id < 50
+    """,
+)
+def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (SURVEY U5): lateral table function exploding text
+    into (token, position) rows.  UDTFs are row-at-a-time Python — the
+    slow path, shown for surface parity; the codegen equivalent is
+    posexplode(split(...)), which is what production pipelines use."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="tok: string, pos: int")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, t in enumerate(text.split(" ")):
+                yield t, i + 1
+
+    spark.udtf.register("tokenize", Tokenize)
+    d = table(spark, sf_dir, "documents")
+    d.filter(F.col("doc_id") < 50).createOrReplaceTempView("__docs_small")
+    return spark.sql(
+        "SELECT d.doc_id, t.tok, t.pos FROM __docs_small d, LATERAL tokenize(d.text) t"
+    )
