@@ -28,6 +28,8 @@ registry.load_all()
 # counted, small-output queries are collected.
 HEADLINE = [
     "agg_sum_avg_min_max",
+    "tpch_q3_shape",
+    "tpch_q5_shape",
     "join_link_table",
     "join_broadcast",
     "join_theta_range",
@@ -50,6 +52,7 @@ EXTENDED = [
     "token_count",
     "quality_score",
     "ann_cosine_topk",
+    "ann_lsh_bucketed",
     "dedup_simhash",
     "doc_fingerprint",
     "dedup_clusters",

@@ -164,3 +164,101 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= 0.35)
         .select("vec_a", "vec_b", "cosine")
     )
+
+
+_IVF_DOT_QC = V.dot_duck("e.embedding", "c.embedding")
+_IVF_NORM_C = f"sqrt({V.dot_duck('c.embedding', 'c.embedding')})"
+
+
+@query(
+    "ann_ivf_cells",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id % 61 = 0
+    ),
+    scored AS (
+      SELECT e.vec_id, c.cid,
+             ({_IVF_DOT_QC}) / ({_IVF_NORM_C}) AS score
+      FROM embeddings e, cents c
+    ),
+    assigned AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid, row_number() OVER (
+          PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
+        FROM scored
+      ) t WHERE rn = 1
+    ),
+    b AS (
+      SELECT a.vec_id, a.cell, e.embedding
+      FROM assigned a JOIN embeddings e ON a.vec_id = e.vec_id
+    ),
+    q AS (SELECT * FROM b WHERE vec_id < 10),
+    c AS (SELECT * FROM b WHERE vec_id >= 10),
+    sims AS (
+      SELECT q.vec_id AS query_id, q.cell AS cell, c.vec_id AS neighbor_id,
+             {V.cosine_duck('q.embedding', 'c.embedding')} AS cosine
+      FROM q JOIN c ON q.cell = c.cell
+    )
+    SELECT query_id, cell, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM sims
+    ) r WHERE rank <= 3
+    """,
+)
+def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse-quantize every vector to its nearest
+    centroid (deterministic centroid subset, vec_id % 61 == 0 — in
+    production these come from k-means), then search only the query's
+    cell.  The centroid table is broadcast; assignment is a codegen'd
+    argmax; candidate retrieval is a cell equi-join — the same
+    inverted-file shape FAISS IVF uses, expressed relationally."""
+    e = table(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") % 61 == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cemb"),
+        F.sqrt(V.dot_spark("embedding", "embedding")).alias("cn"),
+    )
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cid",
+        (V.dot_spark("embedding", "cemb") / F.col("cn")).alias("score"),
+    )
+    w_assign = W.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("cid"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("cell"))
+    )
+    b = assigned.join(e, "vec_id").select(
+        "vec_id",
+        "cell",
+        "embedding",
+        F.sqrt(V.dot_spark("embedding", "embedding")).alias("nrm"),
+    )
+    q = b.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        "cell",
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    c = b.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"),
+        "cell",
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    sims = c.join(F.broadcast(q), "cell").select(
+        "query_id",
+        "cell",
+        "neighbor_id",
+        (V.dot_spark("qe", "ce") / (F.col("qn") * F.col("cn"))).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "cell", "neighbor_id", "cosine",
+                F.col("rank").cast("int").alias("rank"))
+    )
