@@ -231,20 +231,24 @@ def jaccard_pairs(
     exact ints is a single correctly-rounded IEEE op — engine-stable."""
     g = shingle_hashes(docs, id_col, text_col, n).distinct()
     sizes = g.groupBy(id_col).agg(F.count("*").alias("sz"))
-    a = g.withColumnRenamed(id_col, "doc_a")
-    b = g.withColumnRenamed(id_col, "doc_b")
+    g2 = g.join(sizes, id_col)  # carry set size on every posting
+    a = g2.select(F.col(id_col).alias("doc_a"), "h", F.col("sz").alias("sza"))
+    b = g2.select(F.col(id_col).alias("doc_b"), "h", F.col("sz").alias("szb"))
+    # size-ratio prune inside the join (exactness-preserving): jaccard
+    # >= t forces min(sz)/max(sz) >= t, so wildly different-sized docs
+    # never reach the expensive per-pair aggregation.  The standard
+    # next step at higher scale is positional prefix filtering (PPJoin).
+    ratio_ok = (F.col("sza") >= threshold * F.col("szb")) & (
+        F.col("szb") >= threshold * F.col("sza")
+    )
     common = (
         a.join(b, "h")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        .filter((F.col("doc_a") < F.col("doc_b")) & ratio_ok)
+        .groupBy("doc_a", "doc_b", "sza", "szb")
         .agg(F.count("*").alias("c"))
     )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sza"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("szb"))
     return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
+        common.withColumn(
             "jaccard",
             F.col("c") / (F.col("sza") + F.col("szb") - F.col("c")),
         )

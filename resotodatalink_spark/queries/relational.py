@@ -899,3 +899,47 @@ def tpch_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation_name"))
         .agg((F.sum(cents * (100 - disc)) / 10000.0).alias("revenue"))
     )
+
+
+@query(
+    "join_asof",
+    oracle="""
+    WITH u AS (
+      SELECT event_id, user_id, ts, event_type FROM events
+      WHERE event_type IN ('click', 'error')
+    ),
+    w AS (
+      SELECT event_id, user_id, ts, event_type,
+             max(CASE WHEN event_type = 'click' THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prev_click_ts
+      FROM u
+    )
+    SELECT event_id, user_id, ts, prev_click_ts
+    FROM w WHERE event_type = 'error'
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each error event matched to the latest PRIOR click
+    of the same user.  Expressed as a single-pass running max over the
+    unioned, time-sorted stream — one shuffle on user_id, no range
+    join explosion, the formulation that scales (a naive correlated
+    max-subquery is O(n^2) per user)."""
+    ev = table(spark, sf_dir, "events")
+    u = ev.filter(F.col("event_type").isin("click", "error")).select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    prev_click = F.max(
+        F.when(F.col("event_type") == "click", F.col("ts"))
+    ).over(w)
+    return (
+        u.withColumn("prev_click_ts", prev_click)
+        .filter(F.col("event_type") == "error")
+        .select("event_id", "user_id", "ts", "prev_click_ts")
+    )

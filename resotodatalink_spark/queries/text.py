@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from resotodatalink_spark.functions import hashing as H
 from resotodatalink_spark.registry import query
@@ -221,4 +222,31 @@ def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     d.filter(F.col("doc_id") < 50).createOrReplaceTempView("__docs_small")
     return spark.sql(
         "SELECT d.doc_id, t.tok, t.pos FROM __docs_small d, LATERAL tokenize(d.text) t"
+    )
+
+
+@query(
+    "frequent_terms",
+    oracle="""
+    SELECT tok, n, CAST(rnk AS INTEGER) AS rnk FROM (
+      SELECT tok, count(*) AS n,
+             row_number() OVER (ORDER BY count(*) DESC, tok) AS rnk
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+      GROUP BY tok
+    ) r WHERE rnk <= 20
+    """,
+)
+def frequent_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary stats: top-20 most frequent tokens (exact
+    heavy hitters — explode, map-side-combined count, top-k)."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    # distributed top-k FIRST (TakeOrderedAndProject), THEN rank the 20
+    # survivors — a global row_number window would drag the whole
+    # vocabulary onto one partition at web scale
+    top = counts.orderBy(F.desc("n"), F.asc("tok")).limit(20)
+    w = W.orderBy(F.desc("n"), F.asc("tok"))
+    return top.withColumn("rnk", F.row_number().over(w).cast("int")).select(
+        "tok", "n", "rnk"
     )
