@@ -250,3 +250,24 @@ def frequent_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rnk", F.row_number().over(w).cast("int")).select(
         "tok", "n", "rnk"
     )
+
+
+@query(
+    "sample_hash_stratified",
+    oracle=f"""
+    SELECT doc_id, lang FROM documents
+    WHERE (doc_id * 2654435761 + 919380) % 2147483648
+          < CAST((CASE WHEN lang = 'en' THEN 0.1 ELSE 0.5 END)
+                 * 2147483648 AS BIGINT)
+    """,
+)
+def sample_hash_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible stratified sampling via key hashing — the scale
+    pattern for training-data curation (rand()-based sampleBy is not
+    reproducible across engines or re-runs; a hash of the stable key
+    is).  Down-samples the majority class: 10% of 'en', 50% of rest."""
+    d = table(spark, sf_dir, "documents")
+    # Knuth multiplier wraps even small ids into a pseudo-uniform value
+    h = (F.col("doc_id") * 2654435761 + 919380) % 2147483648
+    rate = F.when(F.col("lang") == "en", 0.1).otherwise(0.5)
+    return d.filter(h < (rate * 2147483648).cast("long")).select("doc_id", "lang")

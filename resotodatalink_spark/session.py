@@ -32,6 +32,9 @@ def get_spark(app_name: str = "resotodatalink-spark", cpus: int | None = None) -
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # runtime bloom-filter pushdown: big shuffle joins get a bloom
+        # filter from the small side applied at the big side's scan
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         # the driver's events table stores TIMESTAMP(NANOS) which Spark's
