@@ -89,7 +89,10 @@ def minhash_signatures(
         F.min((F.col("h") * a + b) % MOD).alias(f"m{i}")
         for i, (a, b) in enumerate(MINHASH_COEFS)
     ]
-    return g.groupBy(id_col).agg(*aggs)
+    # signatures feed self-joins downstream (bands, agreement); without
+    # materialization Spark re-runs the whole shingle+hash pipeline per
+    # branch (plan showed 7 exchanges) — checkpoint computes it once
+    return g.groupBy(id_col).agg(*aggs).localCheckpoint(eager=False)
 
 
 def minhash_band_pairs(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -169,7 +172,10 @@ def simhash_signatures(
         F.when(2 * F.col(f"c{j}") >= F.col("n"), 1 << j).otherwise(0)
         for j in range(n_bits)
     )
-    return votes.select(F.col(id_col), sim.cast("long").alias("simhash"))
+    return (
+        votes.select(F.col(id_col), sim.cast("long").alias("simhash"))
+        .localCheckpoint(eager=False)  # self-joined by simhash_pairs
+    )
 
 
 def simhash_pairs(
@@ -231,7 +237,9 @@ def jaccard_pairs(
     exact ints is a single correctly-rounded IEEE op — engine-stable."""
     g = shingle_hashes(docs, id_col, text_col, n).distinct()
     sizes = g.groupBy(id_col).agg(F.count("*").alias("sz"))
-    g2 = g.join(sizes, id_col)  # carry set size on every posting
+    # g2 feeds both sides of the posting self-join — materialize once
+    # instead of re-running shingling per branch
+    g2 = g.join(sizes, id_col).localCheckpoint(eager=False)
     a = g2.select(F.col(id_col).alias("doc_a"), "h", F.col("sz").alias("sza"))
     b = g2.select(F.col(id_col).alias("doc_b"), "h", F.col("sz").alias("szb"))
     # size-ratio prune inside the join (exactness-preserving): jaccard

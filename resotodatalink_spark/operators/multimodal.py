@@ -75,3 +75,37 @@ def decode_media(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(decode, schema=DECODE_SCHEMA)
+
+
+FEATURE_SCHEMA = "doc_id long, f0 double, f1 double, f2 double, f3 double, norm double"
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """Feature-extraction stage over binary payloads (mapInPandas).
+
+    The stub "embedding" is the first 4 bytes as doubles plus their
+    L2 norm, computed with an explicit left-associative op order so the
+    DuckDB oracle (ascii/sqrt over the same characters) reproduces the
+    values bit-for-bit — proving the Python stage, not just counting
+    its rows.  A real extractor would run a vision/audio model here;
+    the Spark-side contract (Arrow batches, schema, no driver data)
+    is identical.
+    """
+    import math
+
+    def feats(batches):
+        for pdf in batches:
+            rows = {"doc_id": [], "f0": [], "f1": [], "f2": [], "f3": [], "norm": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = payload[:4].ljust(4, b"_")
+                f = [float(x) for x in b]
+                norm = math.sqrt((((f[0] * f[0]) + f[1] * f[1]) + f[2] * f[2]) + f[3] * f[3])
+                rows["doc_id"].append(doc_id)
+                for i in range(4):
+                    rows[f"f{i}"].append(f[i])
+                rows["norm"].append(norm)
+            import pandas as _pd
+
+            yield _pd.DataFrame(rows)
+
+    return df.mapInPandas(feats, schema=FEATURE_SCHEMA)
