@@ -958,12 +958,17 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE frame over event time: per-user count of events in the
-    trailing hour.  Ordered by integer epoch-micros so the frame bound
-    is engine-portable (Spark unix_micros == DuckDB epoch_us)."""
+    trailing hour.  Ordered by integer microseconds from a fixed NTZ
+    anchor — only differences matter for the frame, and an NTZ-pure
+    ordering keeps results independent of the caller session's time
+    zone (unix_micros would force a TZ-sensitive cast)."""
     ev = table(spark, sf_dir, "events")
+    micros = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'2024-01-01 00:00:00', ts)"
+    )
     w = (
         W.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"))
+        .orderBy(micros)
         .rangeBetween(-3_600_000_000, W.currentRow)
     )
     return ev.select(

@@ -47,7 +47,14 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.typeName() == "long":
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            # convert_timezone pins the wall-clock to UTC as
+            # TIMESTAMP_NTZ — the other tables' timestamps are read as
+            # NTZ already, and NTZ keeps results independent of the
+            # caller session's time zone (the DuckDB oracle is naive)
+            df = df.withColumn(
+                "ts",
+                F.expr("convert_timezone('UTC', timestamp_micros(ts div 1000))"),
+            )
     return df
 
 

@@ -54,6 +54,9 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
+    # streaming event-time (withWatermark) requires an instant-based
+    # TIMESTAMP — unlike the batch reader, which produces NTZ so oracle
+    # comparisons are session-timezone-independent
     return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
