@@ -102,7 +102,11 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN: hyperplane sign buckets, candidates = same
     bucket only (equi-join), then exact cosine re-rank within bucket."""
     e = table(spark, sf_dir, "embeddings")
-    b = e.withColumn("bucket", V.lsh_bucket_spark("embedding"))
+    # bucket expr is a 512-term chain; materialize once — both the query
+    # and candidate branches reuse it instead of recomputing per branch
+    b = e.withColumn("bucket", V.lsh_bucket_spark("embedding")).localCheckpoint(
+        eager=False
+    )
     q = b.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
@@ -236,7 +240,7 @@ def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell",
         "embedding",
         F.sqrt(V.dot_spark("embedding", "embedding")).alias("nrm"),
-    )
+    ).localCheckpoint(eager=False)  # assignment argmax reused by q and c
     q = b.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         "cell",
