@@ -57,3 +57,19 @@ def test_execute_sql_bind_vars_and_row_stream(spark):
     )
     rows = list(stream_rows(df))
     assert rows == [{"id": "i-123", "cores": 4}]
+
+
+def test_reference_shaped_config_api(spark, tmp_path):
+    """EngineConfig/OutputConfig + collect_to_file mirror the reference's
+    call shape (collect_plugins_test.py:49-79 flavor)."""
+    from resotodatalink_spark.config import OutputConfig, collect_to_file
+
+    published = collect_to_file(
+        spark,
+        GraphSource.from_docs(spark, example_docs()),
+        example_model(),
+        OutputConfig(destination=str(tmp_path), format="csv"),
+    )
+    assert "some_instance" in published
+    back = read_table(spark, str(tmp_path), "some_instance", fmt="csv")
+    assert back.count() == 1
