@@ -271,3 +271,56 @@ def sample_hash_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = (F.col("doc_id") * 2654435761 + 919380) % 2147483648
     rate = F.when(F.col("lang") == "en", 0.1).otherwise(0.5)
     return d.filter(h < (rate * 2147483648).cast("long")).select("doc_id", "lang")
+
+
+@query(
+    "curation_pipeline",
+    oracle="""
+    WITH normed AS (
+      SELECT doc_id, lang,
+             trim(regexp_replace(lower(text), ' +', ' ', 'g')) AS norm_text,
+             CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+      FROM documents
+    ),
+    quality AS (
+      SELECT * FROM normed WHERE n_tokens >= 12
+    ),
+    dedup AS (
+      SELECT md5(substring(norm_text, 1, 80)) AS content_hash,
+             min(doc_id) AS doc_id
+      FROM quality GROUP BY md5(substring(norm_text, 1, 80))
+    ),
+    survivors AS (
+      SELECT q.doc_id, q.lang, q.n_tokens FROM quality q
+      JOIN dedup d ON q.doc_id = d.doc_id
+    )
+    SELECT doc_id, lang, n_tokens FROM survivors
+    WHERE (doc_id * 2654435761 + 919380) % 2147483648
+          < CAST(0.5 * 2147483648 AS BIGINT)
+    """,
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data curation flow the individual slugs
+    exist for: normalize -> quality filter (min token count) -> exact
+    dedup on the canonical prefix (keep min doc_id) -> reproducible
+    50% hash sample.  One declarative plan end to end — Catalyst fuses
+    the normalize+filter into the scan and the whole thing is two
+    shuffles (dedup groupBy + survivor join)."""
+    from resotodatalink_spark.operators.dedup import exact_dedup
+
+    d = table(spark, sf_dir, "documents")
+    normed = d.select(
+        "doc_id",
+        "lang",
+        F.trim(F.regexp_replace(F.lower("text"), " +", " ")).alias("norm_text"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    quality = normed.filter(F.col("n_tokens") >= 12)
+    survivors_ids = exact_dedup(
+        quality, F.md5(F.substring("norm_text", 1, 80))
+    ).select("doc_id")
+    survivors = quality.join(survivors_ids, "doc_id")
+    h = (F.col("doc_id") * 2654435761 + 919380) % 2147483648
+    return survivors.filter(h < int(0.5 * 2147483648)).select(
+        "doc_id", "lang", "n_tokens"
+    )
