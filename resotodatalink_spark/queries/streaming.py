@@ -17,6 +17,7 @@ are half-open ``[start, last+gap)``), mirrored in the oracle's
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from resotodatalink_spark.registry import query
 from resotodatalink_spark.sources.tables import table
@@ -90,3 +91,41 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges events with inter-arrival < gap, i.e. a new session starts at
     ts >= prev + gap — the oracle replays that with lag + running sum."""
     return session_counts(table(spark, sf_dir, "events"), "6 hours")
+
+
+@query(
+    "stream_interval_join",
+    oracle="""
+    SELECT c.event_id AS click_id, e.event_id AS error_id, c.user_id,
+           c.ts AS click_ts, e.ts AS error_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON c.user_id = e.user_id
+     AND e.ts > c.ts AND e.ts <= c.ts + INTERVAL '1 hour'
+    """,
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (stream-stream) join: errors within one hour after a
+    click by the same user.  Batch mode here is the oracle-checkable
+    spec; tests/test_streaming.py drives the identical join condition
+    through two readStream inputs with watermarks (Spark bounds the
+    join state from the interval + watermark)."""
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id").alias("e_user_id"),
+        F.col("ts").alias("error_ts"),
+    )
+    cond = (
+        (clicks.user_id == errors.e_user_id)
+        & (errors.error_ts > clicks.click_ts)
+        & (errors.error_ts <= clicks.click_ts + F.expr("INTERVAL 1 HOUR"))
+    )
+    return clicks.join(errors, cond).select(
+        "click_id", "error_id", "user_id", "click_ts", "error_ts"
+    )

@@ -107,3 +107,58 @@ def test_sync_views_and_sql(spark):
         """
     ).collect()
     assert [tuple(r) for r in joined] == [("i-123", "v-123")]
+
+
+def test_flatten_complex_kinds(spark):
+    """Arrays, maps, JSON-blob (any) and nested struct kinds flow
+    through the compiler + from_json parse (reference type_converter
+    micro-syntax, arrow path)."""
+    from resotodatalink_spark.model.kinds import Kind, Model, Property
+
+    model = Model(
+        {
+            "string": Kind("string"),
+            "int64": Kind("int64"),
+            "endpoint": Kind(
+                "endpoint",
+                properties=[
+                    Property("host", "string"),
+                    Property("port", "int64"),
+                ],
+            ),
+            "service": Kind(
+                "service",
+                properties=[
+                    Property("id", "string"),
+                    Property("tags", "string[]"),
+                    Property("limits", "dictionary[string, int64]"),
+                    Property("raw", "any"),
+                    Property("endpoint", "endpoint"),
+                ],
+                bases=[],
+                aggregate_root=True,
+            ),
+        }
+    )
+    docs = [
+        {
+            "type": "node",
+            "id": "svc-1",
+            "reported": {
+                "kind": "service",
+                "id": "svc-1",
+                "tags": ["a", "b"],
+                "limits": {"cpu": 4, "mem": 2048},
+                "raw": {"nested": [1, 2]},
+                "endpoint": {"host": "h1", "port": 443},
+            },
+            "ancestors": {"cloud": {"reported": {"id": "c1"}}},
+        }
+    ]
+    src = GraphSource.from_docs(spark, docs)
+    row = flatten_nodes(src.nodes, model, model.kinds["service"]).collect()[0]
+    assert row["tags"] == ["a", "b"]
+    assert row["limits"] == {"cpu": 4, "mem": 2048}
+    assert row["raw"] == '{"nested":[1,2]}'  # any -> JSON text
+    assert row["endpoint"]["host"] == "h1" and row["endpoint"]["port"] == 443
+    assert row["cloud"] == "c1"

@@ -147,3 +147,56 @@ def test_stream_graph_sync(spark, tmp_path):
     assert inst.count() == 1 and vol.count() == 1
     assert [tuple(r) for r in link.collect()] == [("i-123", "v-123")]
     assert inst.filter(F.col("cloud") == "some_cloud").count() == 1
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """The stream_interval_join slug's condition driven through TWO
+    readStream inputs with watermarks — results must equal batch."""
+    from resotodatalink_spark.streaming.batch_stream import stream_events
+
+    def sides(df):
+        clicks = df.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        errors = df.filter(F.col("event_type") == "error").select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user_id"),
+            F.col("ts").alias("error_ts"),
+        )
+        return clicks, errors
+
+    ev_s = stream_events(spark, SF_DIR)
+    clicks_s, errors_s = sides(ev_s)
+    clicks_s = clicks_s.withWatermark("click_ts", "2 hours")
+    errors_s = errors_s.withWatermark("error_ts", "2 hours")
+    cond = (
+        (clicks_s.user_id == errors_s.e_user_id)
+        & (errors_s.error_ts > clicks_s.click_ts)
+        & (errors_s.error_ts <= clicks_s.click_ts + F.expr("INTERVAL 1 HOUR"))
+    )
+    joined = clicks_s.join(errors_s, cond).select(
+        "click_id", "error_id", "user_id", "click_ts", "error_ts"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_ssjoin")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cp_ss"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("t_ssjoin")
+    ev_b = table(spark, SF_DIR, "events")
+    clicks_b, errors_b = sides(ev_b)
+    cond_b = (
+        (clicks_b.user_id == errors_b.e_user_id)
+        & (errors_b.error_ts > clicks_b.click_ts)
+        & (errors_b.error_ts <= clicks_b.click_ts + F.expr("INTERVAL 1 HOUR"))
+    )
+    want = clicks_b.join(errors_b, cond_b).select(
+        "click_id", "error_id", "user_id", "click_ts", "error_ts"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
