@@ -59,6 +59,16 @@ EXTENDED = [
     "text_normalize",
     "median_stats",
     "pivot_table",
+    "join_asof",
+    "frequent_terms",
+    "sample_hash_stratified",
+    "curation_pipeline",
+    "stream_interval_join",
+    "multimodal_features",
+    "ann_ivf_cells",
+    "window_range_frame",
+    "string_agg",
+    "udtf_tokenize",
 ]
 
 
