@@ -23,13 +23,16 @@ def reachable(
     edges: DataFrame,
     start_nodes: DataFrame,
     max_depth: int,
+    min_depth: int = 1,
     src_col: str = "src",
     dst_col: str = "dst",
     id_col: str = "node_id",
 ) -> DataFrame:
-    """Min-depth BFS: returns (node_id, depth) for nodes reachable from
-    ``start_nodes`` in 1..max_depth hops (start nodes excluded, as in the
-    reference's ``-[2:]->`` style traversal semantics)."""
+    """Min-depth BFS: (node_id, depth) for nodes first reached within
+    min_depth..max_depth hops (start nodes excluded).  ``min_depth=2``
+    reproduces the reference's default search ``is(graph_root) -[2:]->``
+    (remote_graph.py:30-32): nodes whose SHORTEST distance from the
+    roots is at least 2."""
     frontier = start_nodes.select(F.col(id_col)).distinct()
     visited = frontier.withColumn("depth", F.lit(0).cast("int"))
     out: DataFrame | None = None
@@ -56,4 +59,4 @@ def reachable(
             "depth", F.lit(0).cast("int")
         )
         return schema_src.limit(0)
-    return out
+    return out.filter(F.col("depth") >= min_depth)

@@ -324,3 +324,101 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.filter(h < int(0.5 * 2147483648)).select(
         "doc_id", "lang", "n_tokens"
     )
+
+
+@query(
+    "text_chunking",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id,
+             unnest(generate_series(0,
+               CAST(ceil((len(t) - 8) / 24.0) AS BIGINT))) AS chunk_id,
+             t
+      FROM toks
+    )
+    SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+           array_to_string(list_slice(t, chunk_id * 24 + 1, chunk_id * 24 + 32), ' ')
+             AS chunk_text,
+           CAST(len(list_slice(t, chunk_id * 24 + 1, chunk_id * 24 + 32)) AS INTEGER)
+             AS chunk_tokens
+    FROM chunks
+    WHERE len(list_slice(t, chunk_id * 24 + 1, chunk_id * 24 + 32)) > 0
+    """,
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking for training: 32-token chunks with
+    8-token overlap (stride 24).  Pure explode+slice — no UDF; at 100 TB
+    this is the prep step before tokenization, so it must stay at scan
+    speed.  Chunk count = ceil((n-overlap)/stride), covering every
+    token with the final partial chunk kept."""
+    d = table(spark, sf_dir, "documents")
+    size, stride = 32, 24
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    chunks = toks.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.expr(
+                f"sequence(0, CAST(ceil((size(t) - {size - stride}) / {stride}.0) AS BIGINT))"
+            )
+        ).alias("chunk_id"),
+    )
+    piece = F.expr(f"slice(t, chunk_id * {stride} + 1, {size})")
+    return (
+        chunks.select(
+            "doc_id",
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.array_join(piece, " ").alias("chunk_text"),
+            F.size(piece).alias("chunk_tokens"),
+        )
+        .filter(F.col("chunk_tokens") > 0)
+    )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+    df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok,
+             round(tf.tf * ln(n.n_docs * 1.0 / df.df), 6) AS tfidf
+      FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+    )
+    SELECT doc_id, tok, tfidf FROM (
+      SELECT doc_id, tok, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, tok) AS rn
+      FROM scored
+    ) t WHERE rn <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document.  The document-frequency table
+    is tiny (vocabulary-sized) -> broadcast; ln() differs by ULPs
+    across libm implementations, hence round(6) on both sides."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()
+    scored = tf.join(F.broadcast(df), "tok").select(
+        "doc_id",
+        "tok",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
+            "tfidf"
+        ),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "tok", "tfidf")
+    )

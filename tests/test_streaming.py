@@ -200,3 +200,31 @@ def test_stream_stream_interval_join(spark, tmp_path):
         "click_id", "error_id", "user_id", "click_ts", "error_ts"
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_stream_drop_duplicates_within_watermark(spark, tmp_path):
+    """Streaming dedup: a source with each event duplicated must come
+    out with one row per event_id (dropDuplicatesWithinWatermark)."""
+    src_dir = str(tmp_path / "dups")
+    ev = table(spark, SF_DIR, "events")
+    ev.unionByName(ev).repartition(3).write.parquet(src_dir)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cp_d"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("t_dedup_stream")
+    assert got.count() == ev.count()
+    assert got.select("event_id").distinct().count() == ev.count()
