@@ -266,3 +266,33 @@ def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "cell", "neighbor_id", "cosine",
                 F.col("rank").cast("int").alias("rank"))
     )
+
+
+@query(
+    "embedding_centroids",
+    oracle="""
+    WITH flat AS (
+      SELECT label,
+             unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    )
+    SELECT label, CAST(pos AS INTEGER) AS pos,
+           round(avg(CAST(v AS DOUBLE)), 6) AS centroid_v,
+           count(*) AS n
+    FROM flat GROUP BY label, pos
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid (the k-means E-step building block): explode
+    vectors positionally, average per (label, dim).  One shuffle on a
+    composite key; at 100 TB this is the standard map-side-combined
+    mean — no vectors ever collect to the driver."""
+    e = table(spark, sf_dir, "embeddings")
+    flat = e.select(
+        "label", F.posexplode("embedding").alias("pos0", "v")
+    ).select("label", (F.col("pos0") + 1).cast("int").alias("pos"), "v")
+    return flat.groupBy("label", "pos").agg(
+        F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid_v"),
+        F.count("*").alias("n"),
+    )

@@ -129,3 +129,48 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clicks.join(errors, cond).select(
         "click_id", "error_id", "user_id", "click_ts", "error_ts"
     )
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, min(ts) AS first_click FROM events
+      WHERE event_type = 'click' GROUP BY user_id
+    ),
+    converted AS (
+      SELECT DISTINCT c.user_id
+      FROM clicks c JOIN events e
+        ON e.user_id = c.user_id
+       AND e.event_type = 'purchase'
+       AND e.ts > c.first_click
+       AND e.ts <= c.first_click + INTERVAL '7 days'
+    )
+    SELECT (SELECT count(*) FROM clicks) AS n_clicked,
+           (SELECT count(*) FROM converted) AS n_converted
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral funnel: users who purchased within 7 days of their
+    first click.  First-touch is a groupBy min; conversion is an
+    interval semi-join — both single-shuffle on user_id."""
+    ev = table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    converted = clicks.join(
+        purchases,
+        (clicks.user_id == purchases.p_user)
+        & (purchases.p_ts > clicks.first_click)
+        & (purchases.p_ts <= clicks.first_click + F.expr("INTERVAL 7 DAYS")),
+        "left_semi",
+    )
+    # single declarative plan — no driver-side counts
+    return clicks.agg(F.count("*").alias("n_clicked")).crossJoin(
+        converted.agg(F.count("*").alias("n_converted"))
+    )
