@@ -69,6 +69,11 @@ EXTENDED = [
     "window_range_frame",
     "string_agg",
     "udtf_tokenize",
+    "text_chunking",
+    "tfidf_top_terms",
+    "embedding_centroids",
+    "funnel_conversion",
+    "graph_reachability_min2",
 ]
 
 
