@@ -1,0 +1,93 @@
+"""Graph-search DSL: parser units + end-to-end execution over the
+example graph (the surface the reference delegates to resotocore,
+remote_graph.py:30-32, 49-63)."""
+
+from __future__ import annotations
+
+import pytest
+
+from resotodatalink_spark.operators.search import (
+    BoolOp,
+    IsKind,
+    Predicate,
+    Traversal,
+    execute_search,
+    parse_search,
+)
+from resotodatalink_spark.sources.graph import GraphSource
+from tests.fixtures import example_docs, example_model
+
+
+def test_parse_shapes():
+    s = parse_search("is(some_instance)")
+    assert s.filter == IsKind("some_instance") and s.traversal is None
+
+    s = parse_search('is(resource) and cores > 2 -[1:3]->')
+    assert isinstance(s.filter, BoolOp) and s.filter.op == "and"
+    assert s.filter.right == Predicate("cores", ">", 2)
+    assert s.traversal == Traversal(1, 3, "out")
+
+    s = parse_search('name == "in1" or (cores >= 4 and memory < 16)')
+    assert isinstance(s.filter, BoolOp)
+
+    s = parse_search("is(graph_root) -[2:]->")
+    assert s.traversal.min_depth == 2 and s.traversal.max_depth >= 2
+
+    with pytest.raises(ValueError):
+        parse_search("cores >")
+    with pytest.raises(ValueError):
+        parse_search("is(x) nonsense extra")
+
+
+@pytest.fixture()
+def graph(spark):
+    return GraphSource.from_docs(spark, example_docs()), example_model()
+
+
+def test_is_kind_includes_subclasses(spark, graph):
+    src, model = graph
+    # both some_instance and some_volume derive from resource
+    got = {r["id"] for r in execute_search(src, model, "is(resource)").collect()}
+    assert got == {"i-123", "v-123"}
+    got = {r["id"] for r in execute_search(src, model, "is(some_volume)").collect()}
+    assert got == {"v-123"}
+
+
+def test_predicates(spark, graph):
+    src, model = graph
+    got = {r["id"] for r in execute_search(src, model, "cores > 2").collect()}
+    assert got == {"i-123"}
+    got = {
+        r["id"] for r in execute_search(src, model, 'name == "vol1"').collect()
+    }
+    assert got == {"v-123"}
+    got = {r["id"] for r in execute_search(src, model, 'name ~ "^v"').collect()}
+    assert got == {"v-123"}
+    got = {
+        r["id"]
+        for r in execute_search(
+            src, model, "is(some_instance) and cores > 100"
+        ).collect()
+    }
+    assert got == set()
+
+
+def test_traversal(spark, graph):
+    src, model = graph
+    got = {
+        r["id"]
+        for r in execute_search(src, model, "is(some_instance) -->").collect()
+    }
+    assert got == {"v-123"}
+    # inbound: who points at volumes
+    got = {
+        r["id"]
+        for r in execute_search(src, model, "is(some_volume) <--").collect()
+    }
+    assert got == {"i-123"}
+    # depth 2 from instances: nothing two hops out
+    got = {
+        r["id"]
+        for r in execute_search(src, model, "is(some_instance) -[2:]->").collect()
+    }
+    assert got == set()
