@@ -58,13 +58,27 @@ def _decode_stub(payload: bytes) -> tuple[int, int, int]:
 
 def decode_media(df: DataFrame) -> DataFrame:
     """mapInPandas decode stage: binary payload -> typed metadata rows.
-    Arrow-batched; one pandas frame per batch, never per-row Python."""
+    Arrow-batched; one pandas frame per batch, never per-row Python.
+
+    The closure is deliberately SELF-CONTAINED (no references to this
+    module's globals): cloudpickle then ships it by value, so executor
+    Python workers don't need this package on their PYTHONPATH — the
+    driver harness imports us by path, which executors don't inherit.
+    """
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        def stub(payload: bytes) -> tuple[int, int, int]:
+            # same deterministic fake as _decode_stub (kept inline so
+            # the closure has no module-global references)
+            header = payload[0] if payload else 0
+            return header, 1 + header % 64, 1 + len(payload) % 64
+
         for pdf in batches:
             payloads = pdf["payload"]
-            decoded = [_decode_stub(p) for p in payloads]
-            yield pd.DataFrame(
+            decoded = [stub(p) for p in payloads]
+            yield _pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "n_bytes": [len(p) for p in payloads],
