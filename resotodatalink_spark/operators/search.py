@@ -9,6 +9,8 @@ the resotocore server and only consumes the resulting node stream
     filter := term (("and" | "or") term)*
     term   := "is(" kind ")"
             | path op literal          e.g.  cores > 2,  name == "in1"
+            | path "in" "[" literal ("," literal)* "]"
+            | "not" term
             | "(" filter ")"
     op     := == != > >= < <= ~ (regex match)
     trav   := "-->"  |  "<--"  |  "-[a:b]->"  |  "-[a:]->"
@@ -64,7 +66,12 @@ class BoolOp:
     right: "Node"
 
 
-Node = Union[IsKind, Predicate, BoolOp]
+@dataclass
+class NotOp:
+    child: "Node"
+
+
+Node = Union[IsKind, Predicate, BoolOp, "NotOp"]
 
 
 @dataclass
@@ -88,6 +95,8 @@ _TOKEN_RE = re.compile(
     r"|(?P<lpar>\()|(?P<rpar>\))"
     r"|(?P<op>==|!=|>=|<=|>|<|~)"
     r"|(?P<bool>\band\b|\bor\b)"
+    r"|(?P<not>\bnot\b)|(?P<in>\bin\b)"
+    r"|(?P<lbr>\[)|(?P<rbr>\])|(?P<comma>,)"
     r"|(?P<str>\"[^\"]*\"|'[^']*')"
     r"|(?P<num>-?\d+(?:\.\d+)?)"
     r"|(?P<word>[\w.]+))"
@@ -143,6 +152,8 @@ class _Parser:
 
     def parse_term(self) -> Node:
         kind_tok, val = self.next()
+        if kind_tok == "not":
+            return NotOp(self.parse_term())
         if kind_tok == "is":
             return IsKind(val[3:-1].strip())
         if kind_tok == "lpar":
@@ -152,6 +163,8 @@ class _Parser:
             return inner
         if kind_tok == "word":
             op_tok, op = self.next()
+            if op_tok == "in":
+                return Predicate(val, "in", self.parse_list())
             if op_tok != "op":
                 raise ValueError(f"expected operator after {val}")
             lit_tok, lit = self.next()
@@ -165,6 +178,25 @@ class _Parser:
                 raise ValueError(f"bad literal {lit!r}")
             return Predicate(val, op, value)
         raise ValueError(f"unexpected token {val!r}")
+
+
+    def parse_list(self) -> list:
+        if self.next()[0] != "lbr":
+            raise ValueError("expected [ after in")
+        items: list = []
+        while True:
+            tok, lit = self.next()
+            if tok == "str":
+                items.append(lit[1:-1])
+            elif tok == "num":
+                items.append(float(lit) if "." in lit else int(lit))
+            else:
+                raise ValueError(f"bad list literal {lit!r}")
+            tok, _ = self.next()
+            if tok == "rbr":
+                return items
+            if tok != "comma":
+                raise ValueError("expected , or ] in list")
 
 
 def _parse_traversal(text: str) -> Traversal:
@@ -211,6 +243,14 @@ def _predicate_column(pred: Predicate) -> Column:
     if path.startswith("reported."):
         path = path[len("reported."):]
     raw = F.get_json_object("reported", f"$.{path}")
+    if pred.op == "in":
+        values = pred.value
+        col = raw.cast("double") if values and isinstance(
+            values[0], (int, float)
+        ) else raw
+        return col.isin(
+            *[float(v) if isinstance(v, (int, float)) else v for v in values]
+        )
     if isinstance(pred.value, bool):
         col: Column = raw.cast("boolean")
         lit = F.lit(pred.value)
@@ -246,6 +286,8 @@ def _filter_column(node: Node, model: Model) -> Column:
         left = _filter_column(node.left, model)
         right = _filter_column(node.right, model)
         return left & right if node.op == "and" else left | right
+    if isinstance(node, NotOp):
+        return ~_filter_column(node.child, model)
     raise TypeError(node)
 
 

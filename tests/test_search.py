@@ -91,3 +91,27 @@ def test_traversal(spark, graph):
         for r in execute_search(src, model, "is(some_instance) -[2:]->").collect()
     }
     assert got == set()
+
+
+def test_in_and_not(spark, graph):
+    src, model = graph
+    got = {
+        r["id"]
+        for r in execute_search(src, model, 'name in ["in1", "nope"]').collect()
+    }
+    assert got == {"i-123"}
+    got = {
+        r["id"] for r in execute_search(src, model, "cores in [4, 8]").collect()
+    }
+    assert got == {"i-123"}
+    got = {
+        r["id"]
+        for r in execute_search(
+            src, model, 'is(resource) and not name == "in1"'
+        ).collect()
+    }
+    assert got == {"v-123"}
+    s = parse_search("not (cores > 2 or capacity > 2)")
+    from resotodatalink_spark.operators.search import NotOp
+
+    assert isinstance(s.filter, NotOp)
