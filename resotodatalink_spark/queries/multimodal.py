@@ -52,3 +52,35 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return extract_features(attach_payload(d))
+
+
+@query(
+    "pandas_udaf_zscore",
+    oracle="""
+    SELECT event_id,
+           round((value - avg(value) OVER (PARTITION BY event_type))
+                 / stddev_samp(value) OVER (PARTITION BY event_type), 6) AS z
+    FROM events
+    """,
+)
+def pandas_udaf_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped applyInPandas (the UDAF-ish extension surface, SURVEY
+    U5): per-event-type z-score normalization computed in pandas per
+    group, checked against the window-function oracle.  The closure is
+    self-contained (ships by value; executors need no package import).
+    Rounded to 6: pandas' pairwise summation and the SQL engines'
+    sequential sums differ in the last ulps of mean/stddev."""
+    ev = table(spark, sf_dir, "events")
+
+    def zscore(pdf):
+        import pandas as _pd
+
+        mean = pdf["value"].mean()
+        std = pdf["value"].std(ddof=1)
+        return _pd.DataFrame(
+            {"event_id": pdf["event_id"], "z": ((pdf["value"] - mean) / std).round(6)}
+        )
+
+    return ev.select("event_id", "event_type", "value").groupBy(
+        "event_type"
+    ).applyInPandas(zscore, schema="event_id long, z double")
