@@ -974,3 +974,42 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", "user_id", F.count("*").over(w).alias("n_last_hour")
     )
+
+
+@query(
+    "tpch_q10_shape",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           sum({_CENTS}) / 10000.0 AS revenue,
+           n.n_name AS nation_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    """,
+)
+def tpch_q10_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10-shaped returned-item reporting: date-bounded orders joined
+    to returned lineitems, revenue per customer with the nation dim
+    broadcast.  Both fact filters push to the scans."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation_name"))
+        .agg((F.sum(cents * (100 - disc)) / 10000.0).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "nation_name")
+    )

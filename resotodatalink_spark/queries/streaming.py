@@ -174,3 +174,50 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clicks.agg(F.count("*").alias("n_clicked")).crossJoin(
         converted.agg(F.count("*").alias("n_converted"))
     )
+
+
+@query(
+    "retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(date_diff('day', f.cohort_week,
+                            date_trunc('week', e.ts)) / 7 AS INTEGER)
+               AS weeks_since
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT cohort_week, weeks_since, count(*) AS n_active
+    FROM activity GROUP BY cohort_week, weeks_since
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users bucketed by first-activity week,
+    active-user counts per (cohort, weeks-since).  First-touch groupBy
+    + broadcast-join back — the standard warehouse shape.  Week delta
+    computed as day-difference/7 (exact int) since the cohort anchor is
+    itself week-truncated."""
+    ev = table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        ev.join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            )
+            .cast("int")
+            .alias("weeks_since"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "weeks_since").agg(
+        F.count("*").alias("n_active")
+    )

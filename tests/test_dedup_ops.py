@@ -37,3 +37,31 @@ def test_connected_components_long_chain_converges(spark):
         r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()
     }
     assert got == {i: 0 for i in range(12)}
+
+
+def test_minhash_recall_of_true_pairs(spark):
+    """LSH quality property: every pair with true Jaccard >= 0.5 must
+    appear among the MinHash band candidates (8 bands of 2 give a pair
+    with J=0.5 a ~1-(1-0.25)^8 ~ 90% per-band-structure hit rate; on
+    this corpus the true near-dups have J ~ 1, so recall must be
+    exactly 100%)."""
+    from resotodatalink_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_band_pairs,
+        minhash_signatures,
+    )
+    from resotodatalink_spark.sources.tables import table
+    from tests.conftest import SF_DIR
+
+    docs = table(spark, SF_DIR, "documents")
+    true_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    candidates = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_band_pairs(minhash_signatures(docs)).collect()
+    }
+    assert true_pairs, "fixture should contain near-duplicates"
+    missed = true_pairs - candidates
+    assert not missed, f"LSH missed true near-dup pairs: {missed}"
