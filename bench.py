@@ -74,6 +74,8 @@ EXTENDED = [
     "embedding_centroids",
     "funnel_conversion",
     "graph_reachability_min2",
+    "tpch_q10_shape",
+    "retention_cohorts",
 ]
 
 
