@@ -76,6 +76,7 @@ EXTENDED = [
     "graph_reachability_min2",
     "tpch_q10_shape",
     "retention_cohorts",
+    "salted_groupby",
 ]
 
 

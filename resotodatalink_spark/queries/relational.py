@@ -977,6 +977,48 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "salted_groupby",
+    oracle=f"""
+    SELECT l_returnflag,
+           count(*) AS n,
+           round(sum(l_quantity), 2) AS sum_qty,
+           sum({_CENTS}) / 10000.0 AS revenue
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def salted_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof two-stage aggregation (operators/skew.py): the 3-value
+    l_returnflag key is exactly the hot-key shape that pins a plain
+    groupBy stage on 3 tasks at 100 TB.  Salting shards each key 16
+    ways, partially aggregates, then merges — value-identical to the
+    plain GROUP BY the oracle runs, because count/sum are algebraic.
+    Salt is a deterministic hash of l_orderkey so the plan is
+    reproducible; sum_qty is exact (integral doubles), revenue uses
+    integer cents, so the two-phase reordering cannot drift."""
+    li = table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    from resotodatalink_spark.operators.skew import salted_agg
+
+    out = salted_agg(
+        li,
+        keys=["l_returnflag"],
+        aggs={
+            "n": (F.count("*"), F.sum("n")),
+            "sum_qty_raw": (F.sum("l_quantity"), F.sum("sum_qty_raw")),
+            "rev_cents": (F.sum(cents * (100 - disc)), F.sum("rev_cents")),
+        },
+        salt_source=F.col("l_orderkey"),
+    )
+    return out.select(
+        "l_returnflag",
+        "n",
+        F.round(F.col("sum_qty_raw"), 2).alias("sum_qty"),
+        (F.col("rev_cents") / 10000.0).alias("revenue"),
+    )
+
+
+@query(
     "tpch_q10_shape",
     oracle=f"""
     SELECT c.c_custkey, c.c_name,
