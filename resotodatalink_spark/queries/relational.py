@@ -878,13 +878,27 @@ def tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q5-shaped local-supplier-volume query: five joins, the classic
-    star pattern — dims broadcast, facts shuffle once on their keys."""
-    c = table(spark, sf_dir, "customer")
+    star pattern — dims broadcast, facts shuffle once on their keys.
+
+    Join order matters at scale: Catalyst cannot push ``r_name='ASIA'``
+    transitively into customer (it's a non-key predicate two joins
+    away), so we apply the region restriction FIRST — nation⋈region is
+    a handful of rows, broadcast into customer — and every downstream
+    fact join starts 5x smaller.  The naive order (facts first, filter
+    last) computes the full customer⋈orders⋈lineitem product before
+    discarding 4/5 of it."""
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_nations = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    c = table(spark, sf_dir, "customer").join(
+        F.broadcast(asia_nations),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    )
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
     s = table(spark, sf_dir, "supplier")
-    n = table(spark, sf_dir, "nation")
-    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     disc = F.round(F.col("l_discount") * 100).cast("long")
     return (
@@ -894,8 +908,6 @@ def tpch_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             s,
             (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
         )
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation_name"))
         .agg((F.sum(cents * (100 - disc)) / 10000.0).alias("revenue"))
     )
