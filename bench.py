@@ -77,6 +77,7 @@ EXTENDED = [
     "tpch_q10_shape",
     "retention_cohorts",
     "salted_groupby",
+    "skew_join_salted",
 ]
 
 

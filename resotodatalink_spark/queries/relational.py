@@ -1031,6 +1031,48 @@ def salted_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "skew_join_salted",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           count(*) AS n,
+           sum({_CENTS}) / 10000.0 AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof fact⋈dim join (operators/skew.py salted_join): at
+    100 TB one hot orderkey region can pin a sort-merge join on a
+    single task; salting shards the big side 16 ways on a row-unique
+    hash and replicates the join side per shard, so every (key, salt)
+    partition is uniform.  Value-identical to the plain join the
+    oracle runs — salting only changes the partitioning, never the
+    matched pairs.  Salt derives from (l_orderkey, l_linenumber), the
+    lineitem primary key, so the plan is deterministic."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    from resotodatalink_spark.operators.skew import salted_join
+
+    joined = salted_join(
+        li.select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            (cents * (100 - disc)).alias("rev_cents"),
+            "l_linenumber",
+        ),
+        o,
+        on=["o_orderkey"],
+        salt_source=F.struct("o_orderkey", "l_linenumber"),
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        (F.sum("rev_cents") / 10000.0).alias("revenue"),
+    )
+
+
+@query(
     "tpch_q10_shape",
     oracle=f"""
     SELECT c.c_custkey, c.c_name,

@@ -71,3 +71,37 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_salted_join_matches_plain_join(spark):
+    from resotodatalink_spark.operators.skew import salted_join
+
+    li = table(spark, SF_DIR, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_linenumber", "l_quantity"
+    )
+    o = table(spark, SF_DIR, "orders").select("o_orderkey", "o_orderpriority")
+    salted = salted_join(
+        li, o, on=["o_orderkey"],
+        n_salts=8,
+        salt_source=F.struct("o_orderkey", "l_linenumber"),
+    )
+    plain = li.join(o, "o_orderkey")
+    assert salted.count() == plain.count()
+    s = salted.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"), F.sum("l_quantity").alias("q")
+    )
+    p = plain.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"), F.sum("l_quantity").alias("q")
+    )
+    assert sorted(map(tuple, s.collect())) == sorted(map(tuple, p.collect()))
+
+
+def test_salted_join_random_salt_still_exact(spark):
+    from resotodatalink_spark.operators.skew import salted_join
+
+    li = table(spark, SF_DIR, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    o = table(spark, SF_DIR, "orders").select("o_orderkey", "o_orderpriority")
+    salted = salted_join(li, o, on=["o_orderkey"], n_salts=4)
+    assert salted.count() == li.join(o, "o_orderkey").count()
