@@ -1064,6 +1064,7 @@ def skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         o,
         on=["o_orderkey"],
+        n_salts=8,
         salt_source=F.struct("o_orderkey", "l_linenumber"),
     )
     return joined.groupBy("o_orderpriority").agg(
