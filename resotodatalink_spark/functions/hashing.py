@@ -52,10 +52,15 @@ def h8_sql(e: str) -> str:
     """Polynomial hash of an exactly-8-char string expression.
     Valid in Spark SQL and DuckDB SQL alike."""
     # CAST the seed to BIGINT: ascii() is INT32 in both engines and the
-    # chain overflows 32 bits (ANSI Spark and DuckDB both error, not wrap)
-    out = f"CAST(ascii(substring({e}, 1, 1)) AS BIGINT)"
+    # chain overflows 32 bits (ANSI Spark and DuckDB both error, not wrap).
+    # Each character term is clamped % 256: ascii() returns the full
+    # Unicode code point (up to 0x10FFFF) in both engines, which would
+    # push the polynomial past int64 — DuckDB errors, non-ANSI Spark
+    # wraps silently, and the engines diverge.  The clamp keeps the
+    # documented H8 <= 255 * sum(131^k) bound for ANY input text.
+    out = f"CAST(ascii(substring({e}, 1, 1)) % 256 AS BIGINT)"
     for i in range(2, 9):
-        out = f"({out} * 131 + ascii(substring({e}, {i}, 1)))"
+        out = f"({out} * 131 + ascii(substring({e}, {i}, 1)) % 256)"
     return out
 
 

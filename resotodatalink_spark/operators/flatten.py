@@ -49,8 +49,15 @@ def flatten_nodes(nodes: DataFrame, model: Model, kind: Kind) -> DataFrame:
 
 
 def edge_kinds(source: GraphSource) -> DataFrame:
-    """Edges tagged with endpoint kinds: edges ⋈ nodes(id,kind) twice,
-    broadcast — the distributed node_by_chksum lookup."""
+    """Edges tagged with endpoint kinds: edges ⋈ nodes(id,kind) twice —
+    the distributed node_by_chksum lookup.
+
+    No broadcast hint: the (id, kind) projection is small on collector
+    graphs but unbounded in general, and a forced hint overrides
+    autoBroadcastJoinThreshold so Spark could not fall back on a
+    billion-node graph.  AQE picks broadcast at runtime when the
+    projection fits (localShuffleReader converts to broadcast-hash);
+    otherwise it sort-merge-joins — the only strategy that survives."""
     node_kind = source.nodes.select("id", "kind")
     e = source.default_edges()
     from_k = node_kind.withColumnRenamed("id", "from_id").withColumnRenamed(
@@ -59,7 +66,7 @@ def edge_kinds(source: GraphSource) -> DataFrame:
     to_k = node_kind.withColumnRenamed("id", "to_id").withColumnRenamed(
         "kind", "to_kind"
     )
-    return e.join(F.broadcast(from_k), "from_id").join(F.broadcast(to_k), "to_id")
+    return e.join(from_k, "from_id").join(to_k, "to_id")
 
 
 def link_tables(source: GraphSource) -> dict[tuple[str, str], DataFrame]:

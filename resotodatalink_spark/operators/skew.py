@@ -42,11 +42,17 @@ def salted_join(
     ``n_salts``x replication of the small side's shuffle.  AQE's
     skew-join split handles moderate skew automatically; explicit
     salting is the deterministic, plan-stable form for extreme skew.
+
+    The default salt hashes ALL big-side columns: deterministic under
+    stage retry (a ``rand()`` salt is the SPARK-23207 hazard — map-task
+    recomputation after a fetch failure would re-salt rows differently
+    from the reduce output already fetched, double-counting or dropping
+    rows), and row-content-dependent so a hot key still fans out.
     """
     salt = (
         F.pmod(F.hash(salt_source), F.lit(n_salts))
         if salt_source is not None
-        else F.floor(F.rand() * n_salts).cast("int")
+        else F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(n_salts))
     )
     big_salted = big.withColumn("__salt", salt)
     small_salted = small.withColumn(
@@ -66,13 +72,16 @@ def salted_agg(
 
     ``aggs`` maps output name -> (partial_agg_expr, merge_agg_expr),
     e.g. ``{"n": (F.count("*"), F.sum("n")), "total": (F.sum(c), F.sum("total"))}``.
-    ``salt_source`` defaults to a deterministic hash of a monotonic id —
-    pass a column (e.g. a high-cardinality id) for reproducible tests.
+    ``salt_source`` defaults to a deterministic hash of all columns —
+    never ``rand()``, which under a stage retry (SPARK-23207) would
+    re-salt recomputed map output inconsistently with already-fetched
+    reduce input and corrupt the partial aggregate.  Pass a
+    high-cardinality column for better shard balance when rows repeat.
     """
     salt = (
         F.pmod(F.hash(salt_source), F.lit(n_salts))
         if salt_source is not None
-        else F.floor(F.rand() * n_salts)
+        else F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(n_salts))
     )
     partial = (
         df.withColumn("__salt", salt)

@@ -71,7 +71,7 @@ def collect_to_files(
         write_table(views[name], dest_dir, name, fmt=fmt, staging=True)
         feedback.progress_done("write_tables", i, len(names))
     if swap:
-        published = swap_staging(dest_dir)
+        published = swap_staging(dest_dir, tables=names)
         feedback.progress_done("swap", len(published), len(published))
         return published
     return names

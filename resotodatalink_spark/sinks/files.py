@@ -59,20 +59,38 @@ def write_table(
     return path
 
 
-def swap_staging(dest_dir: str) -> list[str]:
-    """Atomically publish every ``*__staging`` dir: drop the previous
-    table dir, rename staging into place (reference swap_temp_tables,
+OLD_SUFFIX = "__old"
+
+
+def swap_staging(dest_dir: str, tables: list[str] | None = None) -> list[str]:
+    """Publish ``*__staging`` dirs (reference swap_temp_tables,
     sql.py:129-159).  Local-FS implementation; on HDFS/S3 the same
-    sequence goes through the Hadoop FileSystem API."""
+    sequence goes through the Hadoop FileSystem API.
+
+    Per table the order is: rename the live dir aside to ``<t>__old``,
+    rename staging into place, delete the old dir LAST — so there is
+    never a window with no table, and a crash leaves either the old or
+    the new dir recoverable (never neither).  ``tables`` scopes the
+    publish to named tables; single-table writers (upsert/delete) pass
+    it so a leftover staging dir from an unrelated failed job is never
+    accidentally published."""
     published = []
     for entry in sorted(os.listdir(dest_dir)):
         if not entry.endswith(STAGING_SUFFIX):
             continue
         final = entry[: -len(STAGING_SUFFIX)]
+        if tables is not None and final not in tables:
+            continue
         final_path = os.path.join(dest_dir, final)
-        if os.path.exists(final_path):
-            shutil.rmtree(final_path)
+        old_path = final_path + OLD_SUFFIX
+        if os.path.exists(old_path):  # leftover from a prior crash
+            shutil.rmtree(old_path)
+        had_old = os.path.exists(final_path)
+        if had_old:
+            os.rename(final_path, old_path)
         os.rename(os.path.join(dest_dir, entry), final_path)
+        if had_old:
+            shutil.rmtree(old_path)
         published.append(final)
     return published
 

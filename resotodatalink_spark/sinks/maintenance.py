@@ -36,7 +36,7 @@ def compact_table(
     df.coalesce(target_files).write.mode("overwrite").parquet(
         path + STAGING_SUFFIX
     )
-    swap_staging(dest_dir)
+    swap_staging(dest_dir, tables=[table_name])
     return before
 
 

@@ -38,7 +38,7 @@ def upsert_table(
     else:
         merged = updates
     merged.write.mode("overwrite").parquet(path + STAGING_SUFFIX)
-    swap_staging(dest_dir)
+    swap_staging(dest_dir, tables=[table_name])
 
 
 def delete_keys(
@@ -49,4 +49,4 @@ def delete_keys(
     existing = spark.read.parquet(path)
     kept = existing.join(keys.select(key).distinct(), key, "left_anti")
     kept.write.mode("overwrite").parquet(path + STAGING_SUFFIX)
-    swap_staging(dest_dir)
+    swap_staging(dest_dir, tables=[table_name])

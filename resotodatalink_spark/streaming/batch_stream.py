@@ -73,16 +73,29 @@ def run_keyed_batches(
     batch_stream_test.py:5-19).  Chunking happens executor-side via
     row_number; only the per-key delivery loop touches the driver,
     mirroring the reference's per-batch insert loop
-    (collect_plugins.py:203-212)."""
+    (collect_plugins.py:203-212).
+
+    COMPAT SHIM — not the scale path.  This launches one filtered job
+    per (key, chunk): O(keys x chunks) driver-scheduled jobs.  At scale
+    use ``stream_sync_to_tables`` below, which partitions each
+    micro-batch by key and appends with zero driver loops.
+
+    Chunk assignment is computed ONCE: the window orders by every
+    column (deterministic), and the chunked frame is materialized with
+    an eager ``localCheckpoint`` before the keys collect().  Without
+    both, each downstream filter re-evaluates the plan and a
+    nondeterministic row_number can deliver a row in two chunks or
+    none."""
 
     def handle(batch_df: DataFrame, _batch_id: int) -> None:
         from pyspark.sql import Window as W
 
+        order_cols = [F.col(c) for c in batch_df.columns]
         chunked = batch_df.withColumn(
             "__chunk",
-            ((F.row_number().over(W.partitionBy(key_col).orderBy(F.lit(1))) - 1)
+            ((F.row_number().over(W.partitionBy(key_col).orderBy(*order_cols)) - 1)
              / batch_size).cast("int"),
-        )
+        ).localCheckpoint(eager=True)
         keys = [
             (r[0], r[1])
             for r in chunked.select(key_col, "__chunk").distinct().collect()
