@@ -1,0 +1,176 @@
+"""Sink dialect registry + SQL statement generators (K3/K4/U2).
+
+The reference dispatches database-specific behavior through a
+``DialectUpdater`` registry keyed by SQLAlchemy dialect name (reference
+sql.py:264-272) with Snowflake as the one shipped specialization
+(reference snowflake.py:49-92).  This module is the Spark-side
+equivalent: a registry keyed by dialect name, resolved from a JDBC URL
+scheme, where each dialect contributes
+
+* a kind -> SQL column type mapping (reference ``kind_to_snowflake_type``,
+  snowflake.py:20-46 — with its substring-equality bug FIXED: the
+  reference tests ``kind_name in "float"``, so any substring like
+  ``"loa"`` or ``"t"`` silently maps to Float; here comparisons are
+  equality, unknown kinds raise),
+* a DataFrame ``prepare`` step (how nested types are shipped), and
+* statement generators (CREATE TABLE, batch INSERT, the tmp-table swap)
+  that are unit-testable without a database server.
+
+Snowflake needs the special INSERT (reference snowflake.py:61-88):
+VARIANT/ARRAY/OBJECT columns can't be bound as parameters, so nested
+values are JSON-encoded client-side and re-parsed server-side:
+
+    INSERT INTO tbl (col_string, col_json)
+    SELECT column1, parse_json(column2) FROM VALUES (?, ?), ...
+
+Custom dialects register with ``@register_dialect`` (the reference's
+``DialectUpdater["name"] = cls`` extension point, U2).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+from resotodatalink_spark.model.kinds import Model
+from resotodatalink_spark.sinks.files import stringify_nested
+
+_DICT_RE = re.compile(r"^dictionary\[\s*(.+?)\s*,\s*(.+)\s*\]$")
+
+
+def _is_nested(model: Model, kind_name: str) -> bool:
+    """Array / dict / any / complex kinds ship as JSON (the reference's
+    ARRAY/OBJECT cases, snowflake.py:25-29,43-44)."""
+    if "[]" in kind_name or kind_name.startswith("dict") or kind_name == "any":
+        return True
+    kind = model.kinds.get(kind_name)
+    if kind is None:
+        return False
+    if kind.runtime_kind is not None:
+        return _is_nested(model, kind.runtime_kind)
+    return bool(kind.properties)
+
+
+class SqlDialect:
+    """Default ANSI-ish dialect: nested values as JSON TEXT, plain
+    parameterized INSERT."""
+
+    name = "default"
+
+    _SCALARS = {
+        "int32": "INTEGER",
+        "int64": "BIGINT",
+        "float": "REAL",
+        "double": "DOUBLE PRECISION",
+        "boolean": "BOOLEAN",
+        "string": "TEXT",
+        "duration": "TEXT",
+        "datetime": "TIMESTAMP",
+        "date": "DATE",
+        "any": "TEXT",
+    }
+
+    def column_type(self, model: Model, kind_name: str) -> str:
+        if "[]" in kind_name or kind_name.startswith("dict"):
+            return self.nested_type()
+        if kind_name in self._SCALARS:
+            return self._SCALARS[kind_name]
+        kind = model.kinds.get(kind_name)
+        if kind is not None and kind.runtime_kind is not None:
+            return self.column_type(model, kind.runtime_kind)
+        if kind is not None and kind.properties:
+            return self.nested_type()
+        raise ValueError(f"Not able to handle kind {kind_name}")
+
+    def nested_type(self) -> str:
+        return "TEXT"
+
+    def prepare(self, df: DataFrame) -> DataFrame:
+        """Nested Spark types -> JSON strings before the JDBC write."""
+        return stringify_nested(df)
+
+    def create_table_sql(self, table: str, props, model: Model) -> str:
+        cols = ", ".join(
+            f"{name} {self.column_type(model, kind)}" for name, kind in props
+        )
+        return f"CREATE TABLE IF NOT EXISTS {table} ({cols})"
+
+    def insert_sql(self, table: str, props, model: Model, n_rows: int = 1) -> str:
+        names = ", ".join(name for name, _ in props)
+        row = "(" + ", ".join("?" for _ in props) + ")"
+        rows = ", ".join(row for _ in range(n_rows))
+        return f"INSERT INTO {table} ({names}) VALUES {rows}"
+
+
+class SnowflakeDialect(SqlDialect):
+    """Snowflake: ARRAY/OBJECT columns + INSERT ... SELECT parse_json
+    (reference snowflake.py:20-88, substring bug fixed)."""
+
+    name = "snowflake"
+
+    _SCALARS = {
+        "int32": "INTEGER",
+        "int64": "INTEGER",
+        "float": "FLOAT",
+        "double": "FLOAT",
+        "boolean": "BOOLEAN",
+        "string": "STRING",
+        "duration": "STRING",
+        "datetime": "STRING",
+        "date": "STRING",
+    }
+
+    def column_type(self, model: Model, kind_name: str) -> str:
+        if "[]" in kind_name:
+            return "ARRAY"
+        if kind_name.startswith("dict") or kind_name == "any":
+            return "OBJECT"
+        if kind_name in self._SCALARS:
+            return self._SCALARS[kind_name]
+        kind = model.kinds.get(kind_name)
+        if kind is not None and kind.runtime_kind is not None:
+            return self.column_type(model, kind.runtime_kind)
+        if kind is not None and kind.properties:
+            return "OBJECT"
+        raise ValueError(f"Not able to handle kind {kind_name}")
+
+    def insert_sql(self, table: str, props, model: Model, n_rows: int = 1) -> str:
+        """The reference's structured-insert shape (snowflake.py:66-88):
+        positional column1..N aliases from VALUES, nested columns routed
+        through parse_json server-side."""
+        names = ", ".join(name for name, _ in props)
+        selects = ", ".join(
+            f"parse_json(column{i + 1})" if _is_nested(model, kind) else f"column{i + 1}"
+            for i, (_, kind) in enumerate(props)
+        )
+        row = "(" + ", ".join("?" for _ in props) + ")"
+        rows = ", ".join(row for _ in range(n_rows))
+        return (
+            f"INSERT INTO {table} ({names}) SELECT {selects} FROM VALUES {rows}"
+        )
+
+
+DIALECTS: dict[str, SqlDialect] = {}
+
+
+def register_dialect(dialect: type[SqlDialect]) -> type[SqlDialect]:
+    """Class decorator / direct call: the U2 extension point
+    (reference sql.py:264-266 ``DialectUpdater`` dict)."""
+    DIALECTS[dialect.name] = dialect()
+    return dialect
+
+
+register_dialect(SqlDialect)
+register_dialect(SnowflakeDialect)
+
+
+def dialect_for(url_or_name: str) -> SqlDialect:
+    """Resolve a dialect from a name or JDBC URL.  ``jdbc:postgresql://``
+    -> "postgresql"; unknown dialects get the default (reference
+    sql.py:268-271 ``DialectUpdater.get(..., SqlDefaultUpdater)``)."""
+    name = url_or_name
+    if "://" in name or name.startswith("jdbc:"):
+        m = re.match(r"^(?:jdbc:)?([a-zA-Z0-9_+-]+)://", name)
+        name = m.group(1) if m else name
+    return DIALECTS.get(name, DIALECTS["default"])

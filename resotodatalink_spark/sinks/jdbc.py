@@ -5,21 +5,22 @@ sql.py:173); Spark's JDBC writer does the same via ``batchsize`` with
 one connection per partition, so ingest parallelism scales with the
 DataFrame's partitioning instead of a single connection.
 
-The dialect-updater registry (reference sql.py:264-272, snowflake
-variant snowflake.py:49-92) collapses to URL-scheme dispatch: Spark
-JDBC handles the standard dialects, and VARIANT-style columns for
-Snowflake are produced by JSON-stringifying nested types
-(sinks.files.stringify_nested) before the write.
+Dialect-specific behavior (column types, how nested values ship,
+statement shapes) lives in the ``sinks.dialects`` registry (reference
+DialectUpdater, sql.py:264-272; Snowflake specialization
+snowflake.py:49-92) — ``write_jdbc`` resolves the dialect from the URL
+and applies its ``prepare`` step before the write.
 
-No database server exists in this environment, so this module is a
-thin, untested-by-CI wrapper kept deliberately free of logic.
+No database server exists in this environment, so the write itself is a
+thin, untested-by-CI wrapper; the dialect statement generators ARE
+unit-tested (tests/test_sinks.py).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-from resotodatalink_spark.sinks.files import stringify_nested
+from resotodatalink_spark.sinks.dialects import dialect_for
 
 
 def write_jdbc(
@@ -32,7 +33,7 @@ def write_jdbc(
     stringify: bool = True,
 ) -> None:
     props = {"batchsize": str(batch_size), **(properties or {})}
-    out = stringify_nested(df) if stringify else df
+    out = dialect_for(url).prepare(df) if stringify else df
     out.write.jdbc(url=url, table=table, mode=mode, properties=props)
 
 

@@ -58,3 +58,96 @@ def test_csv_stringifies_nested(spark, tmp_path):
     back = read_table(spark, dest, "t", fmt="csv")
     row = back.collect()[0]
     assert row["arr"] == '["x","y"]' and row["st"] == '{"k":2}'
+
+
+def test_dialect_registry_url_dispatch():
+    from resotodatalink_spark.sinks.dialects import (
+        DIALECTS,
+        SqlDialect,
+        dialect_for,
+        register_dialect,
+    )
+
+    assert dialect_for("jdbc:snowflake://acct.snowflakecomputing.com/").name == "snowflake"
+    assert dialect_for("snowflake").name == "snowflake"
+    assert dialect_for("jdbc:postgresql://localhost/db").name == "default"
+
+    @register_dialect
+    class MyDb(SqlDialect):
+        name = "mydb"
+
+    assert dialect_for("jdbc:mydb://h/x").name == "mydb"
+    DIALECTS.pop("mydb")
+
+
+def _nested_model():
+    from resotodatalink_spark.model.kinds import Kind, Model, Property
+
+    kinds = [
+        Kind("string", runtime_kind=None),
+        Kind("int32", runtime_kind=None),
+        Kind(
+            "thing",
+            properties=[
+                Property("id", "string"),
+                Property("cores", "int32"),
+                Property("tags", "dictionary[string, string]"),
+                Property("aliases", "string[]"),
+            ],
+            bases=[],
+            aggregate_root=True,
+        ),
+    ]
+    return Model({k.fqn: k for k in kinds})
+
+
+def test_snowflake_structured_insert_statement():
+    """The reference's INSERT ... SELECT parse_json shape (reference
+    snowflake.py:66-88): nested columns routed through parse_json,
+    scalars passed through positionally."""
+    from resotodatalink_spark.sinks.dialects import dialect_for
+
+    model = _nested_model()
+    props = [("id", "string"), ("cores", "int32"),
+             ("tags", "dictionary[string, string]"), ("aliases", "string[]")]
+    sf = dialect_for("snowflake")
+    stmt = sf.insert_sql("thing", props, model, n_rows=2)
+    assert stmt == (
+        "INSERT INTO thing (id, cores, tags, aliases) "
+        "SELECT column1, column2, parse_json(column3), parse_json(column4) "
+        "FROM VALUES (?, ?, ?, ?), (?, ?, ?, ?)"
+    )
+    assert sf.column_type(model, "string[]") == "ARRAY"
+    assert sf.column_type(model, "dictionary[string, string]") == "OBJECT"
+    assert sf.column_type(model, "thing") == "OBJECT"
+    assert sf.column_type(model, "double") == "FLOAT"
+
+
+def test_dialect_unknown_kind_raises_no_substring_match():
+    """The reference accepts any substring of 'float'/'double' as a
+    kind (snowflake.py:33-35 `kind_name in "float"`); fixed here —
+    equality only, unknown kinds raise."""
+    import pytest
+
+    from resotodatalink_spark.sinks.dialects import dialect_for
+
+    model = _nested_model()
+    for dialect in ("snowflake", "default"):
+        with pytest.raises(ValueError):
+            dialect_for(dialect).column_type(model, "loa")
+        with pytest.raises(ValueError):
+            dialect_for(dialect).column_type(model, "t")
+
+
+def test_default_dialect_create_and_insert():
+    from resotodatalink_spark.sinks.dialects import dialect_for
+
+    model = _nested_model()
+    props = [("id", "string"), ("cores", "int32"), ("tags", "dictionary[string, string]")]
+    d = dialect_for("jdbc:postgresql://h/db")
+    assert d.create_table_sql("thing", props, model) == (
+        "CREATE TABLE IF NOT EXISTS thing (id TEXT, cores INTEGER, tags TEXT)"
+    )
+    assert d.insert_sql("thing", props, model, n_rows=1) == (
+        "INSERT INTO thing (id, cores, tags) VALUES (?, ?, ?)"
+    )
