@@ -86,3 +86,94 @@ def example_docs() -> list[dict]:
         },
         {"type": "edge", "from": "i-123", "to": "v-123", "edge_type": "default"},
     ]
+
+
+def example_collector_model() -> Model:
+    """The example-collector's kind set (reference
+    collect_plugins_test.py:27-46: 7 kind tables incl. one with zero
+    instances, 7 link tables)."""
+    kinds = [
+        Kind("string", runtime_kind=None),
+        Kind("int32", runtime_kind=None),
+        Kind("int64", runtime_kind=None),
+        Kind(
+            "resource",
+            properties=[Property("id", "string"), Property("name", "string")],
+            bases=[],
+            aggregate_root=True,
+        ),
+        Kind("example_account", properties=[], bases=["resource"], aggregate_root=True),
+        Kind("example_region", properties=[], bases=["resource"], aggregate_root=True),
+        Kind(
+            "example_instance",
+            properties=[
+                Property("instance_cores", "int32"),
+                Property("instance_memory", "int64"),
+            ],
+            bases=["resource"],
+            aggregate_root=True,
+        ),
+        Kind("example_network", properties=[], bases=["resource"], aggregate_root=True),
+        Kind(
+            "example_volume",
+            properties=[Property("volume_size", "int32")],
+            bases=["resource"],
+            aggregate_root=True,
+        ),
+        Kind(
+            "example_custom_resource",
+            properties=[],
+            bases=["resource"],
+            aggregate_root=True,
+        ),
+        Kind(
+            "resource_short_property_access",
+            properties=[Property("short", "string")],
+            bases=["resource"],
+            aggregate_root=True,
+        ),
+    ]
+    return Model({k.fqn: k for k in kinds})
+
+
+def example_collector_docs() -> list[dict]:
+    """Node/edge docs shaped like the example collector's graph: 1
+    account, 2 regions, 2 instances, 2 networks, 2 volumes, 1 custom
+    resource, and the 7 edge pairs of collect_plugins_test.py:27-46."""
+
+    def node(nid: str, kind: str, **props) -> dict:
+        return {
+            "type": "node",
+            "id": nid,
+            "reported": {"kind": kind, "id": nid, "name": f"name-{nid}", **props},
+            "ancestors": carz_ancestors(),
+        }
+
+    def edge(a: str, b: str) -> dict:
+        return {"type": "edge", "from": a, "to": b, "edge_type": "default"}
+
+    return [
+        node("acc-1", "example_account"),
+        node("reg-1", "example_region"),
+        node("reg-2", "example_region"),
+        node("i-1", "example_instance", instance_cores=2, instance_memory=4),
+        node("i-2", "example_instance", instance_cores=4, instance_memory=8),
+        node("net-1", "example_network"),
+        node("net-2", "example_network"),
+        node("vol-1", "example_volume", volume_size=50),
+        node("vol-2", "example_volume", volume_size=100),
+        node("cr-1", "example_custom_resource"),
+        edge("acc-1", "reg-1"),
+        edge("acc-1", "reg-2"),
+        edge("reg-1", "i-1"),
+        edge("reg-2", "i-2"),
+        edge("reg-1", "net-1"),
+        edge("reg-2", "net-2"),
+        edge("reg-1", "vol-1"),
+        edge("reg-2", "vol-2"),
+        edge("reg-1", "cr-1"),
+        edge("net-1", "i-1"),
+        edge("net-2", "i-2"),
+        edge("i-1", "vol-1"),
+        edge("i-2", "vol-2"),
+    ]

@@ -73,3 +73,36 @@ def test_reference_shaped_config_api(spark, tmp_path):
     assert "some_instance" in published
     back = read_table(spark, str(tmp_path), "some_instance", fmt="csv")
     assert back.count() == 1
+
+
+def test_example_collector_e2e_counts(spark, tmp_path):
+    """Full example-collector E2E golden: 14 tables (7 kind + 7 link)
+    with the exact per-table counts of reference
+    collect_plugins_test.py:27-46, through collect -> files -> swap."""
+    from resotodatalink_spark.operators.sync import collect_to_files
+    from resotodatalink_spark.sinks.files import read_table
+    from resotodatalink_spark.sources.graph import GraphSource
+    from tests.fixtures import example_collector_docs, example_collector_model
+
+    dest = str(tmp_path)
+    src = GraphSource.from_docs(spark, example_collector_docs())
+    published = collect_to_files(spark, src, example_collector_model(), dest)
+    expected_counts = {
+        "example_account": 1,
+        "example_custom_resource": 1,
+        "example_instance": 2,
+        "example_network": 2,
+        "example_region": 2,
+        "example_volume": 2,
+        "link_example_account_example_region": 2,
+        "link_example_instance_example_volume": 2,
+        "link_example_network_example_instance": 2,
+        "link_example_region_example_custom_resource": 1,
+        "link_example_region_example_instance": 2,
+        "link_example_region_example_network": 2,
+        "link_example_region_example_volume": 2,
+        "resource_short_property_access": 0,
+    }
+    assert sorted(published) == sorted(expected_counts)
+    counts = {t: read_table(spark, dest, t).count() for t in published}
+    assert counts == expected_counts
