@@ -30,6 +30,7 @@ _ATTEST_FIRST = [
     "stream_session_window",
     "stream_interval_join",
     "ann_lsh_bucketed",
+    "ann_lsh_multiprobe",
     "dedup_embedding",
     "ann_ivf_cells",
     "embedding_centroids",

@@ -140,6 +140,85 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_N_PROBES_SQL_DUCK = ", ".join(
+    ["q.bucket"] + [f"xor(q.bucket, {1 << j})" for j in range(V.N_HYPERPLANES)]
+)
+
+
+@query(
+    "ann_lsh_multiprobe",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {V.lsh_bucket_duck('embedding')} AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT * FROM b WHERE vec_id < {_N_QUERIES}),
+    c AS (SELECT * FROM b WHERE vec_id >= {_N_QUERIES}),
+    probes AS (
+      SELECT q.vec_id, q.embedding, unnest([{_N_PROBES_SQL_DUCK}]) AS probe
+      FROM q
+    ),
+    sims AS (
+      SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {V.cosine_duck('p.embedding', 'c.embedding')} AS cosine
+      FROM probes p JOIN c ON p.probe = c.bucket
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM sims
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN: each query probes its own sign bucket PLUS
+    every 1-bit-flip neighbor bucket (the standard multi-probe
+    technique: near neighbors most often land one flipped hyperplane
+    away, so probing Hamming-1 buckets recovers most of the recall a
+    single probe loses without adding hash tables).  The probe fan-out
+    explodes the tiny QUERY side only — candidates still join on an
+    equi-key, so the scale shape is unchanged."""
+    e = table(spark, sf_dir, "embeddings")
+    b = e.withColumn("bucket", V.lsh_bucket_spark("embedding")).localCheckpoint(
+        eager=False
+    )
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(V.N_HYPERPLANES)],
+    )
+    q = (
+        b.filter(F.col("vec_id") < _N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.sqrt(V.dot_spark("embedding", "embedding")).alias("qn"),
+            F.explode(probes).alias("probe"),
+        )
+    )
+    c = b.filter(F.col("vec_id") >= _N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.sqrt(V.dot_spark("embedding", "embedding")).alias("cn"),
+        "bucket",
+    )
+    sims = c.join(F.broadcast(q), c["bucket"] == q["probe"]).select(
+        "query_id",
+        "neighbor_id",
+        (V.dot_spark("qe", "ce") / (F.col("qn") * F.col("cn"))).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank")
+        )
+    )
+
+
 @query(
     "dedup_embedding",
     oracle=f"""

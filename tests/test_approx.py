@@ -44,3 +44,33 @@ def test_dedup_embedding_banded_matches_exact(spark):
     plan = banded._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_multiprobe_improves_recall_over_single_probe(spark):
+    """Multi-probe (own bucket + all Hamming-1 neighbors) must recover
+    at least as much of the exact top-3 as the single-probe bucket join,
+    and strictly more somewhere on this corpus."""
+    from resotodatalink_spark.queries.similarity import (
+        ann_cosine_topk,
+        ann_lsh_bucketed,
+        ann_lsh_multiprobe,
+    )
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_cosine_topk(spark, SF_DIR).filter("rank <= 3").collect()
+    }
+    single = {
+        (r.query_id, r.neighbor_id) for r in ann_lsh_bucketed(spark, SF_DIR).collect()
+    }
+    multi = {
+        (r.query_id, r.neighbor_id) for r in ann_lsh_multiprobe(spark, SF_DIR).collect()
+    }
+    recall_single = len(exact & single) / len(exact)
+    recall_multi = len(exact & multi) / len(exact)
+    # 8 sign bits over 500 vectors is an aggressive bucketing (~2
+    # vectors/bucket), so absolute recall is low for both; the claim
+    # under test is the multi-probe MULTIPLIER at ~9x the probe budget
+    # (measured: 0.033 -> 0.167 on this corpus).
+    assert recall_multi >= 2 * recall_single
+    assert recall_multi > 0.1
