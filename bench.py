@@ -81,6 +81,33 @@ EXTENDED = [
 ]
 
 
+# Volume-scaling subset, run at sf1 when the derived bench data exists
+# (tools/make_scaled_data.py; docs/DESIGN_NOTES.md note 14 — sf0.1
+# walls are stage-count-bound, volume behavior needs sf >= 1).
+SF1_SUBSET = [
+    "agg_sum_avg_min_max",
+    "tpch_q3_shape",
+    "tpch_q5_shape",
+    "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_clusters",
+    "ann_lsh_bucketed",
+    "ann_ivf_cells",
+]
+
+
+def _run(spark, names: list[str], sf_dir: str) -> dict[str, float]:
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        df = registry.QUERIES[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+    return timings
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
@@ -89,30 +116,30 @@ def main() -> None:
     # warmup: spin up executors / codegen paths once
     registry.QUERIES[names[0]](spark, sf_dir).count()
 
-    timings: dict[str, float] = {}
-    for name in names:
-        t0 = time.time()
-        df = registry.QUERIES[name](spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
-
+    timings = _run(spark, names, sf_dir)
     total = round(sum(timings.values()), 3)
     try:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
         sf = -1.0
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+
+    sf1_dir = os.environ.get(
+        "SPARK_GRAFT_SF1_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "benchdata", "sf1"),
     )
+    if os.path.isdir(sf1_dir):
+        sf1 = _run(spark, [n for n in SF1_SUBSET if n in registry.QUERIES], sf1_dir)
+        out["sf1_queries"] = sf1
+        out["sf1_total"] = round(sum(sf1.values()), 3)
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

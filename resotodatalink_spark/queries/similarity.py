@@ -316,8 +316,12 @@ _IVF_NORM_C = f"sqrt({V.dot_duck('c.embedding', 'c.embedding')})"
 @query(
     "ann_ivf_cells",
     oracle=f"""
-    WITH cents AS (
-      SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id % 61 = 0
+    WITH params AS (
+      SELECT CAST(ceil(count(*) / 32.0) AS BIGINT) AS stride FROM embeddings
+    ),
+    cents AS (
+      SELECT vec_id AS cid, embedding FROM embeddings
+      WHERE vec_id % (SELECT stride FROM params) = 0
     ),
     scored AS (
       SELECT e.vec_id, c.cid,
@@ -352,16 +356,29 @@ _IVF_NORM_C = f"sqrt({V.dot_duck('c.embedding', 'c.embedding')})"
 )
 def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: coarse-quantize every vector to its nearest
-    centroid (deterministic centroid subset, vec_id % 61 == 0 — in
-    production these come from k-means), then search only the query's
-    cell.  The centroid table is broadcast; assignment is a codegen'd
-    argmax; candidate retrieval is a cell equi-join — the same
-    inverted-file shape FAISS IVF uses, expressed relationally."""
+    centroid (deterministic centroid subset — in production these come
+    from k-means), then search only the query's cell.  The centroid
+    table is broadcast; assignment is a codegen'd argmax; candidate
+    retrieval is a cell equi-join — the same inverted-file shape FAISS
+    IVF uses, expressed relationally.
+
+    The centroid COUNT is fixed (~32) regardless of corpus size: the
+    stride is derived from count(*) as a broadcast scalar, keeping
+    assignment cost O(n * k) with constant k.  (A fixed modulus made k
+    grow with n — the sf1 sweep measured the resulting O(n^2/61)
+    assignment at 37x the sf0.1 wall for 10x the data.)"""
     e = table(spark, sf_dir, "embeddings")
-    cents = e.filter(F.col("vec_id") % 61 == 0).select(
-        F.col("vec_id").alias("cid"),
-        F.col("embedding").alias("cemb"),
-        F.sqrt(V.dot_spark("embedding", "embedding")).alias("cn"),
+    stride = e.agg(
+        F.ceil(F.count("*") / 32.0).cast("long").alias("__stride")
+    )
+    cents = (
+        e.join(F.broadcast(stride))
+        .filter(F.col("vec_id") % F.col("__stride") == 0)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("cemb"),
+            F.sqrt(V.dot_spark("embedding", "embedding")).alias("cn"),
+        )
     )
     scored = e.crossJoin(F.broadcast(cents)).select(
         "vec_id",

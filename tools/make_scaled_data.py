@@ -1,0 +1,158 @@
+"""Generate sf1-scale bench data from the driver's sf0.1 parquet.
+
+PERF-ONLY data (docs/DESIGN_NOTES.md note 14: sf0.1 walls are
+stage-count-bound; volume behavior needs sf >= 1).  Correctness slugs
+keep running against the driver's own /root/testdata — this derived set
+exists solely so bench.py can report an sf1 section.
+
+Scaling rules (10 copies, copy 0 == the original rows):
+
+* fact/dim keys are shifted by copy * (max_key + 1) on BOTH sides of
+  every join (orderkey in orders+lineitem, custkey in customer+orders,
+  suppkey/partkey in supplier/part/lineitem) so join selectivity and
+  group cardinality scale linearly, not quadratically.
+* nation/region stay as-is (bounded dimensions, like the real world).
+* documents get a per-copy CAESAR ROTATION (letters by k, digits by k
+  mod 10): a character bijection preserves token lengths and therefore
+  the truncated-prefix hash's collision structure EXACTLY, so
+  within-copy near-dup structure is the original's and cross-copy
+  shingle overlap is zero — duplicate density stays constant as volume
+  grows (10x rows => ~10x true pairs).  (A token prefix/suffix tag was
+  tried first and rejected: it shifts every shingle's 16-char hash
+  window and inflated the minhash pair count 8x through truncation
+  collisions.)
+* embeddings for copies >= 1 are fresh seeded-random unit-ish vectors:
+  cross-copy cosine ~ 0 for 64-dim random data, so near-dup pair
+  density again scales linearly.
+* events shift event_id/user_id and keep the timestamp distribution.
+
+Usage: python tools/make_scaled_data.py [dest_dir] [n_copies]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main(dest: str = "benchdata/sf1", copies: int = 10) -> None:
+    os.makedirs(dest, exist_ok=True)
+    con = duckdb.connect()
+
+    def src(t: str) -> str:
+        return f"'{SRC}/{t}.parquet'"
+
+    def write(t: str, sql: str) -> None:
+        con.execute(
+            f"COPY ({sql}) TO '{dest}/{t}.parquet' (FORMAT PARQUET)"
+        )
+        n = con.execute(f"SELECT count(*) FROM '{dest}/{t}.parquet'").fetchone()[0]
+        print(f"{t}: {n} rows")
+
+    # bounded dims: pass through
+    for t in ("region", "nation"):
+        write(t, f"SELECT * FROM {src(t)}")
+
+    def keymax(table: str, col: str) -> int:
+        return con.execute(f"SELECT max({col})+1 FROM {src(table)}").fetchone()[0]
+
+    # every join key shifts by the SAME per-copy stride on all tables
+    # that carry it, so join fan-out stays exactly the original's
+    shifts = {
+        "o_orderkey": keymax("orders", "o_orderkey"),
+        "l_orderkey": keymax("orders", "o_orderkey"),
+        "c_custkey": keymax("customer", "c_custkey"),
+        "o_custkey": keymax("customer", "c_custkey"),
+        "s_suppkey": keymax("supplier", "s_suppkey"),
+        "l_suppkey": keymax("supplier", "s_suppkey"),
+        "p_partkey": keymax("part", "p_partkey"),
+        "l_partkey": keymax("part", "p_partkey"),
+        "event_id": keymax("events", "event_id"),
+        "user_id": keymax("events", "user_id"),
+    }
+    copies_rel = f"(SELECT unnest(generate_series(0, {copies - 1})) AS k)"
+
+    def scaled(table: str) -> str:
+        cols = [
+            r[0]
+            for r in con.execute(f"DESCRIBE SELECT * FROM {src(table)}").fetchall()
+        ]
+        sel = ", ".join(
+            f"{c} + k * {shifts[c]} AS {c}" if c in shifts else c for c in cols
+        )
+        return f"SELECT {sel} FROM {src(table)}, {copies_rel}"
+
+    for t in ("customer", "supplier", "part", "orders", "lineitem", "events"):
+        write(t, scaled(t))
+
+    docs_tbl = pq.read_table(f"{SRC}/documents.parquet")
+    did_shift = max(docs_tbl["doc_id"].to_pylist()) + 1
+    lower = "abcdefghijklmnopqrstuvwxyz"
+    upper = lower.upper()
+    digits = "0123456789"
+    chunks = []
+    for k in range(copies):
+        if k == 0:
+            chunks.append(docs_tbl)
+            continue
+        rot = str.maketrans(
+            lower + upper + digits,
+            lower[k % 26:] + lower[: k % 26]
+            + upper[k % 26:] + upper[: k % 26]
+            + digits[k % 10:] + digits[: k % 10],
+        )
+        cols = {}
+        for name in docs_tbl.column_names:
+            if name == "doc_id":
+                cols[name] = pa.array(
+                    [d + k * did_shift for d in docs_tbl["doc_id"].to_pylist()],
+                    pa.int64(),
+                )
+            elif name == "text":
+                cols[name] = pa.array(
+                    [t.translate(rot) for t in docs_tbl["text"].to_pylist()]
+                )
+            else:
+                cols[name] = docs_tbl[name].combine_chunks()
+        chunks.append(pa.table(cols).cast(docs_tbl.schema))
+    pq.write_table(pa.concat_tables(chunks), f"{dest}/documents.parquet")
+    print(f"documents: {sum(len(c) for c in chunks)} rows")
+
+    # embeddings: copy 0 original; further copies fresh random vectors
+    emb = con.execute(
+        f"SELECT vec_id, embedding, label FROM {src('embeddings')} ORDER BY vec_id"
+    ).fetchall()
+    n, dim = len(emb), len(emb[0][1])
+    vid_shift = max(r[0] for r in emb) + 1
+    rng = np.random.default_rng(0xBEEF)
+    ids, vecs, labels = [], [], []
+    for r in emb:
+        ids.append(r[0]); vecs.append(np.asarray(r[1], dtype=np.float32)); labels.append(r[2])
+    for k in range(1, copies):
+        fresh = rng.standard_normal((n, dim)).astype(np.float32)
+        for i in range(n):
+            ids.append(emb[i][0] + k * vid_shift)
+            vecs.append(fresh[i])
+            labels.append(int(rng.integers(0, 10)))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+            "label": pa.array(labels, pa.int32()),
+        }
+    )
+    pq.write_table(tbl, f"{dest}/embeddings.parquet")
+    print(f"embeddings: {len(ids)} rows")
+
+
+if __name__ == "__main__":
+    dest = sys.argv[1] if len(sys.argv) > 1 else "benchdata/sf1"
+    copies = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    main(dest, copies)
