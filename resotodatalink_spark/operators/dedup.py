@@ -238,30 +238,76 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard over distinct shingle-hash sets, candidates
     from the inverted-index self-join.  The division c/(sa+sb-c) of
-    exact ints is a single correctly-rounded IEEE op — engine-stable."""
+    exact ints is a single correctly-rounded IEEE op — engine-stable.
+
+    ``prefix_filter=True`` switches candidate generation to PPJoin-style
+    prefix filtering (Xiao et al.): under a global shingle order (the
+    hash value), any pair with J >= t must collide within each doc's
+    first ``sz - ceil(t*sz) + 1`` shingles, so only prefixes enter the
+    self-join; candidates are then verified by counting the FULL
+    intersection.  Exactness-preserving — both paths return the same
+    pair set (asserted in tests).
+
+    Default OFF after measurement: prefix filtering pays when posting
+    lists are long (hot shingles drive a quadratic inverted join); on
+    corpora with near-unique shingles the base join is already cheap
+    and the candidate-x-full-posting verify join dominates — measured
+    2x SLOWER at sf0.1 (2.7 -> 5.6s) and sf1 (21 -> 48s) here.  Flip
+    it on for skewed shingle distributions (boilerplate-heavy corpora),
+    ideally with a frequency-ascending prefix order."""
     g = shingle_hashes(docs, id_col, text_col, n).distinct()
     sizes = g.groupBy(id_col).agg(F.count("*").alias("sz"))
     # g2 feeds both sides of the posting self-join — materialize once
     # instead of re-running shingling per branch
     g2 = g.join(sizes, id_col).localCheckpoint(eager=False)
-    a = g2.select(F.col(id_col).alias("doc_a"), "h", F.col("sz").alias("sza"))
-    b = g2.select(F.col(id_col).alias("doc_b"), "h", F.col("sz").alias("szb"))
     # size-ratio prune inside the join (exactness-preserving): jaccard
     # >= t forces min(sz)/max(sz) >= t, so wildly different-sized docs
-    # never reach the expensive per-pair aggregation.  The standard
-    # next step at higher scale is positional prefix filtering (PPJoin).
+    # never reach the expensive per-pair aggregation.
     ratio_ok = (F.col("sza") >= threshold * F.col("szb")) & (
         F.col("szb") >= threshold * F.col("sza")
     )
-    common = (
-        a.join(b, "h")
-        .filter((F.col("doc_a") < F.col("doc_b")) & ratio_ok)
-        .groupBy("doc_a", "doc_b", "sza", "szb")
-        .agg(F.count("*").alias("c"))
-    )
+    if prefix_filter:
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy(id_col).orderBy("h")
+        prefix = (
+            g2.withColumn("rn", F.row_number().over(w))
+            .filter(
+                F.col("rn")
+                <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+            )
+            .drop("rn")
+            .localCheckpoint(eager=False)
+        )
+        pa_ = prefix.select(F.col(id_col).alias("doc_a"), "h", F.col("sz").alias("sza"))
+        pb_ = prefix.select(F.col(id_col).alias("doc_b"), "h", F.col("sz").alias("szb"))
+        cand = (
+            pa_.join(pb_, "h")
+            .filter((F.col("doc_a") < F.col("doc_b")) & ratio_ok)
+            .select("doc_a", "doc_b", "sza", "szb")
+            .distinct()
+        )
+        fa = g2.select(F.col(id_col).alias("doc_a"), "h")
+        fb = g2.select(F.col(id_col).alias("doc_b"), "h")
+        common = (
+            cand.join(fa, "doc_a")
+            .join(fb, ["doc_b", "h"])
+            .groupBy("doc_a", "doc_b", "sza", "szb")
+            .agg(F.count("*").alias("c"))
+        )
+    else:
+        a = g2.select(F.col(id_col).alias("doc_a"), "h", F.col("sz").alias("sza"))
+        b = g2.select(F.col(id_col).alias("doc_b"), "h", F.col("sz").alias("szb"))
+        common = (
+            a.join(b, "h")
+            .filter((F.col("doc_a") < F.col("doc_b")) & ratio_ok)
+            .groupBy("doc_a", "doc_b", "sza", "szb")
+            .agg(F.count("*").alias("c"))
+        )
     return (
         common.withColumn(
             "jaccard",

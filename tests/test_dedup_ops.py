@@ -65,3 +65,18 @@ def test_minhash_recall_of_true_pairs(spark):
     assert true_pairs, "fixture should contain near-duplicates"
     missed = true_pairs - candidates
     assert not missed, f"LSH missed true near-dup pairs: {missed}"
+
+
+def test_jaccard_ppjoin_prefix_filter_exact(spark):
+    """PPJoin prefix filtering must return exactly the base pair set
+    (the prefix theorem is exactness-preserving, not approximate)."""
+    from resotodatalink_spark.operators.dedup import jaccard_pairs
+    from resotodatalink_spark.sources.tables import table
+    from tests.conftest import SF_DIR
+
+    docs = table(spark, SF_DIR, "documents")
+    base = {(r.doc_a, r.doc_b, round(r.jaccard, 9))
+            for r in jaccard_pairs(docs, 0.5).collect()}
+    pp = {(r.doc_a, r.doc_b, round(r.jaccard, 9))
+          for r in jaccard_pairs(docs, 0.5, prefix_filter=True).collect()}
+    assert base == pp and len(base) > 0
