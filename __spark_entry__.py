@@ -29,6 +29,9 @@ _ATTEST_FIRST = [
     "stream_sliding_window",
     "stream_session_window",
     "stream_interval_join",
+    "graph_search_aggregate",
+    "graph_search_with",
+    "graph_search_sorted",
     "ann_lsh_bucketed",
     "ann_lsh_multiprobe",
     "dedup_embedding",

@@ -5,7 +5,11 @@ The reference sends search strings like ``is(graph_root) -[2:]->`` to
 the resotocore server and only consumes the resulting node stream
 (remote_graph.py:30-32, 49-63).  Here the search executes natively:
 
-    search := filter ( traversal )?
+    search := aggregate? filter ( traversal )? ( with )? ( sort )? ( limit )?
+    aggregate := "aggregate" "(" group ("," group)* ":" agg ("," agg)* ")" ":"
+    group  := path ("as" name)?
+    agg    := ("sum"|"min"|"max"|"avg") "(" (path | number) ")" ("as" name)?
+            | "count" ("as" name)?
     filter := term (("and" | "or") term)*
     term   := "is(" kind ")"
             | path op literal          e.g.  cores > 2,  name == "in1"
@@ -14,21 +18,30 @@ the resotocore server and only consumes the resulting node stream
             | "(" filter ")"
     op     := == != > >= < <= ~ (regex match)
     trav   := "-->"  |  "<--"  |  "-[a:b]->"  |  "-[a:]->"
+    with   := "with" "(" ("empty"|"any") "," "-->" filter? ")"
+    sort   := "sort" path ("asc"|"desc")? ("," path ("asc"|"desc")?)*
+    limit  := "limit" number
 
 Semantics follow the reference where observable:
 
 * ``is(k)`` matches kind ``k`` AND every kind that (transitively)
   lists it in ``bases`` — the inheritance-aware type filter.
 * property paths address the raw ``reported`` JSON (nested paths with
-  dots); numeric comparisons cast to double, ``~`` uses regex.
+  dots); ``kind``/``id`` address the envelope; numeric comparisons
+  cast to double, ``~`` uses regex.
 * a trailing traversal returns the nodes reached from the filtered
   set within the depth range (min..max hops, outbound for ``->``),
   implemented with the iterative-join BFS (operators/traversal.py) —
   each hop is one distributed join, no server round-trip.
-
-Scope consciously excludes the reference DSL's aggregates/with()/
-sort/limit clauses — those are the relational surface this engine
-already exposes via Spark SQL.
+* ``with(empty, --> f)`` keeps nodes with NO outbound successor
+  matching ``f`` (anti join); ``with(any, --> f)`` keeps nodes with at
+  least one (semi join) — the reference's subgraph predicate as a
+  distributed join instead of a per-node server probe.
+* ``aggregate(...)`` turns the node stream into a groupBy: group keys
+  are extracted paths, aggregate functions run over double-cast
+  values (``sum(1)`` == count, as in the reference's syntax).
+* ``sort`` orders on the extracted path as a string (id tiebreak, so
+  results are deterministic); ``limit`` truncates after the sort.
 """
 
 from __future__ import annotations
@@ -82,9 +95,32 @@ class Traversal:
 
 
 @dataclass
+class AggFunc:
+    fn: str  # sum | min | max | avg | count
+    arg: Union[str, float, None]  # path, numeric literal, or None (count)
+    alias: str
+
+
+@dataclass
+class Aggregate:
+    groups: list[tuple[str, str]]  # (path, alias)
+    funcs: list[AggFunc]
+
+
+@dataclass
+class WithClause:
+    mode: str  # "empty" | "any"
+    filter: Optional[Node]  # successor filter (None = any successor)
+
+
+@dataclass
 class Search:
     filter: Node
     traversal: Optional[Traversal]
+    aggregate: Optional[Aggregate] = None
+    with_clause: Optional[WithClause] = None
+    sort: Optional[list[tuple[str, str]]] = None  # (path, "asc"|"desc")
+    limit: Optional[int] = None
 
 
 # --- parser ------------------------------------------------------------------
@@ -96,7 +132,7 @@ _TOKEN_RE = re.compile(
     r"|(?P<op>==|!=|>=|<=|>|<|~)"
     r"|(?P<bool>\band\b|\bor\b)"
     r"|(?P<not>\bnot\b)|(?P<in>\bin\b)"
-    r"|(?P<lbr>\[)|(?P<rbr>\])|(?P<comma>,)"
+    r"|(?P<lbr>\[)|(?P<rbr>\])|(?P<comma>,)|(?P<colon>:)"
     r"|(?P<str>\"[^\"]*\"|'[^']*')"
     r"|(?P<num>-?\d+(?:\.\d+)?)"
     r"|(?P<word>[\w.]+))"
@@ -132,15 +168,112 @@ class _Parser:
         self.i += 1
         return tok
 
+    def _at_word(self, *words: str) -> bool:
+        tok = self.peek()
+        return tok is not None and tok[0] == "word" and tok[1] in words
+
     def parse(self) -> Search:
+        agg = None
+        if self._at_word("aggregate"):
+            agg = self.parse_aggregate()
         filt = self.parse_bool()
         trav = None
         if (tok := self.peek()) and tok[0] == "trav":
             self.next()
             trav = _parse_traversal(tok[1])
+        with_clause = None
+        if self._at_word("with"):
+            with_clause = self.parse_with()
+        sort = None
+        if self._at_word("sort"):
+            self.next()
+            sort = []
+            while True:
+                _, path = self.next()
+                direction = "asc"
+                if self._at_word("asc", "desc"):
+                    direction = self.next()[1]
+                sort.append((path, direction))
+                if (tok := self.peek()) and tok[0] == "comma":
+                    self.next()
+                    continue
+                break
+        limit = None
+        if self._at_word("limit"):
+            self.next()
+            tok, lit = self.next()
+            if tok != "num":
+                raise ValueError(f"limit needs a number, got {lit!r}")
+            limit = int(lit)
         if self.peek() is not None:
             raise ValueError(f"trailing tokens: {self.tokens[self.i:]}")
-        return Search(filt, trav)
+        return Search(filt, trav, agg, with_clause, sort, limit)
+
+    def parse_aggregate(self) -> Aggregate:
+        self.next()  # 'aggregate'
+        if self.next()[0] != "lpar":
+            raise ValueError("expected ( after aggregate")
+        groups: list[tuple[str, str]] = []
+        while not (self.peek() and self.peek()[0] == "colon"):
+            tok, path = self.next()
+            if tok != "word":
+                raise ValueError(f"bad group path {path!r}")
+            alias = path.replace(".", "_")
+            if self._at_word("as"):
+                self.next()
+                alias = self.next()[1]
+            groups.append((path, alias))
+            if (tok2 := self.peek()) and tok2[0] == "comma":
+                self.next()
+        self.next()  # ':'
+        funcs: list[AggFunc] = []
+        while True:
+            tok, fn = self.next()
+            if tok != "word" or fn not in ("sum", "min", "max", "avg", "count"):
+                raise ValueError(f"bad aggregate function {fn!r}")
+            arg: Union[str, float, None] = None
+            if (tok2 := self.peek()) and tok2[0] == "lpar":
+                self.next()
+                atok, aval = self.next()
+                arg = float(aval) if atok == "num" else aval
+                if self.next()[0] != "rpar":
+                    raise ValueError("expected ) after aggregate arg")
+            alias = fn if arg is None or not isinstance(arg, str) else (
+                f"{fn}_{arg.replace('.', '_')}"
+            )
+            if self._at_word("as"):
+                self.next()
+                alias = self.next()[1]
+            funcs.append(AggFunc(fn, arg, alias))
+            tok3 = self.peek()
+            if tok3 and tok3[0] == "comma":
+                self.next()
+                continue
+            break
+        if self.next()[0] != "rpar":
+            raise ValueError("expected ) closing aggregate")
+        if self.next()[0] != "colon":
+            raise ValueError("expected : after aggregate(...)")
+        return Aggregate(groups, funcs)
+
+    def parse_with(self) -> WithClause:
+        self.next()  # 'with'
+        if self.next()[0] != "lpar":
+            raise ValueError("expected ( after with")
+        tok, mode = self.next()
+        if tok != "word" or mode not in ("empty", "any"):
+            raise ValueError(f"with() mode must be empty|any, got {mode!r}")
+        if self.next()[0] != "comma":
+            raise ValueError("expected , in with()")
+        tok, trav = self.next()
+        if tok != "trav" or trav != "-->":
+            raise ValueError("with() supports the --> traversal")
+        inner: Optional[Node] = None
+        if (tok2 := self.peek()) and tok2[0] != "rpar":
+            inner = self.parse_bool()
+        if self.next()[0] != "rpar":
+            raise ValueError("expected ) closing with")
+        return WithClause(mode, inner)
 
     def parse_bool(self) -> Node:
         left = self.parse_term()
@@ -291,26 +424,85 @@ def _filter_column(node: Node, model: Model) -> Column:
     raise TypeError(node)
 
 
+def _path_column(path: str) -> Column:
+    """Extract a search path: envelope columns by name, everything else
+    from the reported JSON (dots descend)."""
+    if path in ("id", "kind"):
+        return F.col(path)
+    if path.startswith("reported."):
+        path = path[len("reported."):]
+    return F.get_json_object("reported", f"$.{path}")
+
+
 def execute_search(source: GraphSource, model: Model, search_text: str) -> DataFrame:
     """Run a search over the graph; returns matching nodes
-    (id, kind, reported) — after the traversal when one is present."""
+    (id, kind, reported) — or the aggregate table when an
+    ``aggregate(...)`` clause is present."""
     search = parse_search(search_text)
     matched = source.nodes.filter(_filter_column(search.filter, model))
     if search.traversal is None:
-        return matched.select("id", "kind", "reported")
-    t = search.traversal
-    edges = source.default_edges().select(
-        F.col("from_id").alias("src"), F.col("to_id").alias("dst")
-    )
-    if t.direction == "in":
-        edges = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    starts = matched.select(F.col("id").alias("node_id"))
-    reached = reachable(
-        edges, starts, max_depth=t.max_depth, min_depth=max(t.min_depth, 1)
-    )
-    out = source.nodes.join(
-        reached.select(F.col("node_id").alias("id")), "id"
-    ).select("id", "kind", "reported")
-    if t.min_depth == 0:  # include the matched nodes themselves
-        out = out.unionByName(matched.select("id", "kind", "reported")).distinct()
+        out = matched.select("id", "kind", "reported")
+    else:
+        t = search.traversal
+        edges = source.default_edges().select(
+            F.col("from_id").alias("src"), F.col("to_id").alias("dst")
+        )
+        if t.direction == "in":
+            edges = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        starts = matched.select(F.col("id").alias("node_id"))
+        reached = reachable(
+            edges, starts, max_depth=t.max_depth, min_depth=max(t.min_depth, 1)
+        )
+        out = source.nodes.join(
+            reached.select(F.col("node_id").alias("id")), "id"
+        ).select("id", "kind", "reported")
+        if t.min_depth == 0:  # include the matched nodes themselves
+            out = out.unionByName(matched.select("id", "kind", "reported")).distinct()
+
+    if search.with_clause is not None:
+        w = search.with_clause
+        succ = source.nodes
+        if w.filter is not None:
+            succ = succ.filter(_filter_column(w.filter, model))
+        linked = (
+            source.default_edges()
+            .join(
+                succ.select(F.col("id").alias("to_id")), "to_id", "left_semi"
+            )
+            .select(F.col("from_id").alias("id"))
+        )
+        how = "left_semi" if w.mode == "any" else "left_anti"
+        out = out.join(linked, "id", how)
+
+    if search.aggregate is not None:
+        agg = search.aggregate
+        keys = [_path_column(p).alias(alias) for p, alias in agg.groups]
+        exprs = []
+        for f in agg.funcs:
+            if f.fn == "count" or (f.fn == "sum" and isinstance(f.arg, float)):
+                e = (
+                    F.count("*")
+                    if f.fn == "count" or f.arg == 1.0
+                    else F.sum(F.lit(f.arg))
+                )
+            else:
+                val = _path_column(str(f.arg)).cast("double")
+                e = getattr(F, f.fn)(val)
+            exprs.append(e.alias(f.alias))
+        out = out.groupBy(*keys).agg(*exprs) if keys else out.agg(*exprs)
+
+    if search.sort is not None and search.aggregate is None:
+        order = [
+            (_path_column(p).asc() if d == "asc" else _path_column(p).desc())
+            for p, d in search.sort
+        ] + [F.col("id").asc()]
+        out = out.orderBy(*order)
+    elif search.sort is not None:
+        order = [
+            (F.col(p).asc() if d == "asc" else F.col(p).desc())
+            for p, d in search.sort
+        ]
+        out = out.orderBy(*order)
+    if search.limit is not None:
+        out = out.limit(search.limit)
     return out

@@ -102,6 +102,125 @@ def graph_reachability_min2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reachable(edges, roots, max_depth=2, min_depth=2)
 
 
+def _rns_source_and_model(spark: SparkSession, sf_dir: str):
+    """region->nation->supplier rows as a GraphSource + model — the
+    shared fixture graph for the search-DSL slugs."""
+    from resotodatalink_spark.model.kinds import Kind, Model, Property
+    from resotodatalink_spark.sources.graph import GraphSource
+
+    nation = table(spark, sf_dir, "nation")
+    supplier = table(spark, sf_dir, "supplier")
+    region = table(spark, sf_dir, "region")
+
+    def mk_nodes(df: DataFrame, prefix: str, key: str, kind: str, name: str):
+        return df.select(
+            F.concat(F.lit(prefix), F.col(key).cast("string")).alias("id"),
+            F.lit(kind).alias("kind"),
+            F.to_json(F.struct(F.col(name).alias("name"))).alias("reported"),
+            F.lit(None).cast("string").alias("ancestors"),
+        )
+
+    nodes = (
+        mk_nodes(region, "R", "r_regionkey", "region_node", "r_name")
+        .unionByName(mk_nodes(nation, "N", "n_nationkey", "nation_node", "n_name"))
+        .unionByName(mk_nodes(supplier, "S", "s_suppkey", "supplier_node", "s_name"))
+    )
+    edges = (
+        nation.select(
+            F.concat(F.lit("R"), F.col("n_regionkey").cast("string")).alias("from_id"),
+            F.concat(F.lit("N"), F.col("n_nationkey").cast("string")).alias("to_id"),
+            F.lit("default").alias("edge_type"),
+        )
+    ).unionByName(
+        supplier.select(
+            F.concat(F.lit("N"), F.col("s_nationkey").cast("string")).alias("from_id"),
+            F.concat(F.lit("S"), F.col("s_suppkey").cast("string")).alias("to_id"),
+            F.lit("default").alias("edge_type"),
+        )
+    )
+    model = Model(
+        {
+            "string": Kind("string"),
+            **{
+                k: Kind(
+                    k,
+                    properties=[Property("name", "string")],
+                    bases=[],
+                    aggregate_root=True,
+                )
+                for k in ("region_node", "nation_node", "supplier_node")
+            },
+        }
+    )
+    return GraphSource(nodes, edges), model
+
+
+@query(
+    "graph_search_aggregate",
+    oracle="""
+    SELECT 'nation_node' AS kind, count(*) AS n FROM nation
+    UNION ALL
+    SELECT 'supplier_node' AS kind, count(*) AS n FROM supplier
+    """,
+)
+def graph_search_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-DSL aggregate clause (reference search syntax
+    ``aggregate(kind: sum(1))``): traversal result grouped natively —
+    one groupBy, no server round-trip."""
+    from resotodatalink_spark.operators.search import execute_search
+
+    src, model = _rns_source_and_model(spark, sf_dir)
+    return execute_search(
+        src, model, "aggregate(kind: sum(1) as n): is(region_node) -[1:2]->"
+    )
+
+
+@query(
+    "graph_search_with",
+    oracle="""
+    SELECT concat('N', CAST(n_nationkey AS VARCHAR)) AS id,
+           'nation_node' AS kind,
+           concat('{"name":"', n_name, '"}') AS reported
+    FROM nation
+    WHERE NOT EXISTS (
+      SELECT 1 FROM supplier
+      WHERE s_nationkey = n_nationkey
+        AND regexp_matches(s_name, '^Supplier#00000009')
+    )
+    """,
+)
+def graph_search_with(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-DSL with() subgraph predicate: nations with NO successor
+    supplier matching the name pattern — compiled to an anti join
+    instead of the reference's per-node server probe."""
+    from resotodatalink_spark.operators.search import execute_search
+
+    src, model = _rns_source_and_model(spark, sf_dir)
+    return execute_search(
+        src,
+        model,
+        'is(nation_node) with(empty, --> name ~ "^Supplier#00000009")',
+    )
+
+
+@query(
+    "graph_search_sorted",
+    oracle="""
+    SELECT concat('S', CAST(s_suppkey AS VARCHAR)) AS id,
+           'supplier_node' AS kind,
+           concat('{"name":"', s_name, '"}') AS reported
+    FROM supplier ORDER BY s_name DESC, id ASC LIMIT 5
+    """,
+)
+def graph_search_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-DSL sort/limit clauses: deterministic (value, id) order,
+    truncation after the sort — a global top-k, not a per-partition cut."""
+    from resotodatalink_spark.operators.search import execute_search
+
+    src, model = _rns_source_and_model(spark, sf_dir)
+    return execute_search(src, model, "is(supplier_node) sort name desc limit 5")
+
+
 @query(
     "graph_search_dsl",
     oracle="""
@@ -133,71 +252,9 @@ def graph_search_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
     string 'is(region_node) and name ~ "^A" -[1:2]->' parses to a
     kind+predicate filter and a bounded traversal, compiled to the
     same BFS joins (operators/search.py)."""
-    from resotodatalink_spark.model.kinds import Kind, Model, Property
     from resotodatalink_spark.operators.search import execute_search
 
-    nation = table(spark, sf_dir, "nation")
-    supplier = table(spark, sf_dir, "supplier")
-    region = table(spark, sf_dir, "region")
-
-    def mk_nodes(df: DataFrame, prefix: str, key: str, kind: str, name: str):
-        return df.select(
-            F.concat(F.lit(prefix), F.col(key).cast("string")).alias("id"),
-            F.lit(kind).alias("kind"),
-            F.to_json(F.struct(F.col(name).alias("name"))).alias("reported"),
-            F.lit(None).cast("string").alias("ancestors"),
-        )
-
-    nodes = (
-        mk_nodes(region, "R", "r_regionkey", "region_node", "r_name")
-        .unionByName(mk_nodes(nation, "N", "n_nationkey", "nation_node", "n_name"))
-        .unionByName(
-            mk_nodes(supplier, "S", "s_suppkey", "supplier_node", "s_name")
-        )
-    )
-    edges = (
-        nation.select(
-            F.concat(F.lit("R"), F.col("n_regionkey").cast("string")).alias(
-                "from_id"
-            ),
-            F.concat(F.lit("N"), F.col("n_nationkey").cast("string")).alias("to_id"),
-            F.lit("default").alias("edge_type"),
-        )
-    ).unionByName(
-        supplier.select(
-            F.concat(F.lit("N"), F.col("s_nationkey").cast("string")).alias(
-                "from_id"
-            ),
-            F.concat(F.lit("S"), F.col("s_suppkey").cast("string")).alias("to_id"),
-            F.lit("default").alias("edge_type"),
-        )
-    )
-    from resotodatalink_spark.sources.graph import GraphSource
-
-    src = GraphSource(nodes, edges)
-    model = Model(
-        {
-            "string": Kind("string"),
-            "region_node": Kind(
-                "region_node",
-                properties=[Property("name", "string")],
-                bases=[],
-                aggregate_root=True,
-            ),
-            "nation_node": Kind(
-                "nation_node",
-                properties=[Property("name", "string")],
-                bases=[],
-                aggregate_root=True,
-            ),
-            "supplier_node": Kind(
-                "supplier_node",
-                properties=[Property("name", "string")],
-                bases=[],
-                aggregate_root=True,
-            ),
-        }
-    )
+    src, model = _rns_source_and_model(spark, sf_dir)
     result = execute_search(
         src, model, 'is(region_node) and name ~ "^A" -[1:2]->'
     )

@@ -115,3 +115,46 @@ def test_in_and_not(spark, graph):
     from resotodatalink_spark.operators.search import NotOp
 
     assert isinstance(s.filter, NotOp)
+
+
+def test_search_aggregate_clause(spark):
+    from resotodatalink_spark.operators.search import execute_search
+    from resotodatalink_spark.sources.graph import GraphSource
+    from tests.fixtures import example_docs, example_model
+
+    src = GraphSource.from_docs(spark, example_docs())
+    rows = execute_search(
+        src, example_model(),
+        "aggregate(kind: sum(1) as n, min(cores) as min_cores): is(resource)",
+    ).collect()
+    got = {r["kind"]: (r["n"], r["min_cores"]) for r in rows}
+    assert got == {"some_instance": (1, 4.0), "some_volume": (1, None)}
+
+
+def test_search_with_empty_and_any(spark):
+    from resotodatalink_spark.operators.search import execute_search
+    from resotodatalink_spark.sources.graph import GraphSource
+    from tests.fixtures import example_docs, example_model
+
+    src = GraphSource.from_docs(spark, example_docs())
+    model = example_model()
+    no_vol = execute_search(
+        src, model, "is(resource) with(empty, --> is(some_volume))"
+    ).collect()
+    assert {r["id"] for r in no_vol} == {"v-123"}
+    has_vol = execute_search(
+        src, model, "is(resource) with(any, --> is(some_volume))"
+    ).collect()
+    assert {r["id"] for r in has_vol} == {"i-123"}
+
+
+def test_search_sort_limit(spark):
+    from resotodatalink_spark.operators.search import execute_search
+    from resotodatalink_spark.sources.graph import GraphSource
+    from tests.fixtures import example_docs, example_model
+
+    src = GraphSource.from_docs(spark, example_docs())
+    rows = execute_search(
+        src, example_model(), "is(resource) sort name desc limit 1"
+    ).collect()
+    assert [r["id"] for r in rows] == ["v-123"]
