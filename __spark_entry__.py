@@ -32,6 +32,8 @@ _ATTEST_FIRST = [
     "graph_search_aggregate",
     "graph_search_with",
     "graph_search_sorted",
+    "dedup_survivors",
+    "quota_sample",
     "ann_lsh_bucketed",
     "ann_lsh_multiprobe",
     "dedup_embedding",

@@ -151,3 +151,69 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     verified = D.minhash_pairs_with_agreement(d).filter(F.col("n_common") >= 8)
     return D.connected_components(verified)
+
+
+_QUALITY_CTE = """
+    quality AS (
+      SELECT doc_id,
+             round(0.6 * least((length(text) - (len(string_split(text, ' ')) - 1))
+                               * 1.0 / len(string_split(text, ' ')) / 8.0, 1.0)
+                   + 0.4 * (1.0 - len(regexp_extract_all(text, '[0-9]'))
+                            * 1.0 / length(text)), 6) AS quality
+      FROM documents
+    )
+"""
+
+
+@query(
+    "dedup_survivors",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLE_CTE.strip().rstrip()},
+    sig AS (SELECT doc_id, {_MINS} FROM __hashes GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({_BAND_COND})
+      WHERE ({_AGREE}) >= 8
+    ),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, lab) AS (
+      SELECT DISTINCT s, s FROM edges
+      UNION
+      SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.node
+    ),
+    clusters AS (
+      SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node
+    ),
+    {_QUALITY_CTE.strip()}
+    SELECT c.doc_id, c.cluster_id, q.quality,
+           CAST(row_number() OVER (PARTITION BY c.cluster_id
+                                   ORDER BY q.quality DESC, c.doc_id) = 1
+                AS INTEGER) AS is_survivor
+    FROM clusters c JOIN quality q ON c.doc_id = q.doc_id
+    """,
+)
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep/drop DECISION a dedup pipeline actually ships: near-dup
+    clusters (verified MinHash pairs -> connected components) joined
+    with the quality score, survivor = best quality per cluster (doc_id
+    tiebreak).  One window over the cluster id after the clustering —
+    no extra shuffle beyond what clustering already did."""
+    from pyspark.sql import Window as W
+
+    from resotodatalink_spark.queries.text import quality_score
+
+    d = table(spark, sf_dir, "documents")
+    verified = D.minhash_pairs_with_agreement(d).filter(F.col("n_common") >= 8)
+    clusters = D.connected_components(verified)
+    q = quality_score(spark, sf_dir).select("doc_id", "quality")
+    joined = clusters.join(q, "doc_id")
+    w = W.partitionBy("cluster_id").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return joined.select(
+        "doc_id",
+        "cluster_id",
+        "quality",
+        (F.row_number().over(w) == 1).cast("int").alias("is_survivor"),
+    )

@@ -422,3 +422,43 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "tok", "tfidf")
     )
+
+
+@query(
+    "quota_sample",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, source,
+             round(0.6 * least((length(text) - (len(string_split(text, ' ')) - 1))
+                               * 1.0 / len(string_split(text, ' ')) / 8.0, 1.0)
+                   + 0.4 * (1.0 - len(regexp_extract_all(text, '[0-9]'))
+                            * 1.0 / length(text)), 6) AS quality
+      FROM documents
+    )
+    SELECT doc_id, source, quality FROM (
+      SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY quality DESC, doc_id) AS rn
+      FROM scored
+    ) t WHERE rn <= 25
+    """,
+)
+def quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota sampling — cap each domain/source at its K best
+    documents by quality (the anti-domination guard in training-data
+    mixes: no single crawl source floods the corpus).  One window over
+    the source key; at 100 TB this is a single shuffle partitioned by
+    source, and a skewed mega-source is exactly what AQE skew handling
+    plus the salted-agg fallback (operators/skew.py) exist for."""
+    from pyspark.sql import Window as W
+
+    from resotodatalink_spark.queries.text import quality_score
+
+    q = quality_score(spark, sf_dir).select("doc_id", "quality")
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    scored = d.join(q, "doc_id")
+    w = W.partitionBy("source").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 25)
+        .select("doc_id", "source", "quality")
+    )
