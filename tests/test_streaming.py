@@ -228,3 +228,23 @@ def test_stream_drop_duplicates_within_watermark(spark, tmp_path):
     got = spark.table("t_dedup_stream")
     assert got.count() == ev.count()
     assert got.select("event_id").distinct().count() == ev.count()
+
+
+def test_keyed_batches_exactly_once_ids(spark, tmp_path):
+    """Regression for the nondeterministic-chunking hazard: chunk
+    assignment is materialized once and ordered deterministically, so
+    every event id is delivered EXACTLY once across chunk callbacks —
+    no duplicate delivery, no loss (counts alone can miss a dup+drop
+    pair)."""
+    ev = stream_events(spark, SF_DIR)
+    delivered: list[int] = []
+
+    def on_batch(key, df):
+        delivered.extend(r.event_id for r in df.select("event_id").collect())
+
+    run_keyed_batches(ev, "event_type", 250, on_batch, str(tmp_path / "cp5"))
+    expected = [
+        r.event_id
+        for r in table(spark, SF_DIR, "events").select("event_id").collect()
+    ]
+    assert sorted(delivered) == sorted(expected)
