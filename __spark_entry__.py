@@ -34,6 +34,7 @@ _ATTEST_FIRST = [
     "graph_search_sorted",
     "dedup_survivors",
     "quota_sample",
+    "sequence_packing",
     "ann_lsh_bucketed",
     "ann_lsh_multiprobe",
     "dedup_embedding",

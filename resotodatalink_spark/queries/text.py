@@ -462,3 +462,55 @@ def quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 25)
         .select("doc_id", "source", "quality")
     )
+
+
+@query(
+    "sequence_packing",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, source, n_tokens,
+             COALESCE(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+      FROM toks
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(before // 2048 AS BIGINT) AS bin_id,
+           CAST(before % 2048 AS BIGINT) AS bin_offset
+    FROM packed
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches: assign each document a
+    (bin, offset) inside fixed 2048-token context windows, filled in
+    deterministic doc_id order WITHIN each source shard.  Per-shard
+    packing is the scale shape — one window partitioned by the shard
+    key, embarrassingly parallel across shards, versus a global order
+    that would serialize the whole corpus through one task.  (Greedy
+    sequential fill: a doc whose start lands near a bin boundary may
+    overflow its bin — the standard approximation when packing is done
+    relationally rather than with a bin-packing solver.)"""
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return toks.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(before / 2048).alias("bin_id"),
+        (before % 2048).alias("bin_offset"),
+    )
