@@ -197,15 +197,19 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly retention cohorts: users bucketed by first-activity week,
     active-user counts per (cohort, weeks-since).  First-touch groupBy
-    + broadcast-join back — the standard warehouse shape.  Week delta
-    computed as day-difference/7 (exact int) since the cohort anchor is
-    itself week-truncated."""
+    + join back on the SAME key — no broadcast hint: the per-user
+    aggregate is unbounded (a billion users would OOM a forced
+    broadcast), and since ``firsts`` is already hash-partitioned by
+    user_id from its groupBy, the shuffle join reuses that exchange;
+    AQE still picks broadcast at runtime when the side is small.  Week
+    delta computed as day-difference/7 (exact int) since the cohort
+    anchor is itself week-truncated."""
     ev = table(spark, sf_dir, "events")
     firsts = ev.groupBy("user_id").agg(
         F.date_trunc("week", F.min("ts")).alias("cohort_week")
     )
     activity = (
-        ev.join(F.broadcast(firsts), "user_id")
+        ev.join(firsts, "user_id")
         .select(
             "user_id",
             "cohort_week",

@@ -401,15 +401,18 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 TF-IDF terms per document.  The document-frequency table
-    is tiny (vocabulary-sized) -> broadcast; ln() differs by ULPs
-    across libm implementations, hence round(6) on both sides."""
+    """Top-3 TF-IDF terms per document.  No broadcast hint on the
+    document-frequency table: "vocabulary-sized" is unbounded at
+    corpus scale (rare tokens, identifiers), and a forced hint
+    overrides the fallback — AQE picks broadcast at runtime when the
+    vocab actually fits.  ln() differs by ULPs across libm
+    implementations, hence round(6) on both sides."""
     d = table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
     df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = d.count()
-    scored = tf.join(F.broadcast(df), "tok").select(
+    scored = tf.join(df, "tok").select(
         "doc_id",
         "tok",
         F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(

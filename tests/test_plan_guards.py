@@ -1,0 +1,33 @@
+"""Sweeping plan guards: scale invariants asserted over EVERY
+registered slug's physical plan at once, so a future slug can't quietly
+reintroduce an O(n^2) join shape.
+
+The allowlist is intentional, not historical:
+* ann_cosine_topk — the exact brute-force ANN baseline; its
+  crossJoin(broadcast(queries)) is the spec the approximate slugs are
+  measured against.
+* funnel_conversion — combines two ONE-ROW aggregates with a
+  crossJoin; a 1x1 BroadcastNestedLoopJoin is constant work at any
+  scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from resotodatalink_spark import registry
+from tests.conftest import SF_DIR
+
+registry.load_all()
+
+CARTESIAN_OK = {"ann_cosine_topk", "funnel_conversion"}
+
+
+@pytest.mark.parametrize("slug", sorted(registry.QUERIES))
+def test_no_cartesian_or_bnlj(spark, slug):
+    df = registry.QUERIES[slug](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if slug in CARTESIAN_OK:
+        return
+    assert "CartesianProduct" not in plan, f"{slug} has a cartesian product"
+    assert "BroadcastNestedLoopJoin" not in plan, f"{slug} has a BNLJ"
