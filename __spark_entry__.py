@@ -35,6 +35,7 @@ _ATTEST_FIRST = [
     "dedup_survivors",
     "quota_sample",
     "sequence_packing",
+    "multimodal_frames",
     "ann_lsh_bucketed",
     "ann_lsh_multiprobe",
     "dedup_embedding",

@@ -123,3 +123,76 @@ def extract_features(df: DataFrame) -> DataFrame:
             yield _pd.DataFrame(rows)
 
     return df.mapInPandas(feats, schema=FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = "doc_id long, payload binary, width int, height int"
+
+
+def resize_media(df: DataFrame, target_w: int = 32, target_h: int = 32) -> DataFrame:
+    """mapInPandas resize stage: payload -> resized payload + new dims.
+
+    STUB resample (no codec libs in this container): keeps every k-th
+    byte so output size tracks the target area deterministically; a
+    real implementation decodes, resizes (PIL/cv2), re-encodes.  The
+    Spark-side contract is the real part: binary in/binary out, Arrow
+    batches, closure self-contained (no module-global references, so
+    executors need nothing on PYTHONPATH)."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        area = max(target_w * target_h, 1)
+
+        def shrink(payload: bytes) -> bytes:
+            if not payload:
+                return payload
+            step = max(len(payload) // area, 1)
+            return payload[::step][:area]
+
+        for pdf in batches:
+            out = [shrink(p) for p in pdf["payload"]]
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": out,
+                    "width": [target_w] * len(out),
+                    "height": [target_h] * len(out),
+                }
+            )
+
+    return df.mapInPandas(resize, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, n_frame_bytes int, frame_head int"
+
+
+def sample_frames(df: DataFrame, every_n: int = 4) -> DataFrame:
+    """mapInPandas frame-sampling stage: one INPUT row fans out to one
+    OUTPUT row per sampled frame — the 1->N batch shape video pipelines
+    need (output frame count is data-dependent, so this cannot be a
+    scalar UDF).  STUB framing: the payload is treated as fixed-width
+    fake frames (64 bytes each); every ``every_n``-th frame is kept.  A
+    real implementation seeks keyframes with a demuxer."""
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        width = 64
+
+        def sample(doc_id: int, payload: bytes):
+            n_frames = max(len(payload) // width, 1)
+            for idx in range(0, n_frames, every_n):
+                chunk = payload[idx * width: (idx + 1) * width]
+                yield doc_id, idx, len(chunk), (chunk[0] if chunk else 0)
+
+        for pdf in batches:
+            rows = [
+                r
+                for d, p in zip(pdf["doc_id"], pdf["payload"])
+                for r in sample(d, p)
+            ]
+            yield _pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "n_frame_bytes", "frame_head"]
+            )
+
+    return df.mapInPandas(frames, schema=FRAME_SCHEMA)

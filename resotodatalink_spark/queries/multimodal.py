@@ -84,3 +84,18 @@ def pandas_udaf_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("event_id", "event_type", "value").groupBy(
         "event_type"
     ).applyInPandas(zscore, schema="event_id long, z double")
+
+
+@query("multimodal_frames")  # rows-only: 1->N mapInPandas fan-out, no SQL oracle
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling over binary payloads: each payload
+    fans out to one row per sampled fake frame (every 4th of 64-byte
+    frames) — the data-dependent 1->N batch shape that rules out
+    scalar UDFs.  Codec is a stub; the Arrow plumbing is real."""
+    from resotodatalink_spark.operators.multimodal import (
+        attach_payload,
+        sample_frames,
+    )
+
+    d = attach_payload(table(spark, sf_dir, "documents"))
+    return sample_frames(d, every_n=4)

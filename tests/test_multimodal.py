@@ -3,6 +3,8 @@ so its values are asserted here instead."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from resotodatalink_spark.operators.multimodal import attach_payload, decode_media
 from resotodatalink_spark.sources.tables import table
 from tests.conftest import SF_DIR
@@ -35,3 +37,37 @@ def test_payload_metadata_struct(spark):
     p = attach_payload(d)
     row = p.select("media_meta.mime", "media_meta.content_length").first()
     assert row[0] == "image/fake" and row[1] > 0
+
+
+def test_resize_media_contract(spark):
+    from resotodatalink_spark.operators.multimodal import attach_payload, resize_media
+    from resotodatalink_spark.sources.tables import table
+    from tests.conftest import SF_DIR
+
+    d = attach_payload(table(spark, SF_DIR, "documents"))
+    out = resize_media(d, 8, 8)
+    assert [f.name for f in out.schema.fields] == ["doc_id", "payload", "width", "height"]
+    rows = out.collect()
+    assert len(rows) == d.count()
+    assert all(len(r.payload) <= 64 for r in rows)  # capped at target area
+    assert all(r.width == 8 and r.height == 8 for r in rows)
+    # deterministic: re-run produces identical bytes
+    again = {r.doc_id: bytes(r.payload) for r in resize_media(d, 8, 8).collect()}
+    assert all(bytes(r.payload) == again[r.doc_id] for r in rows)
+
+
+def test_sample_frames_fanout(spark):
+    from resotodatalink_spark.operators.multimodal import attach_payload, sample_frames
+    from resotodatalink_spark.sources.tables import table
+    from tests.conftest import SF_DIR
+
+    d = attach_payload(table(spark, SF_DIR, "documents"))
+    out = sample_frames(d, every_n=4).collect()
+    # 1 -> N fan-out: every doc yields ceil(max(len//64,1)/4) frames
+    lens = {r.doc_id: r for r in d.select("doc_id", F.length("payload").alias("n")).collect()}
+    import math
+    expected = sum(
+        math.ceil(max(r.n // 64, 1) / 4) for r in lens.values()
+    )
+    assert len(out) == expected
+    assert all(r.frame_idx % 4 == 0 for r in out)
