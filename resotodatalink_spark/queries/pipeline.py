@@ -1,0 +1,277 @@
+"""Training-data pipeline slugs beyond per-doc text stats: PII
+redaction, benchmark decontamination, Gopher-style repetition filters,
+class rebalancing, and deterministic global shuffle/sharding.
+
+All pure built-in-expression plans (regexp / explode / hash-sample /
+per-shard windows) — no Python in the hot path, every join keyed on a
+hash or bounded benchmark set, so each survives a 1000-executor 100 TB
+run.  Reference scope note: resotodatalink (reference sql.py) stops at
+load/sync; these are the curation operators its users run downstream,
+re-expressed Spark-first per the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from resotodatalink_spark.functions.hashing import (
+    SPREAD_MOD,
+    SPREAD_MULT,
+    duck_shingle_cte,
+)
+from resotodatalink_spark.registry import query
+from resotodatalink_spark.sources.tables import table
+
+# deterministic doc_id -> pseudo-uniform value, shared with the oracle
+# (same Knuth-multiplier spread used by sample_hash_stratified)
+_SPREAD = f"(doc_id * {SPREAD_MULT} + 919380) % {SPREAD_MOD}"
+
+_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.]+"
+_IP_RE = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+
+@query(
+    "pii_redaction",
+    oracle=f"""
+    WITH enriched AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@example.com at '
+                  || (doc_id % 223 + 10) || '.' || (doc_id % 251) || '.'
+                  || (doc_id % 241) || '.' || (doc_id % 199) AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(raw, '{_EMAIL_RE}')) AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(raw, '{_IP_RE}')) AS INTEGER) AS n_ips,
+           regexp_replace(regexp_replace(raw, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_IP_RE}', '<IP>', 'g') AS redacted
+    FROM enriched
+    """,
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction over text (emails, IPv4s) — pure
+    regexp built-ins, codegen speed at 100 TB.  The synthetic corpus
+    carries no PII, so the slug first derives a deterministic
+    PII-bearing column from doc_id (same expression in the oracle),
+    then runs the generic count+redact pass a real pipeline would run
+    on raw crawl text.  Spark regexp_replace is global by default;
+    DuckDB needs the 'g' flag — same semantics."""
+    d = table(spark, sf_dir, "documents")
+    raw = F.expr(
+        "concat(text, ' contact user', doc_id, '@example.com at ', "
+        "doc_id % 223 + 10, '.', doc_id % 251, '.', doc_id % 241, '.', "
+        "doc_id % 199)"
+    )
+    enriched = d.select("doc_id", raw.alias("raw"))
+    redacted = F.regexp_replace(
+        F.regexp_replace("raw", _EMAIL_RE, "<EMAIL>"), _IP_RE, "<IP>"
+    )
+    return enriched.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("raw", F.lit(_EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("raw", F.lit(_IP_RE), 0)).alias("n_ips"),
+        redacted.alias("redacted"),
+    )
+
+
+@query(
+    "repetition_filter",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tok_counts AS (
+      SELECT doc_id, tok, count(*) AS n FROM toks GROUP BY doc_id, tok
+    ),
+    tok_stats AS (
+      SELECT doc_id, max(n) AS top_tok_n, CAST(sum(n) AS INTEGER) AS n_tokens
+      FROM tok_counts GROUP BY doc_id
+    ),
+    grams AS (
+      SELECT doc_id,
+             array_to_string(list_slice(t, i, i + 1), ' ') AS g
+      FROM (
+        SELECT doc_id, t,
+               unnest(generate_series(1, greatest(len(t) - 1, 1)))::BIGINT AS i
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      )
+    ),
+    gram_stats AS (
+      SELECT doc_id, count(*) AS n_bigrams, count(DISTINCT g) AS n_distinct
+      FROM grams GROUP BY doc_id
+    )
+    SELECT s.doc_id, s.n_tokens,
+           round(s.top_tok_n * 1.0 / s.n_tokens, 6) AS top_token_frac,
+           round(1.0 - g.n_distinct * 1.0 / g.n_bigrams, 6) AS dup_bigram_frac,
+           (s.top_tok_n * 1.0 / s.n_tokens <= 0.12
+            AND 1.0 - g.n_distinct * 1.0 / g.n_bigrams <= 0.2) AS keep
+    FROM tok_stats s JOIN gram_stats g ON s.doc_id = g.doc_id
+    """,
+)
+def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality rules (Rae et al. 2021, public):
+    most-frequent-token dominance and duplicated-bigram fraction per
+    document, with a keep flag.  Two explode+agg branches keyed by
+    doc_id joined at the end — all shuffles are on doc_id, so the plan
+    is embarrassingly parallel across documents at any corpus size."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tok_stats = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("n"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").alias("top_tok_n"),
+            F.sum("n").cast("int").alias("n_tokens"),
+        )
+    )
+    arr = d.select("doc_id", F.split("text", " ").alias("t"))
+    grams = arr.select(
+        "doc_id",
+        F.explode(
+            F.expr("sequence(1, greatest(size(t) - 1, 1))")
+        ).alias("i"),
+        "t",
+    ).select("doc_id", F.expr("array_join(slice(t, i, 2), ' ')").alias("g"))
+    gram_stats = grams.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.countDistinct("g").alias("n_distinct"),
+    )
+    top_frac = F.col("top_tok_n") / F.col("n_tokens")
+    dup_frac = 1.0 - F.col("n_distinct") / F.col("n_bigrams")
+    return tok_stats.join(gram_stats, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        F.round(top_frac, 6).alias("top_token_frac"),
+        F.round(dup_frac, 6).alias("dup_bigram_frac"),
+        ((top_frac <= 0.12) & (dup_frac <= 0.2)).alias("keep"),
+    )
+
+
+@query(
+    "decontamination",
+    oracle=f"""
+    WITH {duck_shingle_cte("documents", "doc_id", "text", 3)},
+    distinct_grams AS (SELECT DISTINCT doc_id, h FROM __hashes),
+    bench AS (
+      SELECT DISTINCT h FROM distinct_grams WHERE doc_id % 13 = 0
+    ),
+    train AS (
+      SELECT doc_id, h FROM distinct_grams WHERE doc_id % 13 <> 0
+    ),
+    totals AS (
+      SELECT doc_id, count(*) AS n_shingles FROM train GROUP BY doc_id
+    ),
+    shared AS (
+      SELECT t.doc_id, count(*) AS n_shared
+      FROM train t JOIN bench b ON t.h = b.h
+      GROUP BY t.doc_id
+    )
+    SELECT t.doc_id, CAST(t.n_shingles AS INTEGER) AS n_shingles,
+           CAST(s.n_shared AS INTEGER) AS n_shared,
+           round(s.n_shared * 1.0 / t.n_shingles, 6) AS contamination,
+           s.n_shared * 2 >= t.n_shingles AS contaminated
+    FROM totals t JOIN shared s ON t.doc_id = s.doc_id
+    """,
+)
+def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (the n-gram-overlap check every
+    public LLM data pipeline runs, e.g. GPT-3 appendix C): docs whose
+    word-3-gram hash sets overlap a held-out benchmark set (here:
+    doc_id % 13 == 0) are flagged when >= half their shingles appear
+    in the benchmark.  Scale shape: the benchmark shingle set is
+    bounded (benchmark-sized, not corpus-sized) so the join is an
+    equi-join against a small build side — AQE broadcasts it at
+    runtime; no forced hint, no O(n^2) doc comparison."""
+    from resotodatalink_spark.operators.dedup import shingle_hashes
+
+    d = table(spark, sf_dir, "documents")
+    grams = shingle_hashes(d).distinct()
+    bench = (
+        grams.filter(F.col("doc_id") % 13 == 0).select("h").distinct()
+    )
+    train = grams.filter(F.col("doc_id") % 13 != 0)
+    totals = train.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_shingles")
+    )
+    shared = (
+        train.join(bench, "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("int").alias("n_shared"))
+    )
+    return totals.join(shared, "doc_id").select(
+        "doc_id",
+        "n_shingles",
+        "n_shared",
+        F.round(F.col("n_shared") / F.col("n_shingles"), 6).alias("contamination"),
+        (F.col("n_shared") * 2 >= F.col("n_shingles")).alias("contaminated"),
+    )
+
+
+@query(
+    "class_rebalance",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, count(*) AS n FROM documents GROUP BY lang
+    ),
+    rates AS (
+      SELECT lang, n,
+             (SELECT min(n) FROM counts) * 1.0 / n AS rate
+      FROM counts
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN rates r ON d.lang = r.lang
+    WHERE {_SPREAD} < CAST(r.rate * {SPREAD_MOD} AS BIGINT)
+    """,
+)
+def class_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture rebalancing: downsample every language class to the
+    minority-class rate (expected counts equalize) using the same
+    reproducible doc_id-hash acceptance as sample_hash_stratified —
+    rand() would not be reproducible across engines, re-runs, or stage
+    retries.  The per-class rate table is #classes rows — broadcast by
+    AQE; the corpus is never shuffled, only filtered at scan speed."""
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n"))
+    # min over an unpartitioned window: fine here because the frame is
+    # the per-class count table (#classes rows), never the corpus
+    rates = counts.select(
+        "lang", (F.min("n").over(W.partitionBy()) / F.col("n")).alias("rate")
+    )
+    h = F.expr(_SPREAD)
+    return (
+        d.join(rates, "lang")
+        .filter(h < (F.col("rate") * SPREAD_MOD).cast("long"))
+        .select("doc_id", "lang")
+    )
+
+
+@query(
+    "global_shuffle",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_SPREAD} % 64 AS INTEGER) AS shard_id,
+           CAST(row_number() OVER (
+             PARTITION BY {_SPREAD} % 64
+             ORDER BY {_SPREAD}, doc_id) AS INTEGER) AS pos
+    FROM documents
+    """,
+)
+def global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + shard assignment for training
+    (every epoch-0 data loader needs one): shard = hash(doc_id) % 64,
+    position = rank within shard by hash.  64 independent per-shard
+    windows — one shuffle partitioned by shard, no global orderBy
+    (which would serialize the corpus through a single task at 100 TB);
+    shard files can then be written with partitionBy('shard_id')."""
+    d = table(spark, sf_dir, "documents")
+    h = F.expr(_SPREAD)
+    sharded = d.select("doc_id", h.alias("__h"), (h % 64).cast("int").alias("shard_id"))
+    w = W.partitionBy("shard_id").orderBy("__h", "doc_id")
+    return sharded.select(
+        "doc_id",
+        "shard_id",
+        F.row_number().over(w).cast("int").alias("pos"),
+    )

@@ -38,6 +38,7 @@ def load_all() -> None:
         dedup,
         graph,
         multimodal,
+        pipeline,
         relational,
         similarity,
         streaming,
