@@ -23,8 +23,14 @@ registry.load_all()
 # past the cap.  Keep ALL slugs registered — coverage is unchanged,
 # only the attestation order rotates.
 _ATTEST_FIRST = [
-    # SURVEY §2 T4 stream windows — the only §2 rows without driver
-    # evidence in round 1 — then the rest of the r01-unchecked 21.
+    # Never-attested slugs first: the round-2 curation-pipeline family,
+    "pii_redaction",
+    "repetition_filter",
+    "decontamination",
+    "class_rebalance",
+    "global_shuffle",
+    # then SURVEY §2 T4 stream windows — the only §2 rows without
+    # driver evidence in round 1 — then the rest of the r01-unchecked.
     "stream_tumbling_window",
     "stream_sliding_window",
     "stream_session_window",
