@@ -385,11 +385,15 @@ def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cid",
         (V.dot_spark("embedding", "cemb") / F.col("cn")).alias("score"),
     )
-    w_assign = W.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("cid"))
+    # Argmax as a hash aggregate, not a window: max(struct) gets
+    # map-side partial combine (the n*k score rows collapse to one row
+    # per vec_id per partition before the shuffle) and no sort; the
+    # window form shuffled+sorted all n*k rows.  Tie-break matches the
+    # oracle: highest score, then lowest cid (max of -cid).
     assigned = (
-        scored.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("cid").alias("cell"))
+        scored.groupBy("vec_id")
+        .agg(F.max(F.struct("score", (-F.col("cid")).alias("ncid"))).alias("m"))
+        .select("vec_id", (-F.col("m.ncid")).alias("cell"))
     )
     b = assigned.join(e, "vec_id").select(
         "vec_id",
