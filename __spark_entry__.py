@@ -29,6 +29,8 @@ _ATTEST_FIRST = [
     "decontamination",
     "class_rebalance",
     "global_shuffle",
+    "stream_dedup",
+    "sessionize_events",
     # then SURVEY §2 T4 stream windows — the only §2 rows without
     # driver evidence in round 1 — then the rest of the r01-unchecked.
     "stream_tumbling_window",

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from resotodatalink_spark.registry import query
 from resotodatalink_spark.sources.tables import table
@@ -224,4 +225,89 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return activity.groupBy("cohort_week", "weeks_since").agg(
         F.count("*").alias("n_active")
+    )
+
+
+@query(
+    "stream_dedup",
+    oracle="""
+    SELECT user_id, event_type, min(ts) AS first_ts, count(*) AS n_dups
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup with first-event semantics (the deterministic form
+    of streaming dropDuplicates — see streaming/windows.py
+    first_event_dedup for why arbitrary-row dedup is not
+    reproducible).  One hash aggregate, map-side combined; state in
+    streaming is one row per live key, bounded by the watermark."""
+    from resotodatalink_spark.streaming.windows import first_event_dedup
+
+    return first_event_dedup(table(spark, sf_dir, "events"))
+
+
+@query(
+    "sessionize_events",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts > lag(ts) OVER w + INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS INTEGER)
+               AS session_seq
+      FROM marked
+    )
+    SELECT user_id, session_seq, min(ts) AS session_start,
+           max(ts) AS session_end, count(*) AS n_events
+    FROM numbered GROUP BY user_id, session_seq
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): a session breaks after
+    a >30min silence; session_seq is the running count of breaks.
+    Both windows share one (user_id)-ordered sort — Spark plans a
+    single shuffle+sort and evaluates lag and the running sum in the
+    same Window operator chain; the final per-session rollup is a hash
+    aggregate with map-side combine on the same user_id key.  This is
+    the offline twin of stream_session_window: session_window() infers
+    the same islands incrementally with watermark-bounded state.
+
+    The running sum uses an explicit ROWS frame: with a RANGE frame
+    (the default) peers share a frame, and although (ts, event_id) is
+    unique here, ROWS states the intent and matches DuckDB exactly."""
+    ev = table(spark, sf_dir, "events")
+    w_ord = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w_ord)
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (
+            prev.isNull()
+            | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES"))
+        )
+        .cast("int")
+        .alias("is_new"),
+    )
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    numbered = marked.select(
+        "user_id",
+        "ts",
+        F.sum("is_new").over(w_run).cast("int").alias("session_seq"),
+    )
+    return numbered.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
     )

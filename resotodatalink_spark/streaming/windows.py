@@ -55,3 +55,22 @@ def session_counts(
         .agg(F.count("*").alias("n_events"))
         .select("user_id", F.col("w.start").alias("session_start"), "n_events")
     )
+
+
+def first_event_dedup(df: DataFrame, watermark: str | None = None) -> DataFrame:
+    """Streaming-safe dedup keyed on (user_id, event_type): keep the
+    earliest event time and a duplicate count per key.
+
+    Spark's dropDuplicates keeps an ARBITRARY row (arrival order in
+    streaming, partition order in batch) — not reproducible across
+    engines or retries, so not oracle-checkable.  min(ts)/count(*) is
+    the same state size (one row per key) with deterministic output,
+    and in streaming it is a plain aggregation: watermark bounds state,
+    AvailableNow drains it.  Batch and streaming share this helper;
+    tests/test_streaming.py proves they agree."""
+    if watermark and df.isStreaming:
+        df = df.withWatermark("ts", watermark)
+    return df.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("first_ts"),
+        F.count("*").alias("n_dups"),
+    )

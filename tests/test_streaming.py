@@ -248,3 +248,17 @@ def test_keyed_batches_exactly_once_ids(spark, tmp_path):
         for r in table(spark, SF_DIR, "events").select("event_id").collect()
     ]
     assert sorted(delivered) == sorted(expected)
+
+
+def test_stream_dedup_agrees_with_batch(spark, tmp_path):
+    from resotodatalink_spark.streaming.windows import first_event_dedup
+
+    ev = stream_events(spark, SF_DIR)
+    got = _run_to_memory(
+        spark,
+        first_event_dedup(ev, watermark="1 hour"),
+        "t_dedup",
+        str(tmp_path / "cp_dedup"),
+    ).collect()
+    want = first_event_dedup(table(spark, SF_DIR, "events")).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
