@@ -31,6 +31,7 @@ _ATTEST_FIRST = [
     "global_shuffle",
     "stream_dedup",
     "sessionize_events",
+    "unigram_logprob",
     # then SURVEY §2 T4 stream windows — the only §2 rows without
     # driver evidence in round 1 — then the rest of the r01-unchecked.
     "stream_tumbling_window",

@@ -517,3 +517,57 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(before / 2048).alias("bin_id"),
         (before % 2048).alias("bin_offset"),
     )
+
+
+@query(
+    "unigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    doc_tok AS (
+      SELECT doc_id, tok, count(*) AS n FROM toks GROUP BY doc_id, tok
+    ),
+    vocab AS (
+      SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+    ),
+    total AS (SELECT sum(cnt) AS n_total FROM vocab)
+    SELECT d.doc_id,
+           CAST(sum(d.n) AS INTEGER) AS n_tokens,
+           round(sum(d.n * ln(v.cnt * 1.0 / t.n_total)) / sum(d.n), 6)
+             AS avg_logprob
+    FROM doc_tok d JOIN vocab v ON d.tok = v.tok CROSS JOIN total t
+    GROUP BY d.doc_id
+    """,
+)
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram LM score per document — the public
+    CCNet/Wikipedia-LM quality-filter shape with the corpus itself as
+    the model: avg token log-probability under empirical unigram
+    frequencies (low = gibberish / rare-token soup, high = fluent
+    common prose).  Two-pass plan: (doc, tok) counts collapse the token
+    stream FIRST (map-side combine), so the vocab join moves one row
+    per distinct (doc, token) — not one per token occurrence — and the
+    vocab side is aggregated on the same tok key it joins on, reusing
+    the exchange.  The corpus-total is a broadcast scalar.  The per-doc
+    sum is an order-sensitive double aggregate, so it is rounded (6dp)
+    per the float discipline; terms-per-doc is ~#distinct tokens, far
+    below the precision cliff."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    doc_tok = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("n"))
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("n_total"))
+    return (
+        doc_tok.join(vocab, "tok")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("int").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("n") * F.log(F.col("cnt") / F.col("n_total")))
+                / F.sum("n"),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )
