@@ -27,6 +27,24 @@ _N_QUERIES = 10
 _TOPK = 5
 
 
+def _spread(df: DataFrame, *keys: str) -> DataFrame:
+    """Hash-repartition a compute-bound input up to the session's
+    parallelism when the scan under-splits it.
+
+    Embedding tables are byte-small but FLOP-heavy: a single-row-group
+    parquet file scans as 1-2 partitions, so a k x d dot-product stage
+    would run on 1-2 of the cluster's cores.  One keyed shuffle of the
+    raw vectors (~input bytes) buys k x parallel compute — worth it
+    whenever upstream splits < cores; a no-op (plan unchanged) when the
+    scan is already wide enough, so at 100 TB, where the table arrives
+    in thousands of splits, this adds nothing."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, *[F.col(k) for k in keys])
+
+
 @query(
     "ann_cosine_topk",
     oracle=f"""
@@ -49,7 +67,7 @@ _TOPK = 5
 )
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-5 cosine neighbors for each of the 10 query vectors."""
-    e = table(spark, sf_dir, "embeddings")
+    e = _spread(table(spark, sf_dir, "embeddings"), "vec_id")
     # norms are precomputed per vector (sqrt(dot(x,x)) once, not per
     # pair) — identical value, ~n x fewer dot products at scale
     q = e.filter(F.col("vec_id") < _N_QUERIES).select(
@@ -102,7 +120,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN: hyperplane sign buckets, candidates = same
     bucket only (equi-join), then exact cosine re-rank within bucket."""
-    e = table(spark, sf_dir, "embeddings")
+    e = _spread(table(spark, sf_dir, "embeddings"), "vec_id")
     # bucket expr is a 512-term chain; materialize once — both the query
     # and candidate branches reuse it instead of recomputing per branch
     b = e.withColumn("bucket", V.lsh_bucket_spark("embedding")).localCheckpoint(
@@ -181,7 +199,7 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     single probe loses without adding hash tables).  The probe fan-out
     explodes the tiny QUERY side only — candidates still join on an
     equi-key, so the scale shape is unchanged."""
-    e = table(spark, sf_dir, "embeddings")
+    e = _spread(table(spark, sf_dir, "embeddings"), "vec_id")
     b = e.withColumn("bucket", V.lsh_bucket_spark("embedding")).localCheckpoint(
         eager=False
     )
@@ -246,7 +264,7 @@ def dedup_embedding(
     ``exact=True`` opts into the brute-force all-pairs scan — the
     validation path for recall audits, O(n^2), never the default.
     """
-    e = table(spark, sf_dir, "embeddings")
+    e = _spread(table(spark, sf_dir, "embeddings"), "vec_id")
     slim = e.select(
         "vec_id",
         "embedding",
@@ -367,7 +385,11 @@ def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment cost O(n * k) with constant k.  (A fixed modulus made k
     grow with n — the sf1 sweep measured the resulting O(n^2/61)
     assignment at 37x the sf0.1 wall for 10x the data.)"""
-    e = table(spark, sf_dir, "embeddings")
+    # NOT pre-cast to array<double>: it folds dot_spark's per-element
+    # casts to no-ops but doubles every byte through the repartition
+    # and checkpoint — measured 2x SLOWER at sf1 (shuffle-bandwidth
+    # bound, not cast bound).  float arrays stay float on the wire.
+    e = _spread(table(spark, sf_dir, "embeddings"), "vec_id")
     stride = e.agg(
         F.ceil(F.count("*") / 32.0).cast("long").alias("__stride")
     )
@@ -448,7 +470,7 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors positionally, average per (label, dim).  One shuffle on a
     composite key; at 100 TB this is the standard map-side-combined
     mean — no vectors ever collect to the driver."""
-    e = table(spark, sf_dir, "embeddings")
+    e = _spread(table(spark, sf_dir, "embeddings"), "vec_id")
     flat = e.select(
         "label", F.posexplode("embedding").alias("pos0", "v")
     ).select("label", (F.col("pos0") + 1).cast("int").alias("pos"), "v")
