@@ -9,6 +9,9 @@ The allowlist is intentional, not historical:
 * funnel_conversion — combines two ONE-ROW aggregates with a
   crossJoin; a 1x1 BroadcastNestedLoopJoin is constant work at any
   scale.
+* unigram_logprob — attaches a ONE-ROW corpus-total aggregate to the
+  vocab join via broadcast; an n x 1 BNLJ degenerates to a map-side
+  column append, constant extra work per row at any scale.
 """
 
 from __future__ import annotations
@@ -20,7 +23,7 @@ from tests.conftest import SF_DIR
 
 registry.load_all()
 
-CARTESIAN_OK = {"ann_cosine_topk", "funnel_conversion"}
+CARTESIAN_OK = {"ann_cosine_topk", "funnel_conversion", "unigram_logprob"}
 
 
 @pytest.mark.parametrize("slug", sorted(registry.QUERIES))
