@@ -32,6 +32,7 @@ _ATTEST_FIRST = [
     "stream_dedup",
     "sessionize_events",
     "unigram_logprob",
+    "dedup_incremental",
     # then SURVEY §2 T4 stream windows — the only §2 rows without
     # driver evidence in round 1 — then the rest of the r01-unchecked.
     "stream_tumbling_window",

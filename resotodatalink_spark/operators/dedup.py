@@ -95,11 +95,9 @@ def minhash_signatures(
     return g.groupBy(id_col).agg(*aggs).localCheckpoint(eager=False)
 
 
-def minhash_band_pairs(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """LSH candidate pairs: ids sharing at least one of the 8 (2-row)
-    bands.  Explode to (band, h1, h2) buckets and equi-join — the
-    scalable path; candidates ~ true near-dups, not n^2."""
-    bands = sig.select(
+def _band_rows(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, band, h1, h2): one row per LSH band of each signature."""
+    return sig.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -114,6 +112,13 @@ def minhash_band_pairs(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
         ).alias("b"),
     ).select(id_col, "b.band", "b.h1", "b.h2")
+
+
+def minhash_band_pairs(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """LSH candidate pairs: ids sharing at least one of the 8 (2-row)
+    bands.  Explode to (band, h1, h2) buckets and equi-join — the
+    scalable path; candidates ~ true near-dups, not n^2."""
+    bands = _band_rows(sig, id_col)
     a = bands.withColumnRenamed(id_col, "doc_a")
     b = bands.withColumnRenamed(id_col, "doc_b")
     return (
@@ -122,6 +127,19 @@ def minhash_band_pairs(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
+
+
+def minhash_pairs_between(
+    sig_a: DataFrame, sig_b: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Asymmetric LSH candidates: (doc_a from sig_a, doc_b from sig_b)
+    sharing at least one band — the incremental-dedup shape (new batch
+    vs stored corpus).  The corpus is never self-joined: band rows of
+    the batch equi-join band rows of the corpus, so per-increment cost
+    is O(batch + collisions) regardless of corpus size."""
+    a = _band_rows(sig_a, id_col).withColumnRenamed(id_col, "doc_a")
+    b = _band_rows(sig_b, id_col).withColumnRenamed(id_col, "doc_b")
+    return a.join(b, ["band", "h1", "h2"]).select("doc_a", "doc_b").distinct()
 
 
 def minhash_pairs_with_agreement(

@@ -217,3 +217,53 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality",
         (F.row_number().over(w) == 1).cast("int").alias("is_survivor"),
     )
+
+
+@query(
+    "dedup_incremental",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    sig AS (SELECT doc_id, {_MINS} FROM __hashes GROUP BY doc_id)
+    SELECT a.doc_id AS batch_doc, b.doc_id AS corpus_doc,
+           CAST({_AGREE} AS INTEGER) AS n_common
+    FROM sig a JOIN sig b
+      ON a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0 AND ({_BAND_COND})
+    WHERE ({_AGREE}) >= 8
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the production shape: a NEW BATCH
+    (doc_id % 10 == 0 here; in production, today's crawl) checked
+    against the EXISTING CORPUS without ever re-pairing the corpus with
+    itself.  Batch band rows equi-join corpus band rows
+    (operators/dedup.py minhash_pairs_between), so each increment costs
+    O(batch + collisions) however large the corpus is; with signatures
+    persisted (they are one narrow row per doc), the corpus side is a
+    plain scan of the signature store.  Verified pairs (>= 8/16
+    agreeing hashes, est. Jaccard >= 0.5) are the batch docs to drop or
+    cluster with their corpus twins."""
+    d = table(spark, sf_dir, "documents")
+    sig = D.minhash_signatures(d)
+    batch = sig.filter(F.col("doc_id") % 10 == 0)
+    corpus = sig.filter(F.col("doc_id") % 10 != 0)
+    cand = D.minhash_pairs_between(batch, corpus)
+    sa = sig.select(
+        F.col("doc_id").alias("batch_doc"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(H.N_MINHASH)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("corpus_doc"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(H.N_MINHASH)],
+    )
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(H.N_MINHASH)
+    )
+    return (
+        cand.withColumnRenamed("doc_a", "batch_doc")
+        .withColumnRenamed("doc_b", "corpus_doc")
+        .join(sa, "batch_doc")
+        .join(sb, "corpus_doc")
+        .select("batch_doc", "corpus_doc", agree.cast("int").alias("n_common"))
+        .filter(F.col("n_common") >= 8)
+    )
