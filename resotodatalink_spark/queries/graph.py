@@ -259,3 +259,74 @@ def graph_search_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
         src, model, 'is(region_node) and name ~ "^A" -[1:2]->'
     )
     return result.select("id", "kind")
+
+
+@query(
+    "graph_components",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+      SELECT 1000000 + n_regionkey AS a, 2000000 + n_nationkey AS b FROM nation
+      UNION ALL
+      SELECT 2000000 + s_nationkey AS a, 3000000 + s_suppkey AS b FROM supplier
+      UNION ALL
+      SELECT 2000000 + c_nationkey AS a, 4000000 + c_custkey AS b FROM customer
+    ),
+    edges AS (
+      SELECT a AS s, b AS d FROM pairs UNION SELECT b, a FROM pairs
+    ),
+    reach(node, lab) AS (
+      SELECT DISTINCT s, s FROM edges
+      UNION
+      SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.node
+    ),
+    labeled AS (
+      SELECT node, min(lab) AS cluster FROM reach GROUP BY node
+    )
+    SELECT concat(CASE WHEN node >= 4000000 THEN 'C'
+                       WHEN node >= 3000000 THEN 'S'
+                       WHEN node >= 2000000 THEN 'N'
+                       ELSE 'R' END,
+                  CAST(node % 1000000 AS VARCHAR)) AS node_id,
+           CAST(cluster AS BIGINT) AS cluster_id
+    FROM labeled
+    """,
+)
+def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weakly-connected components over the collector graph (the
+    region->nation->{supplier,customer} link tables): every node
+    labeled with the min encoded id of its component — the
+    'blast-radius' grouping the reference's server-side graph could
+    answer but its SQL layer could not.  Nodes are encoded numerically
+    (type-prefix * 1e6 + key, decoded for output) so the clustering
+    engine's numeric convergence check applies; reuses
+    operators/dedup.py connected_components: min-label propagation,
+    one equi-join per round, O(diameter)=3 rounds here; the oracle is
+    the same closure as a recursive CTE."""
+    nation = table(spark, sf_dir, "nation")
+    supplier = table(spark, sf_dir, "supplier")
+    customer = table(spark, sf_dir, "customer")
+    pairs = (
+        nation.select((F.lit(1000000) + F.col("n_regionkey")).alias("doc_a"),
+                      (F.lit(2000000) + F.col("n_nationkey")).alias("doc_b"))
+        .unionByName(
+            supplier.select((F.lit(2000000) + F.col("s_nationkey")).alias("doc_a"),
+                            (F.lit(3000000) + F.col("s_suppkey")).alias("doc_b")))
+        .unionByName(
+            customer.select((F.lit(2000000) + F.col("c_nationkey")).alias("doc_a"),
+                            (F.lit(4000000) + F.col("c_custkey")).alias("doc_b")))
+    )
+    from resotodatalink_spark.operators.dedup import connected_components
+
+    cc = connected_components(pairs)
+    # range tests, not division: DuckDB CAST(double->int) rounds while
+    # Spark truncates, so a divided prefix would diverge at key>=500000
+    prefix = (
+        F.when(F.col("doc_id") >= 4000000, "C")
+        .when(F.col("doc_id") >= 3000000, "S")
+        .when(F.col("doc_id") >= 2000000, "N")
+        .otherwise("R")
+    )
+    return cc.select(
+        F.concat(prefix, (F.col("doc_id") % 1000000).cast("string")).alias("node_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
