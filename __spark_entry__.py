@@ -34,6 +34,7 @@ _ATTEST_FIRST = [
     "unigram_logprob",
     "dedup_incremental",
     "graph_components",
+    "cdc_latest",
     # then SURVEY §2 T4 stream windows — the only §2 rows without
     # driver evidence in round 1 — then the rest of the r01-unchecked.
     "stream_tumbling_window",

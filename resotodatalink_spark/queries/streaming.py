@@ -311,3 +311,37 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("session_end"),
         F.count("*").alias("n_events"),
     )
+
+
+@query(
+    "cdc_latest",
+    oracle="""
+    SELECT user_id, event_type, ts AS last_ts, value AS last_value
+    FROM (
+      SELECT user_id, event_type, ts, value,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) t WHERE rn = 1
+    """,
+)
+def cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-record-per-key (the CDC / upsert-compaction shape: last
+    write wins).  A hash aggregate on max(struct(ts, event_id, value))
+    — map-side partial combine, no sort — NOT a window + rn=1, which
+    would shuffle AND sort every historical version of every key (the
+    same argmax lesson as IVF assignment, docs/DESIGN_NOTES.md).
+    event_id inside the struct makes the tie-break at equal ts exact
+    and engine-independent; the oracle states the identical semantics
+    as a window because DuckDB's arg_max leaves ties unspecified."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.max(F.struct("ts", "event_id", "value")).alias("m"))
+        .select(
+            "user_id",
+            "event_type",
+            F.col("m.ts").alias("last_ts"),
+            F.col("m.value").alias("last_value"),
+        )
+    )
