@@ -17,68 +17,25 @@ from resotodatalink_spark import registry
 registry.load_all()
 
 # The driver's correctness sweep attests the FIRST 50 dict entries only
-# (CORRECTNESS_r01.json stopped at exactly 50 of 71 registered slugs).
-# Order the dict so slugs lacking driver attestation come first; slugs
-# already green in a prior round's CORRECTNESS file are safe to fall
-# past the cap.  Keep ALL slugs registered — coverage is unchanged,
-# only the attestation order rotates.
-_ATTEST_FIRST = [
-    # Never-attested slugs first: the round-2 curation-pipeline family,
-    "pii_redaction",
-    "repetition_filter",
-    "decontamination",
-    "class_rebalance",
-    "global_shuffle",
-    "stream_dedup",
-    "sessionize_events",
-    "unigram_logprob",
-    "dedup_incremental",
-    "graph_components",
-    "cdc_latest",
-    # then SURVEY §2 T4 stream windows — the only §2 rows without
-    # driver evidence in round 1 — then the rest of the r01-unchecked.
-    "stream_tumbling_window",
-    "stream_sliding_window",
-    "stream_session_window",
-    "stream_interval_join",
-    "graph_search_aggregate",
-    "graph_search_with",
-    "graph_search_sorted",
-    "dedup_survivors",
-    "quota_sample",
-    "sequence_packing",
-    "multimodal_frames",
-    "ann_lsh_bucketed",
-    "ann_lsh_multiprobe",
-    "dedup_embedding",
-    "ann_ivf_cells",
-    "embedding_centroids",
-    "funnel_conversion",
-    "retention_cohorts",
-    "lang_id",
-    "quality_score",
-    "token_count",
-    "doc_fingerprint",
-    "text_normalize",
-    "udtf_tokenize",
-    "frequent_terms",
-    "sample_hash_stratified",
-    "curation_pipeline",
-    "text_chunking",
-    "tfidf_top_terms",
-    # r01-attested slugs most worth re-attesting (touched this round or
-    # structurally interesting); simple relational slugs with green r01
-    # rows sort last via registration order.
-    "dedup_minhash",
+# (CORRECTNESS_r01/r02 each stop at exactly 50).  Policy (per round-2
+# ADVICE): slugs whose implementation or oracle CHANGED this round are
+# always inside the window, followed by the slugs with the stalest
+# attestation (no row in the previous round's CORRECTNESS file).  Slugs
+# with a fresh green row from last round and no changes this round are
+# the ones that may fall past the cap.  All slugs stay registered.
+_CHANGED_THIS_ROUND = [
+    # round 3 edits: PPJoin robust ceil (dedup_ngram_jaccard operator),
+    # class_rebalance floor-vs-round fix, sessionize_events oracle
+    # tie-break.
     "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_clusters",
-    "dedup_exact",
-    "salted_groupby",
-    "skew_join_salted",
-    "ann_cosine_topk",
-    "graph_reachability",
-    "graph_reachability_min2",
+    "class_rebalance",
+    "sessionize_events",
+]
+
+_ATTEST_FIRST = _CHANGED_THIS_ROUND + [
+    # No CORRECTNESS_r02 row (r01-green only — stalest evidence).
+    # graph_search_dsl leads: its execute_search backend was rewritten
+    # in round 2 but it landed outside that round's window (ADVICE r2).
     "graph_search_dsl",
     "multimodal_features",
     "multimodal_decode",
@@ -89,6 +46,36 @@ _ATTEST_FIRST = [
     "join_asof",
     "join_theta_range",
     "window_range_frame",
+    "sql_passthrough",
+    "project_columns",
+    "nested_field_access",
+    "filter_predicate",
+    "map_ops",
+    "json_ops",
+    "date_functions",
+    "string_functions",
+    "math_functions",
+    "join_broadcast",
+    "join_link_table",
+    "join_semi",
+    "join_anti",
+    "join_outer",
+    "groupby_count",
+    "distinct_agg",
+    "topk_argmax",
+    "agg_sum_avg_min_max",
+    "groupby_having",
+    "rollup_cube",
+    "sort_limit",
+    "topk_per_group",
+    "set_ops",
+    "window_rank",
+    "window_running_sum",
+    "array_ops",
+    "subquery_exists",
+    "pivot_table",
+    "median_stats",
+    "string_agg",
 ]
 
 

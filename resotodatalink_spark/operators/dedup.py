@@ -295,8 +295,14 @@ def jaccard_pairs(
         prefix = (
             g2.withColumn("rn", F.row_number().over(w))
             .filter(
+                # ceil over doubles is hazardous: 0.7*10 floats to
+                # 7.000000000000001 and ceils to 8, shortening the prefix
+                # by one and dropping true pairs.  Nudge below the repr
+                # error before ceiling (1e-9 << any real shingle count).
                 F.col("rn")
-                <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+                <= F.col("sz")
+                - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9))
+                + 1
             )
             .drop("rn")
             .localCheckpoint(eager=False)

@@ -223,7 +223,7 @@ def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT d.doc_id, d.lang
     FROM documents d JOIN rates r ON d.lang = r.lang
-    WHERE {_SPREAD} < CAST(r.rate * {SPREAD_MOD} AS BIGINT)
+    WHERE {_SPREAD} < CAST(floor(r.rate * {SPREAD_MOD}) AS BIGINT)
     """,
 )
 def class_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -243,7 +243,10 @@ def class_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = F.expr(_SPREAD)
     return (
         d.join(rates, "lang")
-        .filter(h < (F.col("rate") * SPREAD_MOD).cast("long"))
+        # floor on BOTH sides (Spark cast-to-long truncates, DuckDB
+        # CAST rounds): a doc whose spread hash lands exactly on
+        # floor(rate*MOD) must get the same verdict in both engines.
+        .filter(h < F.floor(F.col("rate") * SPREAD_MOD))
         .select("doc_id", "lang")
     )
 

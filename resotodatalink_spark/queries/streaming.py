@@ -250,7 +250,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sessionize_events",
     oracle="""
     WITH marked AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
                     OR ts > lag(ts) OVER w + INTERVAL '30 minutes'
                   THEN 1 ELSE 0 END AS is_new
@@ -258,8 +258,12 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     numbered AS (
+      -- ORDER BY (ts, event_id) matches the Spark window exactly: with
+      -- duplicate timestamps at a session boundary a ts-only ROWS frame
+      -- would make the running sum depend on arbitrary tie order.
       SELECT user_id, ts,
-             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             CAST(sum(is_new) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS INTEGER)
                AS session_seq
       FROM marked

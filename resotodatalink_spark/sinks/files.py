@@ -68,9 +68,13 @@ def swap_staging(dest_dir: str, tables: list[str] | None = None) -> list[str]:
     sequence goes through the Hadoop FileSystem API.
 
     Per table the order is: rename the live dir aside to ``<t>__old``,
-    rename staging into place, delete the old dir LAST — so there is
-    never a window with no table, and a crash leaves either the old or
-    the new dir recoverable (never neither).  ``tables`` scopes the
+    rename staging into place, delete the old dir LAST.  This is
+    crash-recoverable (a crash leaves either the old or the new dir on
+    disk, never neither) but NOT gap-free: between the two renames
+    there is a brief instant where the live path does not exist and a
+    concurrent reader fails.  If true no-gap reads are required,
+    publish through a symlink flipped atomically (or a metastore
+    pointer) instead.  ``tables`` scopes the
     publish to named tables; single-table writers (upsert/delete) pass
     it so a leftover staging dir from an unrelated failed job is never
     accidentally published."""

@@ -75,8 +75,13 @@ def test_jaccard_ppjoin_prefix_filter_exact(spark):
     from tests.conftest import SF_DIR
 
     docs = table(spark, SF_DIR, "documents")
-    base = {(r.doc_a, r.doc_b, round(r.jaccard, 9))
-            for r in jaccard_pairs(docs, 0.5).collect()}
-    pp = {(r.doc_a, r.doc_b, round(r.jaccard, 9))
-          for r in jaccard_pairs(docs, 0.5, prefix_filter=True).collect()}
-    assert base == pp and len(base) > 0
+    # 0.5 is exact in binary; 0.7 is not (0.7*10 floats to
+    # 7.000000000000001) — the non-dyadic threshold guards the robust
+    # ceil in the prefix-length bound.
+    for threshold in (0.5, 0.7):
+        base = {(r.doc_a, r.doc_b, round(r.jaccard, 9))
+                for r in jaccard_pairs(docs, threshold).collect()}
+        pp = {(r.doc_a, r.doc_b, round(r.jaccard, 9))
+              for r in jaccard_pairs(docs, threshold, prefix_filter=True).collect()}
+        assert base == pp, f"threshold={threshold}"
+    assert len(base) > 0
