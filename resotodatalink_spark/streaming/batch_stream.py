@@ -20,8 +20,10 @@ and documented):
 * end-of-stream drain  -> ``Trigger.AvailableNow`` drains the source
                           and stops (batch_stream.py:57-64 analog).
 
-``stream_events`` applies the same nanos->micros normalization as the
-batch reader (sources/tables.py).
+``stream_events`` mirrors the batch reader's adaptive ``ts`` handling
+(sources/tables.py:48-57): the footer type decides the read path, so a
+timestamp[us] file streams natively and only a genuine timestamp[ns]
+footer takes the nanos-as-long + div-1000 route.
 """
 
 from __future__ import annotations
@@ -33,31 +35,38 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),  # nanos-as-long
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
-
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet (file source, schema pinned)."""
+    """readStream over the events parquet (file source, schema pinned).
+
+    Streaming sources can't infer schemas, so we read the parquet footer
+    once (driver-side, metadata only) via the batch reader and pin what
+    it reports.  Two cases, matching sources/tables.py:48-57:
+
+    * ``ts`` is a timestamp (the testdata's timestamp[us], read as
+      TIMESTAMP_NTZ): pin the footer schema verbatim, then cast NTZ ->
+      TIMESTAMP because ``withWatermark`` only accepts instant-based
+      event time (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE otherwise).  The
+      session time zone is UTC (session.py:39), so the cast pins the
+      wall-clock as UTC and collected values equal the batch reader's
+      NTZ values bit-for-bit.
+    * ``ts`` is a long (a timestamp[ns] footer read under
+      ``nanosAsLong``): pin LongType and take the nanos->micros route
+      (``timestamp_micros`` already yields an instant TIMESTAMP).
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    footer = spark.read.parquet(path).schema  # metadata-only driver read
     # file streaming sources need a directory; glob-filter to the table
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(footer)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    # streaming event-time (withWatermark) requires an instant-based
-    # TIMESTAMP — unlike the batch reader, which produces NTZ so oracle
-    # comparisons are session-timezone-independent
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    ts_field = next(f for f in footer.fields if f.name == "ts")
+    if ts_field.dataType.typeName() == "long":
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def run_keyed_batches(
