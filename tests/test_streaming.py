@@ -250,6 +250,144 @@ def test_keyed_batches_exactly_once_ids(spark, tmp_path):
     assert sorted(delivered) == sorted(expected)
 
 
+def _time_split_stream(spark, tmp_path, n_files=4):
+    """events split into n time-ordered parquet files so AvailableNow +
+    maxFilesPerTrigger=1 runs one micro-batch per file and the watermark
+    advances BETWEEN batches (time-ordered => no late drops, so batch
+    parity must hold exactly)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    batch = table(spark, SF_DIR, "events")
+    pdf = batch.orderBy("ts", "event_id").toPandas()
+    src = tmp_path / "tsplit"
+    src.mkdir()
+    for i, chunk in enumerate(np.array_split(pdf, n_files)):
+        tbl = pa.Table.from_pandas(chunk, preserve_index=False)
+        # pandas round-trips as timestamp[ns]; write timestamp[us] so the
+        # file matches the testdata format and the pinned NTZ schema
+        ts_idx = tbl.schema.get_field_index("ts")
+        tbl = tbl.set_column(
+            ts_idx, "ts", tbl.column("ts").cast(pa.timestamp("us"))
+        )
+        pq.write_table(tbl, str(src / f"{i:02d}.parquet"))
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    return stream, batch
+
+
+def _n_data_batches(query):
+    return sum(1 for p in query.recentProgress if p["numInputRows"] > 0)
+
+
+def test_multibatch_tumbling_update_snapshots(spark, tmp_path):
+    """Tumbling counts across 4 micro-batches (update mode): the LAST
+    snapshot per (window, event_type) must equal the batch group-by —
+    windows spanning a file boundary accumulate state across batches."""
+    stream, batch = _time_split_stream(spark, tmp_path)
+    q = (
+        tumbling_counts(stream, "1 hour", watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("t_mb_tumble")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "cp_mb1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert _n_data_batches(q) >= 2, "expected multiple micro-batches"
+    snaps = spark.table("t_mb_tumble").toPandas()
+    last = snaps.groupby(["window_start", "event_type"]).last().reset_index()
+    got = sorted(map(tuple, last.itertuples(index=False)))
+    want = sorted(
+        map(tuple, tumbling_counts(batch, "1 hour").toPandas().itertuples(index=False))
+    )
+    assert got == want
+
+
+def test_multibatch_session_complete(spark, tmp_path):
+    """Session windows across micro-batches: sessions spanning a file
+    boundary must MERGE in the state store (update mode is unsupported
+    for session windows — STREAMING_OUTPUT_MODE.UNSUPPORTED_OPERATION —
+    so complete mode's final table is the check; it still exercises the
+    cross-batch merge because state carries between the 4 batches)."""
+    stream, batch = _time_split_stream(spark, tmp_path)
+    q = (
+        session_counts(stream, "6 hours", watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("t_mb_session")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "cp_mb2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert _n_data_batches(q) >= 2
+    got = spark.table("t_mb_session").collect()
+    want = session_counts(batch, "6 hours").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_multibatch_interval_join_exact(spark, tmp_path):
+    """Stream-stream interval join across 4 micro-batches: inner-join
+    results emit as matches arrive and state survives across batches
+    within the watermark — with time-ordered input the append output
+    must equal the batch join exactly (including pairs whose click and
+    error land in DIFFERENT micro-batches)."""
+
+    def sides(df):
+        clicks = df.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        errors = df.filter(F.col("event_type") == "error").select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user_id"),
+            F.col("ts").alias("error_ts"),
+        )
+        return clicks, errors
+
+    stream, batch = _time_split_stream(spark, tmp_path)
+    clicks_s, errors_s = sides(stream)
+    clicks_s = clicks_s.withWatermark("click_ts", "2 hours")
+    errors_s = errors_s.withWatermark("error_ts", "2 hours")
+    cond = (
+        (clicks_s.user_id == errors_s.e_user_id)
+        & (errors_s.error_ts > clicks_s.click_ts)
+        & (errors_s.error_ts <= clicks_s.click_ts + F.expr("INTERVAL 1 HOUR"))
+    )
+    joined = clicks_s.join(errors_s, cond).select(
+        "click_id", "error_id", "user_id", "click_ts", "error_ts"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_mb_join")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cp_mb3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert _n_data_batches(q) >= 2
+    got = spark.table("t_mb_join")
+    clicks_b, errors_b = sides(batch)
+    cond_b = (
+        (clicks_b.user_id == errors_b.e_user_id)
+        & (errors_b.error_ts > clicks_b.click_ts)
+        & (errors_b.error_ts <= clicks_b.click_ts + F.expr("INTERVAL 1 HOUR"))
+    )
+    want = clicks_b.join(errors_b, cond_b).select(
+        "click_id", "error_id", "user_id", "click_ts", "error_ts"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
 def test_stream_dedup_agrees_with_batch(spark, tmp_path):
     from resotodatalink_spark.streaming.windows import first_event_dedup
 
