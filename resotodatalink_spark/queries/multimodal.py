@@ -1,8 +1,13 @@
-"""Multimodal slug: binary payload -> Pandas-UDF decode -> metadata.
+"""Multimodal slugs: binary payload -> Pandas-UDF stages -> metadata.
 
-No ``oracle_sql`` entry on purpose: the mapInPandas stage is not
-ANSI-SQL-expressible, so the driver records the rows-only check (the
-pytest suite asserts the decoded values instead)."""
+Every slug here carries a FULL DuckDB oracle even though the compute
+runs in mapInPandas: the codec STUBS are deterministic arithmetic over
+utf-8 bytes (length / first-byte ascii / fixed-width chunking), which
+ANSI SQL expresses exactly — ``generate_series`` reproduces even the
+1->N frame fan-out.  The corpus is pure ASCII (verified per-SF), so
+byte indexing and character indexing coincide and the oracles are
+bit-for-bit, proving the Arrow plumbing rather than just counting
+rows.  A real codec would drop the oracle back to rows-only."""
 
 from __future__ import annotations
 
@@ -13,8 +18,21 @@ from resotodatalink_spark.registry import query
 from resotodatalink_spark.sources.tables import table
 
 
-@query("multimodal_decode")  # rows-only: Pandas-UDF stage, no SQL oracle
+@query(
+    "multimodal_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS INTEGER) AS n_bytes,
+           CAST(ascii(substring(text, 1, 1)) AS INTEGER) AS header_byte,
+           CAST(1 + ascii(substring(text, 1, 1)) % 64 AS INTEGER) AS fake_width,
+           CAST(1 + strlen(text) % 64 AS INTEGER) AS fake_height
+    FROM documents
+    """,
+)
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode stage, hash-verified: the stub decoder is
+    byte arithmetic (first byte, length mod), which the oracle restates
+    over the same ASCII text."""
     d = table(spark, sf_dir, "documents")
     return decode_media(attach_payload(d))
 
@@ -86,12 +104,31 @@ def pandas_udaf_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).applyInPandas(zscore, schema="event_id long, z double")
 
 
-@query("multimodal_frames")  # rows-only: 1->N mapInPandas fan-out, no SQL oracle
+@query(
+    "multimodal_frames",
+    oracle="""
+    WITH fan AS (
+      SELECT doc_id, text,
+             unnest(generate_series(0, greatest(strlen(text) // 64, 1) - 1, 4))
+                 AS idx
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(idx AS INTEGER) AS frame_idx,
+           CAST(least(64, greatest(strlen(text) - idx * 64, 0)) AS INTEGER)
+               AS n_frame_bytes,
+           CAST(CASE WHEN strlen(text) - idx * 64 > 0
+                     THEN ascii(substring(text, idx * 64 + 1, 1))
+                     ELSE 0 END AS INTEGER) AS frame_head
+    FROM fan
+    """,
+)
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-style frame sampling over binary payloads: each payload
     fans out to one row per sampled fake frame (every 4th of 64-byte
     frames) — the data-dependent 1->N batch shape that rules out
-    scalar UDFs.  Codec is a stub; the Arrow plumbing is real."""
+    scalar UDFs.  Codec is a stub; the Arrow plumbing is real, and the
+    oracle reproduces the fan-out with a lateral generate_series."""
     from resotodatalink_spark.operators.multimodal import (
         attach_payload,
         sample_frames,
