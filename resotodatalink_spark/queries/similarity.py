@@ -469,8 +469,14 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid (the k-means E-step building block): explode
     vectors positionally, average per (label, dim).  One shuffle on a
     composite key; at 100 TB this is the standard map-side-combined
-    mean — no vectors ever collect to the driver."""
-    e = _spread(table(spark, sf_dir, "embeddings"), "vec_id")
+    mean — no vectors ever collect to the driver.
+
+    Deliberately NOT ``_spread``: that pre-shuffle pays for k x d
+    dot-product stages, but this slug's per-row work is a posexplode
+    feeding a partial aggregate — adding a keyed shuffle of every raw
+    vector ahead of the groupBy shuffle doubled the movement and
+    measured 4x slower at sf0.1 (round-3 bench regression)."""
+    e = table(spark, sf_dir, "embeddings")
     flat = e.select(
         "label", F.posexplode("embedding").alias("pos0", "v")
     ).select("label", (F.col("pos0") + 1).cast("int").alias("pos"), "v")
