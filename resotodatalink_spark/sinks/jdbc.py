@@ -37,14 +37,28 @@ def write_jdbc(
     out.write.jdbc(url=url, table=table, mode=mode, properties=props)
 
 
-def swap_temp_tables_sql(tables: list[str], temp_prefix: str = "tmp_") -> list[str]:
+def swap_temp_tables_sql(
+    tables: list[str],
+    temp_prefix: str = "tmp_",
+    drop_existing_tables: bool = False,
+) -> list[str]:
     """The DDL the reference's swap performs (sql.py:129-159), emitted
-    as statements for the target database to run."""
+    as statements for the target database to run: each staged ``tmp_*``
+    table replaces its production counterpart atomically-per-table, and
+    with ``drop_existing_tables`` any production table that was NOT
+    updated this sync is dropped as stale (reference sql.py:147-151;
+    golden-tested against stdlib sqlite3 in tests/test_jdbc_sqlite.py)."""
     stmts = []
+    updated = set()
     for t in tables:
         if not t.startswith(temp_prefix):
             continue
         prod = t[len(temp_prefix):]
+        updated.add(prod)
         stmts.append(f"DROP TABLE IF EXISTS {prod}")
         stmts.append(f"ALTER TABLE {t} RENAME TO {prod}")
+    if drop_existing_tables:
+        for t in tables:
+            if not t.startswith(temp_prefix) and t not in updated:
+                stmts.append(f"DROP TABLE IF EXISTS {t}")
     return stmts
