@@ -17,7 +17,11 @@ the resotocore server and only consumes the resulting node stream
             | "not" term
             | "(" filter ")"
     op     := == != > >= < <= ~ (regex match)
-    trav   := "-->"  |  "<--"  |  "-[a:b]->"  |  "-[a:]->"
+    trav   := "-->" | "<--"                       1-hop, either direction
+            | "-[a:b]->" | "-[a:]->"              outbound depth range
+            | "<-[a:b]-" | "<-[a:]-"              inbound depth range
+            | "-TYPE->" | "<-TYPE-"               edge-type filtered
+            | "-TYPE[a:b]->" | "<-TYPE[a:b]-"     both combined
     with   := "with" "(" ("empty"|"any") "," "-->" filter? ")"
     sort   := "sort" path ("asc"|"desc")? ("," path ("asc"|"desc")?)*
     limit  := "limit" number
@@ -30,9 +34,13 @@ Semantics follow the reference where observable:
   dots); ``kind``/``id`` address the envelope; numeric comparisons
   cast to double, ``~`` uses regex.
 * a trailing traversal returns the nodes reached from the filtered
-  set within the depth range (min..max hops, outbound for ``->``),
-  implemented with the iterative-join BFS (operators/traversal.py) —
-  each hop is one distributed join, no server round-trip.
+  set within the depth range (min..max hops, outbound for ``->``,
+  inbound for ``<-``), implemented with the iterative-join BFS
+  (operators/traversal.py) — each hop is one distributed join, no
+  server round-trip.  A TYPE inside the arrow (``-delete->``)
+  traverses only edges of that type — the reference's edge-type
+  selector (its EdgeType.default/delete split, collect_plugins.py:
+  45-47); untyped arrows traverse ``default`` edges.
 * ``with(empty, --> f)`` keeps nodes with NO outbound successor
   matching ``f`` (anti join); ``with(any, --> f)`` keeps nodes with at
   least one (semi join) — the reference's subgraph predicate as a
@@ -92,6 +100,7 @@ class Traversal:
     min_depth: int
     max_depth: int
     direction: str  # "out" | "in"
+    edge_type: Optional[str] = None  # None = default edges
 
 
 @dataclass
@@ -127,7 +136,8 @@ class Search:
 
 _TOKEN_RE = re.compile(
     r"\s*(?:(?P<is>is\(\s*[\w.]+\s*\))"
-    r"|(?P<trav>-\[\d+:\d*\]->|-->|<--)"
+    r"|(?P<trav><-(?:[a-zA-Z_]\w*)?(?:\[\d+:\d*\])?-"
+    r"|-(?:[a-zA-Z_]\w*)?(?:\[\d+:\d*\])?->)"
     r"|(?P<lpar>\()|(?P<rpar>\))"
     r"|(?P<op>==|!=|>=|<=|>|<|~)"
     r"|(?P<bool>\band\b|\bor\b)"
@@ -333,15 +343,19 @@ class _Parser:
 
 
 def _parse_traversal(text: str) -> Traversal:
-    if text == "-->":
-        return Traversal(1, 1, "out")
-    if text == "<--":
-        return Traversal(1, 1, "in")
-    m = re.match(r"-\[(\d+):(\d*)\]->", text)
-    assert m
-    lo = int(m.group(1))
-    hi = int(m.group(2)) if m.group(2) else lo + 8  # unbounded -> capped
-    return Traversal(lo, hi, "out")
+    m = re.match(r"^<-([a-zA-Z_]\w*)?(?:\[(\d+):(\d*)\])?-$", text)
+    direction = "in"
+    if m is None:
+        m = re.match(r"^-([a-zA-Z_]\w*)?(?:\[(\d+):(\d*)\])?->$", text)
+        direction = "out"
+    if m is None:
+        raise ValueError(f"bad traversal {text!r}")
+    edge_type = m.group(1)
+    if m.group(2) is None:  # no range bracket: exactly one hop
+        return Traversal(1, 1, direction, edge_type)
+    lo = int(m.group(2))
+    hi = int(m.group(3)) if m.group(3) else lo + 8  # unbounded -> capped
+    return Traversal(lo, hi, direction, edge_type)
 
 
 def parse_search(text: str) -> Search:
@@ -444,7 +458,12 @@ def execute_search(source: GraphSource, model: Model, search_text: str) -> DataF
         out = matched.select("id", "kind", "reported")
     else:
         t = search.traversal
-        edges = source.default_edges().select(
+        typed = (
+            source.default_edges()
+            if t.edge_type is None
+            else source.edges.filter(F.col("edge_type") == t.edge_type)
+        )
+        edges = typed.select(
             F.col("from_id").alias("src"), F.col("to_id").alias("dst")
         )
         if t.direction == "in":

@@ -104,13 +104,17 @@ def graph_reachability_min2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _rns_source_and_model(spark: SparkSession, sf_dir: str):
     """region->nation->supplier rows as a GraphSource + model — the
-    shared fixture graph for the search-DSL slugs."""
+    shared fixture graph for the search-DSL slugs.  Customers hang off
+    nations via ``delete``-typed edges (the reference's second edge
+    type, collect_plugins.py:45-47), so untyped traversals never see
+    them and edge-typed traversals have something to select."""
     from resotodatalink_spark.model.kinds import Kind, Model, Property
     from resotodatalink_spark.sources.graph import GraphSource
 
     nation = table(spark, sf_dir, "nation")
     supplier = table(spark, sf_dir, "supplier")
     region = table(spark, sf_dir, "region")
+    customer = table(spark, sf_dir, "customer")
 
     def mk_nodes(df: DataFrame, prefix: str, key: str, kind: str, name: str):
         return df.select(
@@ -120,23 +124,23 @@ def _rns_source_and_model(spark: SparkSession, sf_dir: str):
             F.lit(None).cast("string").alias("ancestors"),
         )
 
+    def mk_edges(df: DataFrame, fp: str, fk: str, tp: str, tk: str, etype: str):
+        return df.select(
+            F.concat(F.lit(fp), F.col(fk).cast("string")).alias("from_id"),
+            F.concat(F.lit(tp), F.col(tk).cast("string")).alias("to_id"),
+            F.lit(etype).alias("edge_type"),
+        )
+
     nodes = (
         mk_nodes(region, "R", "r_regionkey", "region_node", "r_name")
         .unionByName(mk_nodes(nation, "N", "n_nationkey", "nation_node", "n_name"))
         .unionByName(mk_nodes(supplier, "S", "s_suppkey", "supplier_node", "s_name"))
+        .unionByName(mk_nodes(customer, "C", "c_custkey", "customer_node", "c_name"))
     )
     edges = (
-        nation.select(
-            F.concat(F.lit("R"), F.col("n_regionkey").cast("string")).alias("from_id"),
-            F.concat(F.lit("N"), F.col("n_nationkey").cast("string")).alias("to_id"),
-            F.lit("default").alias("edge_type"),
-        )
-    ).unionByName(
-        supplier.select(
-            F.concat(F.lit("N"), F.col("s_nationkey").cast("string")).alias("from_id"),
-            F.concat(F.lit("S"), F.col("s_suppkey").cast("string")).alias("to_id"),
-            F.lit("default").alias("edge_type"),
-        )
+        mk_edges(nation, "R", "n_regionkey", "N", "n_nationkey", "default")
+        .unionByName(mk_edges(supplier, "N", "s_nationkey", "S", "s_suppkey", "default"))
+        .unionByName(mk_edges(customer, "N", "c_nationkey", "C", "c_custkey", "delete"))
     )
     model = Model(
         {
@@ -148,7 +152,12 @@ def _rns_source_and_model(spark: SparkSession, sf_dir: str):
                     bases=[],
                     aggregate_root=True,
                 )
-                for k in ("region_node", "nation_node", "supplier_node")
+                for k in (
+                    "region_node",
+                    "nation_node",
+                    "supplier_node",
+                    "customer_node",
+                )
             },
         }
     )
@@ -259,6 +268,68 @@ def graph_search_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
         src, model, 'is(region_node) and name ~ "^A" -[1:2]->'
     )
     return result.select("id", "kind")
+
+
+@query(
+    "graph_search_inbound",
+    oracle="""
+    WITH matched AS (
+      SELECT s_nationkey FROM supplier
+      WHERE regexp_matches(s_name, '^Supplier#00000000[0-9]$')
+    ),
+    d1 AS (
+      SELECT DISTINCT concat('N', CAST(n_nationkey AS VARCHAR)) AS id,
+             'nation_node' AS kind, n_regionkey
+      FROM nation JOIN matched ON n_nationkey = s_nationkey
+    ),
+    d2 AS (
+      SELECT DISTINCT concat('R', CAST(r_regionkey AS VARCHAR)) AS id,
+             'region_node' AS kind
+      FROM region JOIN d1 ON r_regionkey = d1.n_regionkey
+    )
+    SELECT id, kind FROM d1 UNION ALL SELECT id, kind FROM d2
+    """,
+)
+def graph_search_inbound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inbound RANGE traversal ``<-[1:2]-`` (the reference delegates
+    this form to the server, remote_graph.py:62-63): ancestors of the
+    matched suppliers — their nations (1 hop up) and those nations'
+    regions (2 hops up), via the same BFS joins with edges reversed.
+    d2 can't collide with d1 (disjoint id prefixes), so the oracle is
+    a plain union of the two depth tiers."""
+    from resotodatalink_spark.operators.search import execute_search
+
+    src, model = _rns_source_and_model(spark, sf_dir)
+    result = execute_search(
+        src,
+        model,
+        'is(supplier_node) and name ~ "^Supplier#00000000[0-9]$" <-[1:2]-',
+    )
+    return result.select("id", "kind")
+
+
+@query(
+    "graph_search_edge_typed",
+    oracle="""
+    SELECT concat('C', CAST(c_custkey AS VARCHAR)) AS id,
+           'customer_node' AS kind,
+           concat('{"name":"', c_name, '"}') AS reported
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE regexp_matches(n_name, '^NATION_[0-4]$')
+    """,
+)
+def graph_search_edge_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-type-filtered traversal ``-delete->`` (the reference's
+    EdgeType selector, collect_plugins.py:45-47): only delete-typed
+    edges are walked, so the result is customers of the matched
+    nations — suppliers (default edges) are invisible to this arrow."""
+    from resotodatalink_spark.operators.search import execute_search
+
+    src, model = _rns_source_and_model(spark, sf_dir)
+    return execute_search(
+        src, model, 'is(nation_node) and name ~ "^NATION_[0-4]$" -delete->'
+    )
 
 
 @query(

@@ -33,6 +33,20 @@ def test_parse_shapes():
     s = parse_search("is(graph_root) -[2:]->")
     assert s.traversal.min_depth == 2 and s.traversal.max_depth >= 2
 
+    # inbound range + edge-typed arrows
+    s = parse_search("is(some_volume) <-[1:2]-")
+    assert s.traversal == Traversal(1, 2, "in")
+    s = parse_search("is(some_volume) <-[2:]-")
+    assert s.traversal.min_depth == 2 and s.traversal.direction == "in"
+    s = parse_search("is(some_instance) -delete->")
+    assert s.traversal == Traversal(1, 1, "out", "delete")
+    s = parse_search("is(some_volume) <-delete-")
+    assert s.traversal == Traversal(1, 1, "in", "delete")
+    s = parse_search("is(some_instance) -delete[1:3]->")
+    assert s.traversal == Traversal(1, 3, "out", "delete")
+    s = parse_search("is(some_volume) <-custom_type[2:4]-")
+    assert s.traversal == Traversal(2, 4, "in", "custom_type")
+
     with pytest.raises(ValueError):
         parse_search("cores >")
     with pytest.raises(ValueError):
@@ -91,6 +105,29 @@ def test_traversal(spark, graph):
         for r in execute_search(src, model, "is(some_instance) -[2:]->").collect()
     }
     assert got == set()
+
+
+def test_traversal_edge_types_and_inbound_range(spark):
+    """delete-typed edges are invisible to untyped arrows and vice
+    versa; <-[1:2]- walks the reversed graph through the depth range."""
+    docs = example_docs()
+    # a second volume linked from the instance by a delete-typed edge
+    v2 = dict(docs[1], id="v-999")
+    v2["reported"] = dict(docs[1]["reported"], id="v-999", name="vol9")
+    docs = docs + [v2, {"type": "edge", "from": "i-123", "to": "v-999",
+                        "edge_type": "delete"}]
+    src = GraphSource.from_docs(spark, docs)
+    model = example_model()
+
+    got = {r["id"] for r in execute_search(src, model, "is(some_instance) -->").collect()}
+    assert got == {"v-123"}  # delete edge not walked by the default arrow
+    got = {r["id"] for r in execute_search(src, model, "is(some_instance) -delete->").collect()}
+    assert got == {"v-999"}
+    got = {r["id"] for r in execute_search(src, model, "is(some_volume) <-delete-").collect()}
+    assert got == {"i-123"}
+    # inbound range: volumes' ancestors within 2 hops = just the instance
+    got = {r["id"] for r in execute_search(src, model, "is(some_volume) <-[1:2]-").collect()}
+    assert got == {"i-123"}
 
 
 def test_in_and_not(spark, graph):
