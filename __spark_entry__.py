@@ -24,58 +24,60 @@ registry.load_all()
 # with a fresh green row from last round and no changes this round are
 # the ones that may fall past the cap.  All slugs stay registered.
 _CHANGED_THIS_ROUND = [
-    # round 3 edits: PPJoin robust ceil (dedup_ngram_jaccard operator),
-    # class_rebalance floor-vs-round fix, sessionize_events oracle
-    # tie-break.
-    "dedup_ngram_jaccard",
-    "class_rebalance",
-    "sessionize_events",
+    # round 4 edits: new oracles (multimodal_decode/frames), the
+    # embedding_centroids _spread removal, the two new search-DSL slugs,
+    # and every graph_search_* slug whose shared fixture graph gained
+    # customer nodes + delete-typed edges this round.
+    "multimodal_decode",
+    "multimodal_frames",
+    "embedding_centroids",
+    "graph_search_inbound",
+    "graph_search_edge_typed",
+    "graph_search_dsl",
+    "graph_search_aggregate",
+    "graph_search_with",
+    "graph_search_sorted",
 ]
 
 _ATTEST_FIRST = _CHANGED_THIS_ROUND + [
-    # No CORRECTNESS_r02 row (r01-green only — stalest evidence).
-    # graph_search_dsl leads: its execute_search backend was rewritten
-    # in round 2 but it landed outside that round's window (ADVICE r2).
-    "graph_search_dsl",
-    "multimodal_features",
-    "multimodal_decode",
-    "pandas_udaf_zscore",
-    "tpch_q3_shape",
-    "tpch_q5_shape",
-    "tpch_q10_shape",
-    "join_asof",
-    "join_theta_range",
-    "window_range_frame",
-    "sql_passthrough",
-    "project_columns",
-    "nested_field_access",
-    "filter_predicate",
-    "map_ops",
-    "json_ops",
-    "date_functions",
-    "string_functions",
-    "math_functions",
-    "join_broadcast",
-    "join_link_table",
-    "join_semi",
-    "join_anti",
-    "join_outer",
-    "groupby_count",
-    "distinct_agg",
-    "topk_argmax",
-    "agg_sum_avg_min_max",
-    "groupby_having",
-    "rollup_cube",
-    "sort_limit",
-    "topk_per_group",
-    "set_ops",
-    "window_rank",
-    "window_running_sum",
-    "array_ops",
-    "subquery_exists",
-    "pivot_table",
-    "median_stats",
-    "string_agg",
+    # Newest green row is CORRECTNESS_r02 (outside r3's 50-slug window)
+    # — stalest evidence first, so no slug's attestation ages past two
+    # rounds.
+    "graph_reachability_min2",
+    "graph_components",
+    "pii_redaction",
+    "repetition_filter",
+    "decontamination",
+    "global_shuffle",
+    "salted_groupby",
+    "skew_join_salted",
+    "ann_cosine_topk",
+    "ann_lsh_bucketed",
+    "ann_lsh_multiprobe",
+    "dedup_embedding",
+    "ann_ivf_cells",
+    "stream_tumbling_window",
+    "stream_sliding_window",
+    "stream_session_window",
+    "stream_interval_join",
+    "funnel_conversion",
+    "retention_cohorts",
+    "stream_dedup",
+    "cdc_latest",
+    "lang_id",
+    "quality_score",
+    "token_count",
+    "doc_fingerprint",
+    "text_normalize",
+    "udtf_tokenize",
+    "frequent_terms",
+    "sample_hash_stratified",
+    "curation_pipeline",
+    "text_chunking",
+    "tfidf_top_terms",
+    "quota_sample",
+    "sequence_packing",
+    "unigram_logprob",
 ]
 
 

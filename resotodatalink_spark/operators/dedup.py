@@ -297,11 +297,19 @@ def jaccard_pairs(
             .filter(
                 # ceil over doubles is hazardous: 0.7*10 floats to
                 # 7.000000000000001 and ceils to 8, shortening the prefix
-                # by one and dropping true pairs.  Nudge below the repr
-                # error before ceiling (1e-9 << any real shingle count).
+                # by one and dropping true pairs.  The nudge must be
+                # RELATIVE to the product: double rounding error scales
+                # with threshold*sz, so a fixed epsilon stops covering it
+                # once the product outgrows epsilon/ulp.  1e-12 of the
+                # product clears the ~1e-16 relative repr error with four
+                # orders of margin and stays far below 1 for any feasible
+                # per-document shingle count.
                 F.col("rn")
                 <= F.col("sz")
-                - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9))
+                - F.ceil(
+                    (F.lit(threshold) * F.col("sz"))
+                    * F.lit(1.0 - 1e-12)
+                )
                 + 1
             )
             .drop("rn")

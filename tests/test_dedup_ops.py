@@ -83,5 +83,5 @@ def test_jaccard_ppjoin_prefix_filter_exact(spark):
                 for r in jaccard_pairs(docs, threshold).collect()}
         pp = {(r.doc_a, r.doc_b, round(r.jaccard, 9))
               for r in jaccard_pairs(docs, threshold, prefix_filter=True).collect()}
+        assert base, f"no pairs at threshold={threshold} (vacuous equality)"
         assert base == pp, f"threshold={threshold}"
-    assert len(base) > 0
