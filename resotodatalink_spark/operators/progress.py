@@ -1,94 +1,124 @@
-"""Progress tree renderer — the reference's show_progress surface
-(reference show_progress.py:12-69) without the ``rich`` dependency.
+"""Progress tree rendering (SURVEY.md §2.9 O1).
 
-The reference renders a resotocore ProgressTree as a rich.Tree with
-per-node percentage / done markers, capped to the terminal height.
-This is the same model on the stdlib: a path-addressed tree of
-(current, total) counters, rendered as an indented text tree with the
-identical node format (done -> check mark, single-step -> in_progress,
-else percentage) and the same height cap.  ``TreeFeedback`` adapts it
-to the ``Feedback`` protocol the sync entry points already thread
-through (operators/sync.py), so ``collect_to_files(…,
-feedback=TreeFeedback())`` gets a live rendering with no code changes.
+The reference renders collection progress as a rich tree with
+done/in-progress markers, percentage labels, a terminal-height cap, and
+an error/warning message summary (reference show_progress.py:12-69,
+backed by resotolib's ProgressTree).  This is the dependency-free
+equivalent: a nested step tree keyed by ``/``-separated paths, rendered
+to plain text with box-drawing characters — no ``rich``, no terminal
+control, so it works in any log sink.
+
+It plugs into the existing ``Feedback`` protocol (operators/sync.py:29)
+via ``TreeFeedback``: every ``progress_done(step, cur, total)`` call
+updates the step's node, and ``render()`` shows the whole pipeline.
+Spark-side granularity stays table-level on purpose — intra-write task
+progress belongs to the cluster UI, not the driver loop.
 """
 
 from __future__ import annotations
 
-import shutil
-import sys
 from dataclasses import dataclass, field
-from typing import IO, Optional
+from typing import Optional
 
 
 @dataclass
 class _Node:
     name: str
     current: int = 0
-    total: int = 1
+    total: int = 0
     children: dict[str, "_Node"] = field(default_factory=dict)
 
     @property
     def done(self) -> bool:
         if self.children:
             return all(c.done for c in self.children.values())
-        return self.current >= self.total
+        return self.total > 0 and self.current >= self.total
 
     def percentage(self) -> int:
+        """Leaf: own ratio; inner node: mean of children (the
+        reference's overall_progress() roll-up shape)."""
         if self.children:
             kids = list(self.children.values())
-            return sum(c.percentage() for c in kids) // len(kids)
+            return round(sum(c.percentage() for c in kids) / len(kids))
         if self.total <= 0:
-            return 100
-        return min(100 * self.current // self.total, 100)
+            return 0
+        return min(100, round(100 * self.current / self.total))
 
 
 class ProgressTree:
-    """Path-addressed progress counters ('collect/write_tables')."""
+    """Hierarchical progress: paths like ``"collect/write/orders"``
+    address nested steps; each update sets (current, total) for a leaf.
+    """
 
     def __init__(self, name: str = "Progress"):
         self.root = _Node(name)
+        self.messages: list[tuple[str, str]] = []  # (level, text)
 
-    def add_progress(self, path: str, current: int, total: int) -> None:
+    def update(self, path: str, current: int, total: int) -> None:
         node = self.root
         for part in path.split("/"):
             node = node.children.setdefault(part, _Node(part))
-        node.current, node.total = current, max(total, 1)
+        node.current, node.total = current, total
+
+    def message(self, level: str, text: str) -> None:
+        self.messages.append((level, text))
+
+    @property
+    def error_count(self) -> int:
+        return sum(1 for level, _ in self.messages if level == "error")
+
+    @property
+    def info_count(self) -> int:
+        return sum(1 for level, _ in self.messages if level != "error")
 
     def render(self, max_height: Optional[int] = None) -> str:
-        max_height = max_height or shutil.get_terminal_size(fallback=(80, 25))[1]
+        """Plain-text tree, capped at ``max_height`` lines (the
+        reference caps at terminal height, show_progress.py:30-32;
+        deeper rows past the cap are elided, never wrapped)."""
         lines: list[str] = []
+        if self.messages:
+            lines.append(
+                f"- {self.error_count} errors\n- {self.info_count} warnings"
+            )
 
-        def marker(n: _Node) -> str:
-            # reference show_progress.py:49-52: done -> check, a
-            # single-step node shows a state word, else the percentage
-            state = "done" if n.done else "in_progress"
-            text = state if n.total == 1 and not n.children else f"{n.percentage()}%"
-            return f"{'[x]' if n.done else '[ ]'} {n.name} ({text})"
+        def label(n: _Node) -> str:
+            if n.done:
+                mark, state = "[x]", "done"
+            else:
+                mark, state = "[ ]", f"{n.percentage()}%"
+            if not n.children and n.total == 1:
+                state = "done" if n.done else "in_progress"
+            return f"{mark} {n.name} {state}"
 
-        def walk(n: _Node, depth: int) -> None:
-            if len(lines) >= max_height:
-                return
-            lines.append("  " * depth + marker(n))
-            for child in n.children.values():
-                walk(child, depth + 1)
+        def walk(n: _Node, prefix: str) -> None:
+            kids = list(n.children.values())
+            for i, child in enumerate(kids):
+                if max_height is not None and len(lines) >= max_height:
+                    return
+                last = i == len(kids) - 1
+                branch = "`- " if last else "|- "
+                lines.append(prefix + branch + label(child))
+                walk(child, prefix + ("   " if last else "|  "))
 
-        walk(self.root, 0)
+        header = self.root.name if not self.root.children else (
+            f"{self.root.name} ({self.root.percentage()}%)"
+        )
+        lines.insert(1 if self.messages else 0, header)
+        walk(self.root, "")
+        if max_height is not None:
+            lines = lines[:max_height]
         return "\n".join(lines)
 
 
 class TreeFeedback:
-    """Feedback adapter: accumulate into a ProgressTree and optionally
-    re-render to a stream after every update."""
+    """Feedback-protocol adapter: collect_* pipelines report into a
+    ProgressTree; nest steps with ``/`` in the step name."""
 
-    def __init__(self, name: str = "Progress", out: Optional[IO[str]] = None):
-        self.tree = ProgressTree(name)
-        self.out = out
+    def __init__(self, tree: Optional[ProgressTree] = None):
+        self.tree = tree or ProgressTree()
 
     def progress_done(self, step: str, current: int, total: int) -> None:
-        self.tree.add_progress(step, current, total)
-        if self.out is not None:
-            print(self.tree.render(), file=self.out)
+        self.tree.update(step, current, total)
 
-
-def print_progress(tree: ProgressTree, out: IO[str] = sys.stderr) -> None:
-    print(tree.render(), file=out)
+    def render(self, max_height: Optional[int] = None) -> str:
+        return self.tree.render(max_height)
