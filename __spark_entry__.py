@@ -31,6 +31,7 @@ _CHANGED_THIS_ROUND = [
     "multimodal_decode",
     "multimodal_frames",
     "embedding_centroids",
+    "kmeans_lloyd",
     "graph_search_inbound",
     "graph_search_edge_typed",
     "graph_search_dsl",

@@ -484,3 +484,105 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid_v"),
         F.count("*").alias("n"),
     )
+
+
+_KMEANS_K = 8
+
+
+def _duck_assign(cent_cte: str) -> str:
+    """DuckDB assignment CTE body: nearest centroid by cosine with a
+    deterministic (cosine DESC, cluster_id) tie-break — the same
+    row_number argmax the Spark side uses."""
+    return f"""
+      SELECT vec_id, cluster_id, embedding, cosine FROM (
+        SELECT e.vec_id, c.cluster_id, e.embedding,
+               {V.cosine_duck('e.embedding', 'c.cvec')} AS cosine,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {V.cosine_duck('e.embedding', 'c.cvec')} DESC,
+                                           c.cluster_id) AS rn
+        FROM embeddings e, {cent_cte} c
+      ) WHERE rn = 1
+    """
+
+
+@query(
+    "kmeans_lloyd",
+    oracle=f"""
+    WITH c0 AS (
+      SELECT vec_id AS cluster_id, embedding AS cvec
+      FROM embeddings WHERE vec_id < {_KMEANS_K}
+    ),
+    a0 AS ({_duck_assign('c0')}),
+    flat AS (
+      SELECT cluster_id,
+             CAST(generate_subscripts(embedding, 1) AS INTEGER) AS pos,
+             unnest(embedding) AS v
+      FROM a0
+    ),
+    c1 AS (
+      SELECT cluster_id, list(cv ORDER BY pos) AS cvec
+      FROM (
+        SELECT cluster_id, pos, round(avg(CAST(v AS DOUBLE)), 6) AS cv
+        FROM flat GROUP BY cluster_id, pos
+      ) GROUP BY cluster_id
+    ),
+    a1 AS ({_duck_assign('c1')})
+    SELECT vec_id, cluster_id, round(cosine, 6) AS cosine FROM a1
+    """,
+)
+def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One spherical k-means Lloyd iteration over the embeddings table
+    (seed centroids = the first k vectors, assign -> mean-update ->
+    reassign), value-hash-checked against the same computation as
+    DuckDB CTEs.
+
+    The iterative-algorithm scale shape: each assignment pass is a
+    broadcast of the k=8 centroid rows against the full table (k x d
+    FLOPs per row, NO shuffle — the BNLJ on a constant-k side is the
+    textbook k-means E-step and is allowlisted in the plan guard), and
+    each update is one posexplode + map-side-combined average, the
+    embedding_centroids shuffle.  At 100 TB this loop is bounded by one
+    centroid-agg shuffle per iteration; centroids stay driver-free
+    (joined, never collected).
+
+    Cross-engine determinism: assignment uses the shared left-assoc
+    dot chains (functions/vectors.py), updates round to 6 decimals
+    before feeding the next pass (proven cross-engine by the
+    embedding_centroids oracle), and ties break on cluster_id."""
+    e = _spread(table(spark, sf_dir, "embeddings"), "vec_id").select(
+        "vec_id", "embedding"
+    )
+    cent = e.filter(F.col("vec_id") < _KMEANS_K).select(
+        F.col("vec_id").alias("cluster_id"), F.col("embedding").alias("cvec")
+    )
+
+    def assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+        sims = vectors.crossJoin(F.broadcast(centroids)).select(
+            "vec_id",
+            "cluster_id",
+            "embedding",
+            V.cosine_spark("embedding", "cvec").alias("cosine"),
+        )
+        w = W.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("cluster_id"))
+        return (
+            sims.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    a0 = assign(e, cent)
+    c1 = (
+        a0.select("cluster_id", F.posexplode("embedding").alias("pos0", "v"))
+        .groupBy("cluster_id", (F.col("pos0") + 1).alias("pos"))
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("cv"))
+        .groupBy("cluster_id")
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(pos, cv))), s -> s.cv)"
+            ).alias("cvec")
+        )
+    )
+    a1 = assign(e, c1)
+    return a1.select(
+        "vec_id", "cluster_id", F.round("cosine", 6).alias("cosine")
+    )

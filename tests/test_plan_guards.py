@@ -12,6 +12,10 @@ The allowlist is intentional, not historical:
 * unigram_logprob — attaches a ONE-ROW corpus-total aggregate to the
   vocab join via broadcast; an n x 1 BNLJ degenerates to a map-side
   column append, constant extra work per row at any scale.
+* kmeans_lloyd — each Lloyd assignment pass broadcasts the k=8
+  centroid rows against the table; the n x k BNLJ IS the k-means
+  E-step (k x d FLOPs per row, no shuffle) and k is a constant, so
+  work grows linearly with data.
 """
 
 from __future__ import annotations
@@ -23,7 +27,12 @@ from tests.conftest import SF_DIR
 
 registry.load_all()
 
-CARTESIAN_OK = {"ann_cosine_topk", "funnel_conversion", "unigram_logprob"}
+CARTESIAN_OK = {
+    "ann_cosine_topk",
+    "funnel_conversion",
+    "unigram_logprob",
+    "kmeans_lloyd",
+}
 
 
 @pytest.mark.parametrize("slug", sorted(registry.QUERIES))
