@@ -32,6 +32,7 @@ _CHANGED_THIS_ROUND = [
     "multimodal_frames",
     "embedding_centroids",
     "kmeans_lloyd",
+    "dedup_containment",
     "graph_search_inbound",
     "graph_search_edge_typed",
     "graph_search_dsl",

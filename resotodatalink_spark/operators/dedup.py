@@ -350,6 +350,47 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """ASYMMETRIC near-dup: containment C(a in b) = |A∩B| / |A| over
+    distinct shingle-hash sets — the relation Jaccard can't see.  A
+    short document quoted inside a long one has high containment but
+    low Jaccard (the union is dominated by B), and training pipelines
+    drop the contained side, so this is a directed (doc_a, doc_b) pair
+    list, not an unordered one.
+
+    Same scale shape as ``jaccard_pairs``: inverted-index equi-join on
+    the shingle hash with an exactness-preserving size prune —
+    C >= t and |A∩B| <= |B| force |B| >= t*|A|, so tiny-B candidates
+    never reach the per-pair aggregation (no bound the other way:
+    arbitrarily large B can contain A).  The division c/|A| of exact
+    ints is one correctly-rounded IEEE op — engine-stable."""
+    g = shingle_hashes(docs, id_col, text_col, n).distinct()
+    sizes = g.groupBy(id_col).agg(F.count("*").alias("sz"))
+    g2 = g.join(sizes, id_col).localCheckpoint(eager=False)
+    a = g2.select(F.col(id_col).alias("doc_a"), "h", F.col("sz").alias("sza"))
+    b = g2.select(F.col(id_col).alias("doc_b"), "h", F.col("sz").alias("szb"))
+    common = (
+        a.join(b, "h")
+        .filter(
+            (F.col("doc_a") != F.col("doc_b"))
+            & (F.col("szb") >= threshold * F.col("sza"))
+        )
+        .groupBy("doc_a", "doc_b", "sza")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        common.withColumn("containment", F.col("c") / F.col("sza"))
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "containment")
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",

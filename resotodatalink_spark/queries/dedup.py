@@ -117,6 +117,31 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_containment",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    g AS (SELECT DISTINCT doc_id, h FROM __hashes),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+    common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+               FROM g a JOIN g b ON a.h = b.h AND a.doc_id <> b.doc_id
+               GROUP BY 1, 2)
+    SELECT doc_a, doc_b, c * 1.0 / sa.sz AS containment
+    FROM common
+    JOIN sizes sa ON doc_a = sa.doc_id
+    WHERE c * 1.0 / sa.sz >= 0.6
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTED containment pairs C(a in b) = |A∩B|/|A| >= 0.6: the
+    asymmetric relation (quotes, supersets, boilerplate wrappers) that
+    symmetric Jaccard underestimates — pipelines drop doc_a, the
+    contained side.  Same inverted-index join shape as
+    dedup_ngram_jaccard with the one-sided size prune."""
+    d = table(spark, sf_dir, "documents")
+    return D.containment_pairs(d, threshold=0.6)
+
+
+@query(
     "dedup_clusters",
     oracle=f"""
     WITH RECURSIVE {_SHINGLE_CTE.strip().rstrip()},

@@ -85,3 +85,25 @@ def test_jaccard_ppjoin_prefix_filter_exact(spark):
               for r in jaccard_pairs(docs, threshold, prefix_filter=True).collect()}
         assert base, f"no pairs at threshold={threshold} (vacuous equality)"
         assert base == pp, f"threshold={threshold}"
+
+
+def test_containment_asymmetry_and_exact_dup(spark):
+    """A doc fully quoted inside a longer doc has containment 1.0 in
+    one direction only; identical docs contain each other both ways."""
+    from resotodatalink_spark.operators.dedup import containment_pairs
+
+    short = "alpha beta gamma delta epsilon zeta"
+    longer = short + " eta theta iota kappa lambda mu nu xi omicron pi rho"
+    docs = spark.createDataFrame(
+        [(1, short), (2, longer), (3, "unrelated words entirely different text here"),
+         (4, short)],
+        "doc_id: long, text: string",
+    )
+    got = {
+        (r.doc_a, r.doc_b): round(r.containment, 6)
+        for r in containment_pairs(docs, threshold=0.6).collect()
+    }
+    assert got[(1, 2)] == 1.0          # short contained in longer
+    assert (2, 1) not in got           # longer NOT contained in short
+    assert got[(1, 4)] == 1.0 and got[(4, 1)] == 1.0  # exact dup: both ways
+    assert all(a != 3 and b != 3 for a, b in got)
