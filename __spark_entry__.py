@@ -33,6 +33,7 @@ _CHANGED_THIS_ROUND = [
     "embedding_centroids",
     "kmeans_lloyd",
     "dedup_containment",
+    "embedding_quantize",
     "graph_search_inbound",
     "graph_search_edge_typed",
     "graph_search_dsl",

@@ -486,6 +486,75 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "embedding_quantize",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id,
+             embedding,
+             CAST(list_min(embedding) AS DOUBLE) AS vmin,
+             (CAST(list_max(embedding) AS DOUBLE)
+              - CAST(list_min(embedding) AS DOUBLE)) / 255.0 AS scale
+      FROM embeddings
+    ),
+    flat AS (
+      SELECT vec_id, vmin, scale, CAST(unnest(embedding) AS DOUBLE) AS vd
+      FROM base
+    ),
+    q AS (
+      SELECT vec_id, vmin, scale, vd,
+             CASE WHEN scale = 0 THEN 0
+                  ELSE floor((vd - vmin) / scale + 0.5) END AS qv
+      FROM flat
+    )
+    SELECT vec_id,
+           round(min(scale), 9) AS scale,
+           CAST(sum(CAST(qv AS BIGINT)) AS BIGINT) AS q_sum,
+           round(max(abs(vd - (vmin + qv * scale))), 9) AS max_err
+    FROM q GROUP BY vec_id
+    """,
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector affine int8 quantization (the storage form embedding
+    stores actually ship): q = floor((v - min)/scale + 0.5) with
+    scale = (max - min)/255, reported as the quantization scale, the
+    integer checksum of the codes, and the max reconstruction error.
+
+    Engine-stable on purpose: floor(x + 0.5) replaces round() so no
+    rounding-mode ambiguity exists at .5 boundaries, the code checksum
+    is an INTEGER sum (order-independent, exact), and min/max/abs are
+    order-independent — only the final display values get a 1e-9
+    round.  Scale shape: array_min/array_max stay codegen'd per row,
+    one posexplode + map-side-combined aggregate — a single shuffle,
+    same as embedding_centroids; at 100 TB this is a linear pass."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        F.array_min("embedding").cast("double").alias("vmin"),
+        (
+            (F.array_max("embedding").cast("double")
+             - F.array_min("embedding").cast("double")) / F.lit(255.0)
+        ).alias("scale"),
+    )
+    flat = e.select(
+        "vec_id", "vmin", "scale", F.explode("embedding").alias("v")
+    ).withColumn("vd", F.col("v").cast("double"))
+    q = flat.withColumn(
+        "qv",
+        F.when(F.col("scale") == 0, F.lit(0.0)).otherwise(
+            F.floor((F.col("vd") - F.col("vmin")) / F.col("scale") + F.lit(0.5))
+        ),
+    )
+    return q.groupBy("vec_id").agg(
+        F.round(F.min("scale"), 9).alias("scale"),
+        F.sum(F.col("qv").cast("bigint")).alias("q_sum"),
+        F.round(
+            F.max(F.abs(F.col("vd") - (F.col("vmin") + F.col("qv") * F.col("scale")))),
+            9,
+        ).alias("max_err"),
+    )
+
+
 _KMEANS_K = 8
 
 
