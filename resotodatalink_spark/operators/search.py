@@ -22,7 +22,9 @@ the resotocore server and only consumes the resulting node stream
             | "<-[a:b]-" | "<-[a:]-"              inbound depth range
             | "-TYPE->" | "<-TYPE-"               edge-type filtered
             | "-TYPE[a:b]->" | "<-TYPE[a:b]-"     both combined
-    with   := "with" "(" ("empty"|"any") "," "-->" filter? ")"
+    with   := "with" "(" ("empty"|"any") "," arrow filter? ")"
+              where arrow is any 1-hop traversal form: "-->", "<--",
+              "-TYPE->", "<-TYPE-"
     sort   := "sort" path ("asc"|"desc")? ("," path ("asc"|"desc")?)*
     limit  := "limit" number
 
@@ -44,7 +46,9 @@ Semantics follow the reference where observable:
 * ``with(empty, --> f)`` keeps nodes with NO outbound successor
   matching ``f`` (anti join); ``with(any, --> f)`` keeps nodes with at
   least one (semi join) — the reference's subgraph predicate as a
-  distributed join instead of a per-node server probe.
+  distributed join instead of a per-node server probe.  The arrow may
+  point inbound (``<--``: predecessors) and may name an edge type
+  (``-delete->``), mirroring the traversal grammar.
 * ``aggregate(...)`` turns the node stream into a groupBy: group keys
   are extracted paths, aggregate functions run over double-cast
   values (``sum(1)`` == count, as in the reference's syntax).
@@ -119,7 +123,9 @@ class Aggregate:
 @dataclass
 class WithClause:
     mode: str  # "empty" | "any"
-    filter: Optional[Node]  # successor filter (None = any successor)
+    filter: Optional[Node]  # neighbor filter (None = any neighbor)
+    direction: str = "out"  # "out" (successors) | "in" (predecessors)
+    edge_type: Optional[str] = None  # None = default edges
 
 
 @dataclass
@@ -276,14 +282,17 @@ class _Parser:
         if self.next()[0] != "comma":
             raise ValueError("expected , in with()")
         tok, trav = self.next()
-        if tok != "trav" or trav != "-->":
-            raise ValueError("with() supports the --> traversal")
+        if tok != "trav":
+            raise ValueError("with() needs a traversal arrow")
+        t = _parse_traversal(trav)
+        if (t.min_depth, t.max_depth) != (1, 1):
+            raise ValueError("with() supports 1-hop arrows only")
         inner: Optional[Node] = None
         if (tok2 := self.peek()) and tok2[0] != "rpar":
             inner = self.parse_bool()
         if self.next()[0] != "rpar":
             raise ValueError("expected ) closing with")
-        return WithClause(mode, inner)
+        return WithClause(mode, inner, t.direction, t.edge_type)
 
     def parse_bool(self) -> Node:
         left = self.parse_term()
@@ -480,15 +489,23 @@ def execute_search(source: GraphSource, model: Model, search_text: str) -> DataF
 
     if search.with_clause is not None:
         w = search.with_clause
-        succ = source.nodes
+        neighbor = source.nodes
         if w.filter is not None:
-            succ = succ.filter(_filter_column(w.filter, model))
-        linked = (
+            neighbor = neighbor.filter(_filter_column(w.filter, model))
+        wedges = (
             source.default_edges()
-            .join(
-                succ.select(F.col("id").alias("to_id")), "to_id", "left_semi"
-            )
-            .select(F.col("from_id").alias("id"))
+            if w.edge_type is None
+            else source.edges.filter(F.col("edge_type") == w.edge_type)
+        )
+        # outbound: keep nodes by their successors (from_id side);
+        # inbound: keep nodes by their predecessors (to_id side)
+        near, far = ("from_id", "to_id") if w.direction == "out" else (
+            "to_id", "from_id"
+        )
+        linked = (
+            wedges.join(
+                neighbor.select(F.col("id").alias(far)), far, "left_semi"
+            ).select(F.col(near).alias("id"))
         )
         how = "left_semi" if w.mode == "any" else "left_anti"
         out = out.join(linked, "id", how)

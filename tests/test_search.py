@@ -185,6 +185,36 @@ def test_search_with_empty_and_any(spark):
     assert {r["id"] for r in has_vol} == {"i-123"}
 
 
+def test_search_with_inbound_and_typed_arrows(spark):
+    from resotodatalink_spark.operators.search import execute_search
+    from resotodatalink_spark.sources.graph import GraphSource
+    from tests.fixtures import example_docs, example_model
+
+    docs = example_docs() + [
+        {"type": "edge", "from": "v-123", "to": "i-123", "edge_type": "delete"}
+    ]
+    src = GraphSource.from_docs(spark, docs)
+    model = example_model()
+    # inbound: nodes with at least one predecessor instance
+    got = execute_search(
+        src, model, "is(resource) with(any, <-- is(some_instance))"
+    ).collect()
+    assert {r["id"] for r in got} == {"v-123"}
+    # typed: only the delete edge satisfies -delete->
+    got = execute_search(
+        src, model, "is(resource) with(any, -delete-> is(some_instance))"
+    ).collect()
+    assert {r["id"] for r in got} == {"v-123"}
+    got = execute_search(
+        src, model, "is(resource) with(empty, -delete->)"
+    ).collect()
+    assert {r["id"] for r in got} == {"i-123"}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        parse_search("is(resource) with(any, -[1:2]->)")
+
+
 def test_search_sort_limit(spark):
     from resotodatalink_spark.operators.search import execute_search
     from resotodatalink_spark.sources.graph import GraphSource
