@@ -34,6 +34,7 @@ _CHANGED_THIS_ROUND = [
     "kmeans_lloyd",
     "dedup_containment",
     "embedding_quantize",
+    "dataset_split",
     "graph_search_inbound",
     "graph_search_edge_typed",
     "graph_search_dsl",

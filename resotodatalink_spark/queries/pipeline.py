@@ -278,3 +278,33 @@ def global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard_id",
         F.row_number().over(w).cast("int").alias("pos"),
     )
+
+
+@query(
+    "dataset_split",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CASE WHEN {_SPREAD} % 100 < 80 THEN 'train'
+                WHEN {_SPREAD} % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by doc_id hash
+    bucket — the split every training pipeline pins before anything
+    else.  Hash-based (never rand()): reproducible across engines,
+    re-runs, stage retries, and INCREMENTAL ingestion — a new document
+    lands in a split without touching existing assignments, which a
+    row_number-based split cannot guarantee.  Pure projection at scan
+    speed, zero shuffles at any scale."""
+    d = table(spark, sf_dir, "documents")
+    bucket = F.expr(_SPREAD) % 100
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
