@@ -60,6 +60,9 @@ class ProgressTree:
             node = node.children.setdefault(part, _Node(part))
         node.current, node.total = current, total
 
+    # reference-style name (resotolib ProgressTree.add_progress)
+    add_progress = update
+
     def message(self, level: str, text: str) -> None:
         self.messages.append((level, text))
 
@@ -82,13 +85,8 @@ class ProgressTree:
             )
 
         def label(n: _Node) -> str:
-            if n.done:
-                mark, state = "[x]", "done"
-            else:
-                mark, state = "[ ]", f"{n.percentage()}%"
-            if not n.children and n.total == 1:
-                state = "done" if n.done else "in_progress"
-            return f"{mark} {n.name} {state}"
+            mark = "[x]" if n.done else "[ ]"
+            return f"{mark} {n.name} ({n.percentage()}%)"
 
         def walk(n: _Node, prefix: str) -> None:
             kids = list(n.children.values())
@@ -112,13 +110,18 @@ class ProgressTree:
 
 class TreeFeedback:
     """Feedback-protocol adapter: collect_* pipelines report into a
-    ProgressTree; nest steps with ``/`` in the step name."""
+    ProgressTree; nest steps with ``/`` in the step name.  Pass ``out``
+    (any write()-able) to also log one ``step: current/total`` line per
+    update — the plain-text analog of the reference's live re-render."""
 
-    def __init__(self, tree: Optional[ProgressTree] = None):
+    def __init__(self, tree: Optional[ProgressTree] = None, out=None):
         self.tree = tree or ProgressTree()
+        self.out = out
 
     def progress_done(self, step: str, current: int, total: int) -> None:
         self.tree.update(step, current, total)
+        if self.out is not None:
+            self.out.write(f"{step}: {current}/{total}\n")
 
     def render(self, max_height: Optional[int] = None) -> str:
         return self.tree.render(max_height)

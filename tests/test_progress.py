@@ -13,12 +13,12 @@ def test_tree_rollup_and_render():
     t.update("write/orders", 1, 1)
     out = t.render()
     assert out.splitlines()[0].startswith("sync (")
-    assert "[x] edges done" in out
-    assert "[ ] nodes 50%" in out
-    assert "[x] orders done" in out  # leaf with total=1 -> done/in_progress
+    assert "[x] edges (100%)" in out
+    assert "[ ] nodes (50%)" in out
+    assert "[x] orders (100%)" in out
     # inner node rolls up children: collect = mean(50, 100) = 75
-    assert "[ ] collect 75%" in out
-    assert "[ ] write" not in out and "[x] write done" in out
+    assert "[ ] collect (75%)" in out
+    assert "[ ] write" not in out and "[x] write (100%)" in out
 
 
 def test_tree_height_cap_and_messages():
@@ -52,6 +52,5 @@ def test_feedback_adapter_collects_pipeline_progress(spark, tmp_path):
     )
     assert len(published) == 3
     out = fb.render()
-    assert "write_tables" in out and "swap" in out
-    assert "[x] write_tables done" in out
-    assert "[x] swap done" in out
+    assert "[x] write_tables (100%)" in out
+    assert "[x] swap (100%)" in out
