@@ -43,3 +43,40 @@ def test_no_cartesian_or_bnlj(spark, slug):
         return
     assert "CartesianProduct" not in plan, f"{slug} has a cartesian product"
     assert "BroadcastNestedLoopJoin" not in plan, f"{slug} has a BNLJ"
+
+
+@pytest.mark.parametrize(
+    "slug,unused_col",
+    [
+        ("dataset_split", "text"),        # split needs doc_id+lang only
+        ("global_shuffle", "text"),       # shard/pos from doc_id only
+        ("embedding_quantize", "label"),  # quantization ignores labels
+        ("kmeans_lloyd", "label"),        # clustering ignores labels
+    ],
+)
+def test_column_pruning_reaches_scan(spark, slug, unused_col):
+    """Unused columns must be pruned OUT of the parquet ReadSchema —
+    at 100 TB reading a dead text/label column is the difference
+    between a projection scan and a full-table scan."""
+    import re
+
+    df = registry.QUERIES[slug](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    schemas = re.findall(r"ReadSchema: struct<[^>]*>", plan)
+    assert schemas, f"{slug}: no parquet scan in plan"
+    for s in schemas:
+        assert unused_col not in s, f"{slug} reads pruned column: {s}"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """filter_predicate's lineitem predicates must appear in the scan's
+    PushedFilters, not only in a post-scan Filter node.  (The plan
+    string elides long filter lists with '...', so inspect the segment
+    after the marker instead of regexing for a closing bracket.)"""
+    df = registry.QUERIES["filter_predicate"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    marker = "PushedFilters: ["
+    assert marker in plan
+    seg = plan[plan.index(marker): plan.index(marker) + 300]
+    assert not seg.startswith("PushedFilters: []"), "no filters pushed"
+    assert "l_returnflag" in seg or "IsNotNull" in seg, seg
