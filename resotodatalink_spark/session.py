@@ -37,8 +37,9 @@ def get_spark(app_name: str = "resotodatalink-spark", cpus: int | None = None) -
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
-        # the driver's events table stores TIMESTAMP(NANOS) which Spark's
-        # vectorized reader rejects; read as long and convert (tables.py)
+        # harmless with the current timestamp[us] testdata; lets a
+        # TIMESTAMP(NANOS) events footer (which Spark's vectorized
+        # reader rejects) read as longs for tables.py's fallback branch
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Whole-stage codegen emits ONE method per stage; the JVM JIT

@@ -34,11 +34,13 @@ TABLES = (
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table. Plain parquet scan — pushdown/pruning friendly.
 
-    ``events.ts`` is TIMESTAMP(NANOS) in the source parquet, which
-    Spark's reader rejects; we read it as nanosecond longs
-    (``spark.sql.legacy.parquet.nanosAsLong``) and floor-truncate to
-    microsecond timestamps — byte-for-byte what DuckDB's µs TIMESTAMP
-    sees when it reads the same file.
+    ``events.ts`` adapts to the file's footer type: a timestamp[us]
+    footer (current testdata) reads natively as TIMESTAMP_NTZ, while a
+    TIMESTAMP(NANOS) footer — which Spark's reader rejects — falls back
+    to nanos-as-long (``spark.sql.legacy.parquet.nanosAsLong``) and is
+    floor-truncated to microsecond NTZ, byte-for-byte what DuckDB's µs
+    TIMESTAMP sees when it reads the same file.  The streaming reader
+    (streaming/batch_stream.py) mirrors this branch.
     """
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
