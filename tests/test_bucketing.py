@@ -84,3 +84,28 @@ def test_bucketed_aggregate_eliminates_exchange(spark, no_broadcast):
         assert "Exchange" in raw_plan
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_orders_agg")
+
+
+def test_partition_pruning_reaches_scan(spark, tmp_path):
+    """Partition-key filters must prune at the directory level
+    (PartitionFilters on the scan, pruned partition count), not scan
+    everything and filter rows — at 100 TB the difference between
+    reading one event_type and all of them."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "part_events")
+    table(spark, SF_DIR, "events").write.partitionBy("event_type").parquet(src)
+    df = spark.read.parquet(src).filter(F.col("event_type") == "click")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    marker = "PartitionFilters: ["
+    assert marker in plan
+    seg = plan[plan.index(marker): plan.index(marker) + 200]
+    assert not seg.startswith("PartitionFilters: []"), seg
+    assert "event_type" in seg, seg
+    # and the unpartitioned scan has no partition filters to use
+    raw = table(spark, SF_DIR, "events").filter(F.col("event_type") == "click")
+    raw_plan = raw._jdf.queryExecution().executedPlan().toString()
+    assert raw.count() == df.count()
+    if marker in raw_plan:
+        raw_seg = raw_plan[raw_plan.index(marker): raw_plan.index(marker) + 40]
+        assert raw_seg.startswith("PartitionFilters: []"), raw_seg
