@@ -10,7 +10,10 @@ resotoclient Kind/Property shapes used throughout (conftest.py:23-64):
 * On a property-name clash the BASE kind's property replaces the
   subclass's (reference schema_utils.py:53-55 assigns base props over
   the already-collected subclass props) — replicated bug-for-bug since
-  golden rows depend on it.
+  golden rows depend on it.  Likewise a real property named after a
+  carz column (e.g. ``zone``) DUPLICATES in the output: the reference
+  appends carz unconditionally (``id_prop + prs + carz``,
+  schema_utils.py:63) — pinned by tests/test_properties.py.
 * Only kinds with ``aggregate_root=True``, no ``runtime_kind`` and not
   in ``base_kinds`` become tables (reference sql.py:166-170).  The
   reference derives ``base_kinds`` by reflection over
