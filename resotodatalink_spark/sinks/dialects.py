@@ -102,6 +102,14 @@ class SqlDialect:
         rows = ", ".join(row for _ in range(n_rows))
         return f"INSERT INTO {table} ({names}) VALUES {rows}"
 
+    def swap_sql(self, tmp_table: str, prod_table: str) -> list[str]:
+        """tmp -> prod publish statements (reference sql.py:129-159
+        drop+rename; executed for real in tests/test_jdbc_sqlite.py)."""
+        return [
+            f"DROP TABLE IF EXISTS {prod_table}",
+            f"ALTER TABLE {tmp_table} RENAME TO {prod_table}",
+        ]
+
 
 class SnowflakeDialect(SqlDialect):
     """Snowflake: ARRAY/OBJECT columns + INSERT ... SELECT parse_json
@@ -149,6 +157,17 @@ class SnowflakeDialect(SqlDialect):
         return (
             f"INSERT INTO {table} ({names}) SELECT {selects} FROM VALUES {rows}"
         )
+
+    def swap_sql(self, tmp_table: str, prod_table: str) -> list[str]:
+        """Snowflake publishes atomically with SWAP WITH when the prod
+        table exists (one statement, both tables exchange identities —
+        no drop window); first sync falls back to rename-if-absent via
+        the guarded pair."""
+        return [
+            f"CREATE TABLE IF NOT EXISTS {prod_table} LIKE {tmp_table}",
+            f"ALTER TABLE {tmp_table} SWAP WITH {prod_table}",
+            f"DROP TABLE {tmp_table}",
+        ]
 
 
 DIALECTS: dict[str, SqlDialect] = {}

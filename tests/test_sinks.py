@@ -151,3 +151,21 @@ def test_default_dialect_create_and_insert():
     assert d.insert_sql("thing", props, model, n_rows=1) == (
         "INSERT INTO thing (id, cores, tags) VALUES (?, ?, ?)"
     )
+
+
+def test_dialect_swap_statements():
+    """Default dialect swaps via drop+rename (executed for real against
+    sqlite3 in test_jdbc_sqlite.py); Snowflake swaps atomically with
+    SWAP WITH — no drop window between old and new prod."""
+    from resotodatalink_spark.sinks.dialects import dialect_for
+
+    assert dialect_for("default").swap_sql("tmp_t", "t") == [
+        "DROP TABLE IF EXISTS t",
+        "ALTER TABLE tmp_t RENAME TO t",
+    ]
+    sf = dialect_for("snowflake").swap_sql("tmp_t", "t")
+    assert sf == [
+        "CREATE TABLE IF NOT EXISTS t LIKE tmp_t",
+        "ALTER TABLE tmp_t SWAP WITH t",
+        "DROP TABLE tmp_t",
+    ]
