@@ -87,8 +87,12 @@ def collect_sql(
 ) -> list[str]:
     """Graph -> JDBC database with tmp-table swap DDL (collect_sql
     analog; needs a reachable database, so exercised only via its parts
-    in CI: sync_views here, write_jdbc/swap statements in sinks.jdbc)."""
-    from resotodatalink_spark.sinks.jdbc import swap_temp_tables_sql, write_jdbc
+    in CI: sync_views here, write_jdbc/swap statements in sinks.jdbc).
+    The returned swap statements come from the URL's dialect — plain
+    drop+rename by default, Snowflake's atomic SWAP WITH form there."""
+    from resotodatalink_spark.model.kinds import TEMP_PREFIX
+    from resotodatalink_spark.sinks.dialects import dialect_for
+    from resotodatalink_spark.sinks.jdbc import write_jdbc
 
     feedback = feedback or NoFeedback()
     views = sync_views(spark, source, model, temp_prefix=True)
@@ -96,7 +100,12 @@ def collect_sql(
     for i, name in enumerate(names, 1):
         write_jdbc(views[name], url, name, batch_size=batch_size)
         feedback.progress_done("write_jdbc", i, len(names))
-    return swap_temp_tables_sql(names)
+    dialect = dialect_for(url)
+    stmts: list[str] = []
+    for name in names:
+        if name.startswith(TEMP_PREFIX):
+            stmts.extend(dialect.swap_sql(name, name[len(TEMP_PREFIX):]))
+    return stmts
 
 
 def on_progress(fn: Callable[[str, int, int], None]) -> Feedback:
