@@ -285,9 +285,13 @@ def jaccard_pairs(
     # size-ratio prune inside the join (exactness-preserving): jaccard
     # >= t forces min(sz)/max(sz) >= t, so wildly different-sized docs
     # never reach the expensive per-pair aggregation.
-    ratio_ok = (F.col("sza") >= threshold * F.col("szb")) & (
-        F.col("szb") >= threshold * F.col("sza")
-    )
+    # Relative nudge on the double product (same hazard as the prefix
+    # ceil below): 0.7*10 floats to 7.000000000000001, and a raw >=
+    # would prune a true borderline pair whose exact ratio equals the
+    # threshold.  Scaling the slack with the product keeps it exact.
+    ratio_ok = (
+        F.col("sza") >= (F.lit(threshold) * F.col("szb")) * F.lit(1.0 - 1e-12)
+    ) & (F.col("szb") >= (F.lit(threshold) * F.col("sza")) * F.lit(1.0 - 1e-12))
     if prefix_filter:
         from pyspark.sql import Window as W
 
@@ -379,7 +383,13 @@ def containment_pairs(
         a.join(b, "h")
         .filter(
             (F.col("doc_a") != F.col("doc_b"))
-            & (F.col("szb") >= threshold * F.col("sza"))
+            # relative nudge: threshold*sza can round above the exact
+            # product (0.7*10 -> 7.000000000000001) and silently drop a
+            # true pair with containment exactly == threshold
+            & (
+                F.col("szb")
+                >= (F.lit(threshold) * F.col("sza")) * F.lit(1.0 - 1e-12)
+            )
         )
         .groupBy("doc_a", "doc_b", "sza")
         .agg(F.count("*").alias("c"))

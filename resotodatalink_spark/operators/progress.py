@@ -71,18 +71,19 @@ class ProgressTree:
         return sum(1 for level, _ in self.messages if level == "error")
 
     @property
-    def info_count(self) -> int:
-        return sum(1 for level, _ in self.messages if level != "error")
+    def warning_count(self) -> int:
+        return sum(1 for level, _ in self.messages if level in ("warn", "warning"))
 
     def render(self, max_height: Optional[int] = None) -> str:
         """Plain-text tree, capped at ``max_height`` lines (the
         reference caps at terminal height, show_progress.py:30-32;
         deeper rows past the cap are elided, never wrapped)."""
+        # one list element per physical line so the max_height cap
+        # counts what it emits (an embedded newline would undercount)
         lines: list[str] = []
         if self.messages:
-            lines.append(
-                f"- {self.error_count} errors\n- {self.info_count} warnings"
-            )
+            lines.append(f"- {self.error_count} errors")
+            lines.append(f"- {self.warning_count} warnings")
 
         def label(n: _Node) -> str:
             mark = "[x]" if n.done else "[ ]"
@@ -101,7 +102,7 @@ class ProgressTree:
         header = self.root.name if not self.root.children else (
             f"{self.root.name} ({self.root.percentage()}%)"
         )
-        lines.insert(1 if self.messages else 0, header)
+        lines.insert(2 if self.messages else 0, header)
         walk(self.root, "")
         if max_height is not None:
             lines = lines[:max_height]
@@ -114,7 +115,12 @@ class TreeFeedback:
     (any write()-able) to also log one ``step: current/total`` line per
     update — the plain-text analog of the reference's live re-render."""
 
-    def __init__(self, tree: Optional[ProgressTree] = None, out=None):
+    def __init__(self, tree: "Optional[ProgressTree | str]" = None, out=None):
+        # accept a plain root name too — the pre-round-4 signature took
+        # name:str first, and a str here would otherwise construct fine
+        # but explode on the first progress_done (str has no .update)
+        if isinstance(tree, str):
+            tree = ProgressTree(tree)
         self.tree = tree or ProgressTree()
         self.out = out
 

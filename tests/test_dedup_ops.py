@@ -107,3 +107,29 @@ def test_containment_asymmetry_and_exact_dup(spark):
     assert (2, 1) not in got           # longer NOT contained in short
     assert got[(1, 4)] == 1.0 and got[(4, 1)] == 1.0  # exact dup: both ways
     assert all(a != 3 and b != 3 for a, b in got)
+
+
+def test_containment_borderline_threshold_not_pruned(spark):
+    """Containment exactly == threshold must survive the size prune.
+
+    0.7*10 floats to 7.000000000000001, so a raw ``szb >= t*sza``
+    prune drops the (|A|=10, |B|=7, C=0.7) pair that the final exact
+    filter would keep — the relative-nudge regression from ADVICE r4."""
+    from resotodatalink_spark.operators.dedup import containment_pairs
+
+    # 3-word shingles: w distinct words -> w-2 distinct shingles.
+    words = "w%d " * 12 % tuple(range(12))
+    a = words.strip()                              # 12 words -> 10 shingles
+    b = " ".join(a.split()[:9])                    # 9 words -> 7 shingles, all ⊂ A
+    docs = spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id: long, text: string"
+    )
+    got = {
+        (r.doc_a, r.doc_b): round(r.containment, 9)
+        for r in containment_pairs(docs, threshold=0.7).collect()
+    }
+    # C(b in a)=7/7=1.0 trivially; the hazard case is C(a's shingles
+    # seen from b's side): direction (2,1) has sza=7 -> fine, but
+    # direction (1,2) needs szb=7 >= 0.7*sza=10 -> exactly 7.
+    assert got.get((1, 2)) == 0.7, f"borderline pair pruned: {got}"
+    assert got.get((2, 1)) == 1.0

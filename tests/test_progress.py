@@ -26,10 +26,17 @@ def test_tree_height_cap_and_messages():
     for i in range(10):
         t.update(f"write/t{i}", 1, 2)
     t.message("error", "boom")
-    t.message("info", "fyi")
+    t.message("warn", "careful")
+    t.message("info", "fyi")  # info is NOT a warning
     out = t.render(max_height=4)
-    assert len(out.splitlines()) <= 5  # message block is one 2-line str
+    assert len(out.splitlines()) == 4  # cap counts physical lines
     assert "1 errors" in out and "1 warnings" in out
+
+
+def test_feedback_accepts_root_name_string():
+    fb = TreeFeedback("MyName")
+    fb.progress_done("step", 1, 1)
+    assert fb.render().startswith("MyName")
 
 
 def test_done_requires_total():
