@@ -84,15 +84,19 @@ def collect_sql(
     url: str,
     feedback: Feedback | None = None,
     batch_size: int = 5000,
+    run_swap: bool = False,
 ) -> list[str]:
     """Graph -> JDBC database with tmp-table swap DDL (collect_sql
-    analog; needs a reachable database, so exercised only via its parts
-    in CI: sync_views here, write_jdbc/swap statements in sinks.jdbc).
-    The returned swap statements come from the URL's dialect — plain
-    drop+rename by default, Snowflake's atomic SWAP WITH form there."""
+    analog).  Executed for real in CI against embedded Derby
+    (``jdbc:derby:memory:``, tests/test_jdbc_derby.py).  The swap
+    statements come from the URL's dialect — plain drop+rename by
+    default, Snowflake's atomic SWAP WITH, Derby's RENAME TABLE — and
+    with ``run_swap`` they are executed over a live JDBC connection
+    (the reference's engine-side publish, sql.py:129-159); otherwise
+    they are returned for the caller to run."""
     from resotodatalink_spark.model.kinds import TEMP_PREFIX
     from resotodatalink_spark.sinks.dialects import dialect_for
-    from resotodatalink_spark.sinks.jdbc import write_jdbc
+    from resotodatalink_spark.sinks.jdbc import execute_statements, write_jdbc
 
     feedback = feedback or NoFeedback()
     views = sync_views(spark, source, model, temp_prefix=True)
@@ -105,6 +109,9 @@ def collect_sql(
     for name in names:
         if name.startswith(TEMP_PREFIX):
             stmts.extend(dialect.swap_sql(name, name[len(TEMP_PREFIX):]))
+    if run_swap:
+        executed = execute_statements(spark, url, stmts)
+        feedback.progress_done("swap", len(executed), len(executed))
     return stmts
 
 

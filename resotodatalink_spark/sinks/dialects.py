@@ -86,18 +86,25 @@ class SqlDialect:
     def nested_type(self) -> str:
         return "TEXT"
 
+    def quote_ident(self, name: str) -> str:
+        """Column-identifier quoting hook.  Default: bare (sqlite and
+        friends accept ``_id``); engines whose parsers reject
+        leading-underscore identifiers (Derby) quote here."""
+        return name
+
     def prepare(self, df: DataFrame) -> DataFrame:
         """Nested Spark types -> JSON strings before the JDBC write."""
         return stringify_nested(df)
 
     def create_table_sql(self, table: str, props, model: Model) -> str:
         cols = ", ".join(
-            f"{name} {self.column_type(model, kind)}" for name, kind in props
+            f"{self.quote_ident(name)} {self.column_type(model, kind)}"
+            for name, kind in props
         )
         return f"CREATE TABLE IF NOT EXISTS {table} ({cols})"
 
     def insert_sql(self, table: str, props, model: Model, n_rows: int = 1) -> str:
-        names = ", ".join(name for name, _ in props)
+        names = ", ".join(self.quote_ident(name) for name, _ in props)
         row = "(" + ", ".join("?" for _ in props) + ")"
         rows = ", ".join(row for _ in range(n_rows))
         return f"INSERT INTO {table} ({names}) VALUES {rows}"
@@ -170,6 +177,56 @@ class SnowflakeDialect(SqlDialect):
         ]
 
 
+class DerbyDialect(SqlDialect):
+    """Apache Derby (the engine embedded in Spark's own classpath for
+    the Hive metastore) — used as a LIVE second engine in CI: Derby has
+    no TEXT type, no ``IF [NOT] EXISTS`` guards, and renames with
+    ``RENAME TABLE`` instead of ``ALTER TABLE`` (the exact ANSI drift
+    the reference's DialectUpdater registry exists for, sql.py:264-272).
+    Executed for real in tests/test_jdbc_derby.py via
+    ``jdbc:derby:memory:``."""
+
+    name = "derby"
+
+    _SCALARS = {
+        "int32": "INTEGER",
+        "int64": "BIGINT",
+        "float": "REAL",
+        "double": "DOUBLE",
+        "boolean": "BOOLEAN",
+        "string": "VARCHAR(32672)",
+        "duration": "VARCHAR(32672)",
+        "datetime": "TIMESTAMP",
+        "date": "DATE",
+        "any": "VARCHAR(32672)",
+    }
+
+    def nested_type(self) -> str:
+        return "VARCHAR(32672)"  # Derby max VARCHAR; no TEXT type
+
+    def quote_ident(self, name: str) -> str:
+        # Derby's parser rejects leading-underscore identifiers (_id)
+        # unless delimited — same quoting Spark's JDBC writer applies
+        return f'"{name}"'
+
+    def create_table_sql(self, table: str, props, model: Model) -> str:
+        # Derby has no CREATE TABLE IF NOT EXISTS
+        cols = ", ".join(
+            f"{self.quote_ident(name)} {self.column_type(model, kind)}"
+            for name, kind in props
+        )
+        return f"CREATE TABLE {table} ({cols})"
+
+    def swap_sql(self, tmp_table: str, prod_table: str) -> list[str]:
+        """No DROP IF EXISTS in Derby: the first publish's DROP fails
+        with SQLState 42Y55 (object does not exist), which
+        ``execute_statements`` tolerates by default."""
+        return [
+            f"DROP TABLE {prod_table}",
+            f"RENAME TABLE {tmp_table} TO {prod_table}",
+        ]
+
+
 DIALECTS: dict[str, SqlDialect] = {}
 
 
@@ -182,14 +239,19 @@ def register_dialect(dialect: type[SqlDialect]) -> type[SqlDialect]:
 
 register_dialect(SqlDialect)
 register_dialect(SnowflakeDialect)
+register_dialect(DerbyDialect)
 
 
 def dialect_for(url_or_name: str) -> SqlDialect:
     """Resolve a dialect from a name or JDBC URL.  ``jdbc:postgresql://``
-    -> "postgresql"; unknown dialects get the default (reference
-    sql.py:268-271 ``DialectUpdater.get(..., SqlDefaultUpdater)``)."""
+    -> "postgresql"; subprotocol-only URLs like ``jdbc:derby:memory:x``
+    (no ``//``) resolve on the token after ``jdbc:``; unknown dialects
+    get the default (reference sql.py:268-271
+    ``DialectUpdater.get(..., SqlDefaultUpdater)``)."""
     name = url_or_name
     if "://" in name or name.startswith("jdbc:"):
-        m = re.match(r"^(?:jdbc:)?([a-zA-Z0-9_+-]+)://", name)
+        m = re.match(r"^(?:jdbc:)?([a-zA-Z0-9_+-]+)://", name) or re.match(
+            r"^jdbc:([a-zA-Z0-9_+-]+):", name
+        )
         name = m.group(1) if m else name
     return DIALECTS.get(name, DIALECTS["default"])

@@ -11,14 +11,18 @@ DialectUpdater, sql.py:264-272; Snowflake specialization
 snowflake.py:49-92) — ``write_jdbc`` resolves the dialect from the URL
 and applies its ``prepare`` step before the write.
 
-No database server exists in this environment, so the write itself is a
-thin, untested-by-CI wrapper; the dialect statement generators ARE
-unit-tested (tests/test_sinks.py).
+The write path IS executed in CI against Apache Derby — the embedded
+engine already on Spark's classpath for the Hive metastore — via
+``jdbc:derby:memory:`` URLs (tests/test_jdbc_derby.py), and the
+statement generators additionally run against stdlib sqlite3
+(tests/test_jdbc_sqlite.py).  ``execute_statements`` runs swap/DDL
+over a live ``java.sql.Connection`` from the driver JVM — the analog
+of the reference's engine-side swap execution (sql.py:129-159).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 
 from resotodatalink_spark.sinks.dialects import dialect_for
 
@@ -35,6 +39,62 @@ def write_jdbc(
     props = {"batchsize": str(batch_size), **(properties or {})}
     out = dialect_for(url).prepare(df) if stringify else df
     out.write.jdbc(url=url, table=table, mode=mode, properties=props)
+
+
+def execute_statements(
+    spark: SparkSession,
+    url: str,
+    statements: list[str],
+    tolerate_sqlstates: tuple[str, ...] = ("42Y55",),
+) -> list[str]:
+    """Execute DDL/DML statements over a live JDBC connection obtained
+    from the driver JVM's ``DriverManager`` (how the reference's engine
+    connection runs the swap, sql.py:129-159).  Driver-side on purpose:
+    swap/DDL is a handful of metadata statements, not data movement —
+    the data went through ``write_jdbc``'s distributed path.
+
+    ``tolerate_sqlstates`` skips engines' missing-object errors where
+    the dialect has no ``IF EXISTS`` guard (Derby 42Y55); anything else
+    re-raises.  Returns the statements that actually executed."""
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    executed: list[str] = []
+    try:
+        st = conn.createStatement()
+        for s in statements:
+            try:
+                st.execute(s)
+                executed.append(s)
+            except Exception as e:  # Py4JJavaError wrapping SQLException
+                je = getattr(e, "java_exception", None)
+                state = (
+                    je.getSQLState()
+                    if je is not None and hasattr(je, "getSQLState")
+                    else None
+                )
+                if state not in tolerate_sqlstates:
+                    raise
+    finally:
+        conn.close()
+    return executed
+
+
+def list_jdbc_tables(spark: SparkSession, url: str) -> list[str]:
+    """Table names visible through JDBC metadata, lowercased (Derby
+    reports unquoted identifiers uppercase) — the input
+    ``swap_temp_tables_sql`` expects, mirroring the reference's
+    pre-swap metadata reflection (sql.py:129-143)."""
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        rs = conn.getMetaData().getTables(None, None, "%", None)
+        out = []
+        while rs.next():
+            if rs.getString("TABLE_TYPE") == "TABLE":
+                out.append(rs.getString("TABLE_NAME").lower())
+        return sorted(out)
+    finally:
+        conn.close()
 
 
 def swap_temp_tables_sql(
