@@ -24,64 +24,75 @@ registry.load_all()
 # with a fresh green row from last round and no changes this round are
 # the ones that may fall past the cap.  All slugs stay registered.
 _CHANGED_THIS_ROUND = [
-    # round 4 edits: new oracles (multimodal_decode/frames), the
-    # embedding_centroids _spread removal, the two new search-DSL slugs,
-    # and every graph_search_* slug whose shared fixture graph gained
-    # customer nodes + delete-typed edges this round.
-    "multimodal_decode",
-    "multimodal_frames",
-    "embedding_centroids",
-    "kmeans_lloyd",
+    # round 5 edits: the two NEW search-DSL slugs (fulltext terms,
+    # nested with() subqueries); the two dedup slugs whose size prunes
+    # gained the relative borderline-threshold nudge; and every other
+    # graph_search_* slug, because all of them run through the
+    # parser/compiler that round 5 changed (operators/search.py:
+    # Fulltext term branch, recursive _apply_with refactor).
+    "graph_search_fulltext",
+    "graph_search_nested_with",
     "dedup_containment",
-    "embedding_quantize",
-    "dataset_split",
-    "graph_search_inbound",
-    "graph_search_edge_typed",
+    "dedup_ngram_jaccard",
     "graph_search_dsl",
     "graph_search_aggregate",
     "graph_search_with",
     "graph_search_sorted",
+    "graph_search_inbound",
+    "graph_search_edge_typed",
 ]
 
 _ATTEST_FIRST = _CHANGED_THIS_ROUND + [
-    # Newest green row is CORRECTNESS_r02 (outside r3's 50-slug window)
-    # — stalest evidence first, so no slug's attestation ages past two
-    # rounds.
-    "graph_reachability_min2",
-    "graph_components",
-    "pii_redaction",
-    "repetition_filter",
-    "decontamination",
-    "global_shuffle",
-    "salted_groupby",
-    "skew_join_salted",
-    "ann_cosine_topk",
-    "ann_lsh_bucketed",
-    "ann_lsh_multiprobe",
-    "dedup_embedding",
-    "ann_ivf_cells",
-    "stream_tumbling_window",
-    "stream_sliding_window",
-    "stream_session_window",
-    "stream_interval_join",
-    "funnel_conversion",
-    "retention_cohorts",
-    "stream_dedup",
-    "cdc_latest",
-    "lang_id",
-    "quality_score",
-    "token_count",
-    "doc_fingerprint",
-    "text_normalize",
-    "udtf_tokenize",
-    "frequent_terms",
-    "sample_hash_stratified",
-    "curation_pipeline",
-    "text_chunking",
-    "tfidf_top_terms",
-    "quota_sample",
-    "sequence_packing",
-    "unigram_logprob",
+    # Newest green row is CORRECTNESS_r03 (these formed the r4 window's
+    # complement) — stalest evidence first.  10 changed + 45 stale = 55
+    # ranked for a 50-slug window: the LAST 5 below overflow this
+    # round and must lead round 6's window (tools/check_queries.py
+    # full runs keep them locally verified meanwhile).
+    "dedup_simhash",
+    "dedup_clusters",
+    "dedup_survivors",
+    "dedup_incremental",
+    "graph_reachability",
+    "multimodal_features",
+    "pandas_udaf_zscore",
+    "class_rebalance",
+    "sql_passthrough",
+    "project_columns",
+    "nested_field_access",
+    "filter_predicate",
+    "map_ops",
+    "json_ops",
+    "date_functions",
+    "string_functions",
+    "math_functions",
+    "join_broadcast",
+    "join_link_table",
+    "join_semi",
+    "join_anti",
+    "join_outer",
+    "join_theta_range",
+    "groupby_count",
+    "distinct_agg",
+    "topk_argmax",
+    "agg_sum_avg_min_max",
+    "groupby_having",
+    "rollup_cube",
+    "sort_limit",
+    "topk_per_group",
+    "set_ops",
+    "window_rank",
+    "window_running_sum",
+    "array_ops",
+    "subquery_exists",
+    "pivot_table",
+    "median_stats",
+    "string_agg",
+    "tpch_q3_shape",
+    "tpch_q5_shape",
+    "join_asof",
+    "window_range_frame",
+    "tpch_q10_shape",
+    "sessionize_events",
 ]
 
 

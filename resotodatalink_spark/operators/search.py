@@ -14,6 +14,7 @@ the resotocore server and only consumes the resulting node stream
     term   := "is(" kind ")"
             | path op literal          e.g.  cores > 2,  name == "in1"
             | path "in" "[" literal ("," literal)* "]"
+            | '"term"'                 fulltext: token match over reported
             | "not" term
             | "(" filter ")"
     op     := == != > >= < <= ~ (regex match)
@@ -22,9 +23,10 @@ the resotocore server and only consumes the resulting node stream
             | "<-[a:b]-" | "<-[a:]-"              inbound depth range
             | "-TYPE->" | "<-TYPE-"               edge-type filtered
             | "-TYPE[a:b]->" | "<-TYPE[a:b]-"     both combined
-    with   := "with" "(" ("empty"|"any") "," arrow filter? ")"
+    with   := "with" "(" ("empty"|"any") "," arrow filter? with? ")"
               where arrow is any 1-hop traversal form: "-->", "<--",
-              "-TYPE->", "<-TYPE-"
+              "-TYPE->", "<-TYPE-"; a nested with() further filters
+              the neighbor set by ITS neighbors (recursively)
     sort   := "sort" path ("asc"|"desc")? ("," path ("asc"|"desc")?)*
     limit  := "limit" number
 
@@ -48,7 +50,14 @@ Semantics follow the reference where observable:
   least one (semi join) — the reference's subgraph predicate as a
   distributed join instead of a per-node server probe.  The arrow may
   point inbound (``<--``: predecessors) and may name an edge type
-  (``-delete->``), mirroring the traversal grammar.
+  (``-delete->``), mirroring the traversal grammar.  A nested
+  ``with()`` inside the clause constrains the NEIGHBOR set by its own
+  neighbors — each nesting level compiles to one more semi/anti join,
+  so an n-deep subquery is n joins, not n server probes per node.
+* a bare quoted string term (``"nation_3"``) is a FULLTEXT term
+  (the reference's delegated term search, remote_graph.py:62-63):
+  case-insensitive whole-token match over the node's serialized
+  ``reported`` document.
 * ``aggregate(...)`` turns the node stream into a groupBy: group keys
   are extracted paths, aggregate functions run over double-cast
   values (``sum(1)`` == count, as in the reference's syntax).
@@ -96,7 +105,12 @@ class NotOp:
     child: "Node"
 
 
-Node = Union[IsKind, Predicate, BoolOp, "NotOp"]
+@dataclass
+class Fulltext:
+    term: str
+
+
+Node = Union[IsKind, Predicate, BoolOp, "NotOp", Fulltext]
 
 
 @dataclass
@@ -126,6 +140,7 @@ class WithClause:
     filter: Optional[Node]  # neighbor filter (None = any neighbor)
     direction: str = "out"  # "out" (successors) | "in" (predecessors)
     edge_type: Optional[str] = None  # None = default edges
+    nested: Optional["WithClause"] = None  # subquery on the neighbor set
 
 
 @dataclass
@@ -288,11 +303,14 @@ class _Parser:
         if (t.min_depth, t.max_depth) != (1, 1):
             raise ValueError("with() supports 1-hop arrows only")
         inner: Optional[Node] = None
-        if (tok2 := self.peek()) and tok2[0] != "rpar":
+        if (tok2 := self.peek()) and tok2[0] != "rpar" and not self._at_word("with"):
             inner = self.parse_bool()
+        nested: Optional[WithClause] = None
+        if self._at_word("with"):
+            nested = self.parse_with()
         if self.next()[0] != "rpar":
             raise ValueError("expected ) closing with")
-        return WithClause(mode, inner, t.direction, t.edge_type)
+        return WithClause(mode, inner, t.direction, t.edge_type, nested)
 
     def parse_bool(self) -> Node:
         left = self.parse_term()
@@ -308,6 +326,8 @@ class _Parser:
             return NotOp(self.parse_term())
         if kind_tok == "is":
             return IsKind(val[3:-1].strip())
+        if kind_tok == "str":
+            return Fulltext(val[1:-1])
         if kind_tok == "lpar":
             inner = self.parse_bool()
             if self.next()[0] != "rpar":
@@ -436,6 +456,14 @@ def _filter_column(node: Node, model: Model) -> Column:
     if isinstance(node, IsKind):
         kinds = _matching_kinds(model, node.kind)
         return F.col("kind").isin(*kinds) if kinds else F.lit(False)
+    if isinstance(node, Fulltext):
+        # Whole-token, case-insensitive match over the serialized
+        # reported document — the native stand-in for the server-side
+        # fulltext index (reference remote_graph.py:62-63).  \b works
+        # identically in Java regex and DuckDB's RE2, so the oracle can
+        # state the same match.
+        pat = r"\b" + re.escape(node.term.lower()) + r"\b"
+        return F.lower(F.col("reported")).rlike(pat)
     if isinstance(node, Predicate):
         return _predicate_column(node)
     if isinstance(node, BoolOp):
@@ -455,6 +483,36 @@ def _path_column(path: str) -> Column:
     if path.startswith("reported."):
         path = path[len("reported."):]
     return F.get_json_object("reported", f"$.{path}")
+
+
+def _apply_with(
+    out: DataFrame, w: WithClause, source: GraphSource, model: Model
+) -> DataFrame:
+    """Compile one with() level to a semi/anti join; a nested with()
+    recursively constrains the neighbor set first, so n-deep subqueries
+    become n chained joins over the same edge frames."""
+    neighbor = source.nodes
+    if w.filter is not None:
+        neighbor = neighbor.filter(_filter_column(w.filter, model))
+    if w.nested is not None:
+        neighbor = _apply_with(neighbor, w.nested, source, model)
+    wedges = (
+        source.default_edges()
+        if w.edge_type is None
+        else source.edges.filter(F.col("edge_type") == w.edge_type)
+    )
+    # outbound: keep nodes by their successors (from_id side);
+    # inbound: keep nodes by their predecessors (to_id side)
+    near, far = ("from_id", "to_id") if w.direction == "out" else (
+        "to_id", "from_id"
+    )
+    linked = (
+        wedges.join(
+            neighbor.select(F.col("id").alias(far)), far, "left_semi"
+        ).select(F.col(near).alias("id"))
+    )
+    how = "left_semi" if w.mode == "any" else "left_anti"
+    return out.join(linked, "id", how)
 
 
 def execute_search(source: GraphSource, model: Model, search_text: str) -> DataFrame:
@@ -488,27 +546,7 @@ def execute_search(source: GraphSource, model: Model, search_text: str) -> DataF
             out = out.unionByName(matched.select("id", "kind", "reported")).distinct()
 
     if search.with_clause is not None:
-        w = search.with_clause
-        neighbor = source.nodes
-        if w.filter is not None:
-            neighbor = neighbor.filter(_filter_column(w.filter, model))
-        wedges = (
-            source.default_edges()
-            if w.edge_type is None
-            else source.edges.filter(F.col("edge_type") == w.edge_type)
-        )
-        # outbound: keep nodes by their successors (from_id side);
-        # inbound: keep nodes by their predecessors (to_id side)
-        near, far = ("from_id", "to_id") if w.direction == "out" else (
-            "to_id", "from_id"
-        )
-        linked = (
-            wedges.join(
-                neighbor.select(F.col("id").alias(far)), far, "left_semi"
-            ).select(F.col(near).alias("id"))
-        )
-        how = "left_semi" if w.mode == "any" else "left_anti"
-        out = out.join(linked, "id", how)
+        out = _apply_with(out, search.with_clause, source, model)
 
     if search.aggregate is not None:
         agg = search.aggregate

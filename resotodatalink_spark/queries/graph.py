@@ -333,6 +333,71 @@ def graph_search_edge_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "graph_search_fulltext",
+    oracle="""
+    SELECT concat('R', CAST(r_regionkey AS VARCHAR)) AS id,
+           'region_node' AS kind,
+           concat('{"name":"', r_name, '"}') AS reported
+    FROM region
+    WHERE regexp_matches(lower(concat('{"name":"', r_name, '"}')), '\\basia\\b')
+    UNION ALL
+    SELECT concat('N', CAST(n_nationkey AS VARCHAR)) AS id,
+           'nation_node' AS kind,
+           concat('{"name":"', n_name, '"}') AS reported
+    FROM nation
+    WHERE regexp_matches(lower(concat('{"name":"', n_name, '"}')), '\\bnation_3\\b')
+    """,
+)
+def graph_search_fulltext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulltext term search (the reference delegates term queries to
+    the server's fulltext index, remote_graph.py:62-63): a bare quoted
+    term matches any node whose serialized reported document contains
+    it as a whole token, case-insensitively, across ALL kinds — here
+    one region (ASIA) and one nation (NATION_3) from one search
+    string.  Token semantics (\\b) are identical in Java regex and
+    DuckDB RE2, so the oracle states the very same match.  Note
+    nation_3 does NOT match NATION_13/23 — whole-token, not
+    substring."""
+    from resotodatalink_spark.operators.search import execute_search
+
+    src, model = _rns_source_and_model(spark, sf_dir)
+    return execute_search(src, model, '"asia" or "nation_3"')
+
+
+@query(
+    "graph_search_nested_with",
+    oracle="""
+    SELECT concat('R', CAST(r_regionkey AS VARCHAR)) AS id,
+           'region_node' AS kind,
+           concat('{"name":"', r_name, '"}') AS reported
+    FROM region
+    WHERE NOT EXISTS (
+      SELECT 1 FROM nation WHERE n_regionkey = r_regionkey
+      AND EXISTS (
+        SELECT 1 FROM customer WHERE c_nationkey = n_nationkey
+          AND regexp_matches(c_name, '^Customer#00000000[0-9]$')))
+    """,
+)
+def graph_search_nested_with(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NESTED with() subquery (the reference's server-side subgraph
+    predicates compose, remote_graph.py:62-63): regions with NO nation
+    that has any early customer hanging off a delete-typed edge.  Each
+    nesting level compiles to one more distributed semi/anti join —
+    the inner with(any, -delete-> ...) is a semi join shrinking the
+    nation set, the outer with(empty, ...) an anti join over it; two
+    joins total, zero per-node probes."""
+    from resotodatalink_spark.operators.search import execute_search
+
+    src, model = _rns_source_and_model(spark, sf_dir)
+    return execute_search(
+        src,
+        model,
+        'is(region_node) with(empty, --> '
+        'with(any, -delete-> name ~ "^Customer#00000000[0-9]$"))',
+    )
+
+
+@query(
     "graph_components",
     oracle="""
     WITH RECURSIVE pairs AS (

@@ -215,6 +215,73 @@ def test_search_with_inbound_and_typed_arrows(spark):
         parse_search("is(resource) with(any, -[1:2]->)")
 
 
+def test_parse_fulltext_and_nested_with():
+    from resotodatalink_spark.operators.search import Fulltext, WithClause
+
+    s = parse_search('"some term" and is(resource)')
+    assert isinstance(s.filter, BoolOp)
+    assert s.filter.left == Fulltext("some term")
+
+    s = parse_search(
+        'is(resource) with(empty, --> with(any, -delete-> cores > 2))'
+    )
+    w = s.with_clause
+    assert isinstance(w, WithClause) and w.mode == "empty" and w.filter is None
+    assert w.nested is not None and w.nested.mode == "any"
+    assert w.nested.edge_type == "delete"
+    assert w.nested.filter == Predicate("cores", ">", 2)
+    # a filter AND a nested with on the same level
+    s = parse_search(
+        'is(resource) with(any, --> is(some_volume) with(empty, -->))'
+    )
+    assert s.with_clause.filter == IsKind("some_volume")
+    assert s.with_clause.nested.mode == "empty"
+
+
+def test_fulltext_whole_token_match(spark, graph):
+    src, model = graph
+    # matches the instance doc ({"name":"in1",...}), case-insensitive
+    got = {r["id"] for r in execute_search(src, model, '"IN1"').collect()}
+    assert got == {"i-123"}
+    # whole-token: "in" alone must not match "in1"
+    got = {r["id"] for r in execute_search(src, model, '"in"').collect()}
+    assert got == set()
+    # spans kinds and composes with bool ops
+    got = {
+        r["id"]
+        for r in execute_search(src, model, '"in1" or "vol1"').collect()
+    }
+    assert got == {"i-123", "v-123"}
+
+
+def test_nested_with_execution(spark):
+    """instance -> volume -> (delete) snapshot chain: nested with()
+    selects by the neighbor's OWN neighbors."""
+    docs = example_docs()
+    snap = dict(docs[1], id="s-1")
+    snap["reported"] = dict(docs[1]["reported"], id="s-1", name="snap1")
+    docs = docs + [
+        snap,
+        {"type": "edge", "from": "v-123", "to": "s-1", "edge_type": "delete"},
+    ]
+    src = GraphSource.from_docs(spark, docs)
+    model = example_model()
+    # instances with a volume that HAS a delete-successor
+    got = execute_search(
+        src, model,
+        'is(some_instance) with(any, --> is(some_volume) '
+        'with(any, -delete->))',
+    ).collect()
+    assert {r["id"] for r in got} == {"i-123"}
+    # instances with a volume that has NO delete-successor: none
+    got = execute_search(
+        src, model,
+        'is(some_instance) with(any, --> is(some_volume) '
+        'with(empty, -delete->))',
+    ).collect()
+    assert {r["id"] for r in got} == set()
+
+
 def test_search_sort_limit(spark):
     from resotodatalink_spark.operators.search import execute_search
     from resotodatalink_spark.sources.graph import GraphSource
