@@ -1,0 +1,153 @@
+"""Incremental-sync E2E: two generations with exact goldens.
+
+Generation 1 is a full sync (collect_to_files).  Generation 2 ships a
+changed-nodes DELTA — one modified node, one new node with its edge,
+one deleted node — through sync_delta's MERGE path, and the published
+tables must land on exact row goldens (the reference's full-resync
+result for the same final graph, per sql_test.py:70-128 semantics,
+reached here without rebuilding unchanged tables)."""
+
+from __future__ import annotations
+
+import os
+
+from resotodatalink_spark.operators.incremental import sync_delta
+from resotodatalink_spark.operators.sync import collect_to_files
+from resotodatalink_spark.sinks.files import read_table
+from resotodatalink_spark.sources.graph import GraphSource
+from tests.fixtures import carz_ancestors, example_docs, example_model
+
+CARZ = ("some_cloud", "some_account", "some_region", "some_zone")
+
+
+def _gen1(spark, tmp_path) -> str:
+    dest = str(tmp_path)
+    published = collect_to_files(
+        spark, GraphSource.from_docs(spark, example_docs()),
+        example_model(), dest,
+    )
+    assert sorted(published) == [
+        "link_some_instance_some_volume", "some_instance", "some_volume",
+    ]
+    return dest
+
+
+def _rows(spark, dest, name):
+    return sorted(tuple(r) for r in read_table(spark, dest, name).collect())
+
+
+def test_two_generation_delta_sync_goldens(spark, tmp_path):
+    dest = _gen1(spark, tmp_path)
+    # generation-1 goldens (reference sql_test.py:119-128)
+    assert _rows(spark, dest, "some_instance") == [
+        ("i-123", 4, 8, "i-123", "in1", "t1", "h1", *CARZ)
+    ]
+    assert _rows(spark, dest, "some_volume") == [
+        ("v-123", 12, "v-123", "vol1", "t1", "h1", *CARZ)
+    ]
+    assert _rows(spark, dest, "link_some_instance_some_volume") == [
+        ("i-123", "v-123")
+    ]
+
+    # generation 2 delta: i-123 modified (cores 4->8, now pointing at a
+    # NEW volume v-456 instead of v-123); v-123 deleted.
+    delta_docs = [
+        {
+            "type": "node",
+            "id": "i-123",
+            "reported": {
+                "kind": "some_instance", "id": "i-123", "name": "in1",
+                "alias": "t1", "description": "h1", "cores": 8, "memory": 8,
+            },
+            "ancestors": carz_ancestors(),
+        },
+        {
+            "type": "node",
+            "id": "v-456",
+            "reported": {
+                "kind": "some_volume", "id": "v-456", "name": "vol2",
+                "alias": "t2", "description": "h2", "capacity": 20,
+            },
+            "ancestors": carz_ancestors(),
+        },
+        {"type": "edge", "from": "i-123", "to": "v-456",
+         "edge_type": "default"},
+    ]
+    stats = sync_delta(
+        spark, GraphSource.from_docs(spark, delta_docs), example_model(),
+        dest, deleted_ids=["v-123"],
+    )
+
+    # exact generation-2 goldens: same rows a full resync of the final
+    # graph would produce
+    assert _rows(spark, dest, "some_instance") == [
+        ("i-123", 8, 8, "i-123", "in1", "t1", "h1", *CARZ)
+    ]
+    assert _rows(spark, dest, "some_volume") == [
+        ("v-456", 20, "v-456", "vol2", "t2", "h2", *CARZ)
+    ]
+    assert _rows(spark, dest, "link_some_instance_some_volume") == [
+        ("i-123", "v-456")
+    ]
+    assert stats["some_instance"] == {"upserted": 1, "removed": 1}
+    # v-456 upserted; v-123 deleted
+    assert stats["some_volume"] == {"upserted": 1, "removed": 1}
+    # i-123 owns its outbound edges: old (i-123, v-123) replaced
+    assert stats["link_some_instance_some_volume"] == {
+        "upserted": 1, "removed": 1,
+    }
+
+
+def test_untouched_tables_are_not_rewritten(spark, tmp_path):
+    """A delta touching only volumes must not rewrite the instance
+    table (the 100 TB win: IO proportional to change, not corpus)."""
+    dest = _gen1(spark, tmp_path)
+    inst_dir = os.path.join(dest, "some_instance")
+    before = {
+        f: os.path.getmtime(os.path.join(inst_dir, f))
+        for f in os.listdir(inst_dir)
+    }
+    delta_docs = [
+        {
+            "type": "node",
+            "id": "v-123",
+            "reported": {
+                "kind": "some_volume", "id": "v-123", "name": "vol1",
+                "alias": "t1", "description": "h1", "capacity": 99,
+            },
+            "ancestors": carz_ancestors(),
+        },
+    ]
+    stats = sync_delta(
+        spark, GraphSource.from_docs(spark, delta_docs), example_model(), dest
+    )
+    assert stats["some_instance"] == {"upserted": 0, "removed": 0}
+    assert stats["link_some_instance_some_volume"] == {
+        "upserted": 0, "removed": 0,
+    }
+    after = {
+        f: os.path.getmtime(os.path.join(inst_dir, f))
+        for f in os.listdir(inst_dir)
+    }
+    assert before == after, "untouched table was rewritten"
+    # the volume update itself landed
+    vols = _rows(spark, dest, "some_volume")
+    assert len(vols) == 1 and vols[0][1] == 99
+
+
+def test_deleting_a_node_drops_inbound_links(spark, tmp_path):
+    """Deleting a node with no delta rows still removes its table row
+    AND any link rows pointing at it (no dangling edges)."""
+    dest = _gen1(spark, tmp_path)
+    stats = sync_delta(
+        spark, GraphSource.from_docs(spark, []), example_model(), dest,
+        deleted_ids=["v-123"],
+    )
+    assert _rows(spark, dest, "some_volume") == []
+    assert _rows(spark, dest, "link_some_instance_some_volume") == []
+    assert stats["some_volume"] == {"upserted": 0, "removed": 1}
+    assert stats["link_some_instance_some_volume"] == {
+        "upserted": 0, "removed": 1,
+    }
+    # instance untouched
+    assert stats["some_instance"] == {"upserted": 0, "removed": 0}
