@@ -32,6 +32,7 @@ _CHANGED_THIS_ROUND = [
     # Fulltext term branch, recursive _apply_with refactor).
     "graph_search_fulltext",
     "graph_search_nested_with",
+    "graph_search_in_subnet",
     "dedup_containment",
     "dedup_ngram_jaccard",
     "graph_search_dsl",
@@ -44,8 +45,8 @@ _CHANGED_THIS_ROUND = [
 
 _ATTEST_FIRST = _CHANGED_THIS_ROUND + [
     # Newest green row is CORRECTNESS_r03 (these formed the r4 window's
-    # complement) — stalest evidence first.  10 changed + 45 stale = 55
-    # ranked for a 50-slug window: the LAST 5 below overflow this
+    # complement) — stalest evidence first.  11 changed + 45 stale = 56
+    # ranked for a 50-slug window: the LAST 6 below overflow this
     # round and must lead round 6's window (tools/check_queries.py
     # full runs keep them locally verified meanwhile).
     "dedup_simhash",

@@ -15,6 +15,8 @@ the resotocore server and only consumes the resulting node stream
             | path op literal          e.g.  cores > 2,  name == "in1"
             | path "in" "[" literal ("," literal)* "]"
             | '"term"'                 fulltext: token match over reported
+            | "in_subnet(" path "," '"cidr"' ")"   IPv4 CIDR membership
+            | "has_key(" path "," '"k"' ("," '"k"')* ")"
             | "not" term
             | "(" filter ")"
     op     := == != > >= < <= ~ (regex match)
@@ -58,6 +60,12 @@ Semantics follow the reference where observable:
   (the reference's delegated term search, remote_graph.py:62-63):
   case-insensitive whole-token match over the node's serialized
   ``reported`` document.
+* FUNCTION predicates (the server-side function terms the reference
+  delegates, remote_graph.py:62-63): ``in_subnet(path, "cidr")``
+  tests IPv4 CIDR membership with pure integer arithmetic (octets ->
+  uint32, prefix mask) — no UDF, and the same expression is statable
+  in ANSI SQL for the oracle; ``has_key(path, "k", ...)`` tests that
+  the JSON object at ``path`` has ALL the named keys.
 * ``aggregate(...)`` turns the node stream into a groupBy: group keys
   are extracted paths, aggregate functions run over double-cast
   values (``sum(1)`` == count, as in the reference's syntax).
@@ -110,7 +118,16 @@ class Fulltext:
     term: str
 
 
-Node = Union[IsKind, Predicate, BoolOp, "NotOp", Fulltext]
+@dataclass
+class FnPredicate:
+    fn: str  # "in_subnet" | "has_key"
+    path: str
+    args: list[str]
+
+
+Node = Union[IsKind, Predicate, BoolOp, "NotOp", Fulltext, FnPredicate]
+
+_FN_NAMES = ("in_subnet", "has_key")
 
 
 @dataclass
@@ -333,6 +350,25 @@ class _Parser:
             if self.next()[0] != "rpar":
                 raise ValueError("expected )")
             return inner
+        if kind_tok == "word" and val in _FN_NAMES:
+            if not ((tok := self.peek()) and tok[0] == "lpar"):
+                raise ValueError(f"{val} needs (path, args...)")
+            self.next()  # (
+            ptok, path = self.next()
+            if ptok != "word":
+                raise ValueError(f"{val} needs a property path first")
+            args: list[str] = []
+            while (tok := self.peek()) and tok[0] == "comma":
+                self.next()
+                atok, aval = self.next()
+                if atok != "str":
+                    raise ValueError(f"{val} arguments must be strings")
+                args.append(aval[1:-1])
+            if self.next()[0] != "rpar":
+                raise ValueError(f"expected ) closing {val}")
+            if not args:
+                raise ValueError(f"{val} needs at least one argument")
+            return FnPredicate(val, path, args)
         if kind_tok == "word":
             op_tok, op = self.next()
             if op_tok == "in":
@@ -452,6 +488,59 @@ def _predicate_column(pred: Predicate) -> Column:
     raise ValueError(f"unsupported op {pred.op}")
 
 
+def _ipv4_to_long(col: Column) -> Column:
+    """Dotted-quad string -> uint32 as a long; null (never matching)
+    for anything that doesn't parse as four octets."""
+    p = F.split(col, r"\.")
+    return F.when(
+        F.size(p) == 4,
+        p[0].cast("long") * 16777216
+        + p[1].cast("long") * 65536
+        + p[2].cast("long") * 256
+        + p[3].cast("long"),
+    )
+
+
+def _fn_predicate_column(node: FnPredicate) -> Column:
+    """Function predicates — the server-side function terms the
+    reference delegates (remote_graph.py:62-63), compiled to pure
+    column arithmetic (no UDF, so codegen keeps the filter in the scan
+    stage and the same expression is statable in the DuckDB oracle).
+
+    * ``in_subnet(path, "a.b.c.d/n")``: both addresses shift right by
+      (32-n) bits; equality == same /n network.
+    * ``has_key(path, "k", ...)``: every named key maps to a non-null
+      value in the JSON object at ``path`` (divergence from a pure
+      key-existence test: a key explicitly set to JSON null counts as
+      absent — JSONPath extraction cannot tell the two apart, and the
+      engines agree with each other on this reading)."""
+    if node.fn == "in_subnet":
+        cidr = node.args[0]
+        try:
+            net, prefix_s = cidr.split("/")
+            prefix = int(prefix_s)
+            octets = [int(o) for o in net.split(".")]
+            assert len(octets) == 4 and 0 <= prefix <= 32
+        except (ValueError, AssertionError):
+            raise ValueError(f"bad CIDR {cidr!r}") from None
+        net_int = (
+            octets[0] * 16777216 + octets[1] * 65536 + octets[2] * 256 + octets[3]
+        )
+        shift = 32 - prefix
+        ip = _ipv4_to_long(_path_column(node.path))
+        return F.shiftright(ip, shift) == F.lit(net_int >> shift)
+    if node.fn == "has_key":
+        obj = _path_column(node.path)
+        conds = [
+            F.get_json_object(obj, f"$.{k}").isNotNull() for k in node.args
+        ]
+        out = conds[0]
+        for c in conds[1:]:
+            out = out & c
+        return out
+    raise ValueError(f"unknown function predicate {node.fn}")
+
+
 def _filter_column(node: Node, model: Model) -> Column:
     if isinstance(node, IsKind):
         kinds = _matching_kinds(model, node.kind)
@@ -466,6 +555,8 @@ def _filter_column(node: Node, model: Model) -> Column:
         return F.lower(F.col("reported")).rlike(pat)
     if isinstance(node, Predicate):
         return _predicate_column(node)
+    if isinstance(node, FnPredicate):
+        return _fn_predicate_column(node)
     if isinstance(node, BoolOp):
         left = _filter_column(node.left, model)
         right = _filter_column(node.right, model)

@@ -398,6 +398,77 @@ def graph_search_nested_with(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "graph_search_in_subnet",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey, c_name,
+             concat('10.', CAST(c_custkey // 256 AS VARCHAR), '.',
+                    CAST(c_custkey % 256 AS VARCHAR), '.5') AS ip
+      FROM customer
+    ), p AS (
+      SELECT c_custkey, c_name, ip, string_split(ip, '.') AS o FROM c
+    )
+    SELECT concat('C', CAST(c_custkey AS VARCHAR)) AS id,
+           'customer_node' AS kind,
+           concat('{"name":"', c_name, '","ip":"', ip, '"}') AS reported
+    FROM p
+    WHERE (CAST(o[1] AS BIGINT)*16777216 + CAST(o[2] AS BIGINT)*65536
+           + CAST(o[3] AS BIGINT)*256 + CAST(o[4] AS BIGINT)) // 16384
+          = (10*16777216 + 64*256) // 16384
+    """,
+)
+def graph_search_in_subnet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Function predicate ``in_subnet`` (the reference delegates
+    function terms to the server, remote_graph.py:62-63): customers
+    carrying a synthetic dotted-quad ip (10.<key/256>.<key%256>.5)
+    filtered to the /18 block 10.0.64.0/18 — both engines parse the
+    STRING ip (split -> octets -> uint32) and compare the network
+    bits, so the oracle exercises the same arithmetic, not a
+    precomputed key range."""
+    from resotodatalink_spark.model.kinds import Kind, Model, Property
+    from resotodatalink_spark.operators.search import execute_search
+    from resotodatalink_spark.sources.graph import GraphSource
+
+    customer = table(spark, sf_dir, "customer")
+    nodes = customer.select(
+        F.concat(F.lit("C"), F.col("c_custkey").cast("string")).alias("id"),
+        F.lit("customer_node").alias("kind"),
+        F.to_json(
+            F.struct(
+                F.col("c_name").alias("name"),
+                F.concat(
+                    F.lit("10."),
+                    F.floor(F.col("c_custkey") / 256).cast("string"),
+                    F.lit("."),
+                    (F.col("c_custkey") % 256).cast("string"),
+                    F.lit(".5"),
+                ).alias("ip"),
+            )
+        ).alias("reported"),
+        F.lit(None).cast("string").alias("ancestors"),
+    )
+    edges = spark.createDataFrame(
+        [], "from_id: string, to_id: string, edge_type: string"
+    )
+    model = Model(
+        {
+            "string": Kind("string"),
+            "customer_node": Kind(
+                "customer_node",
+                properties=[Property("name", "string"), Property("ip", "string")],
+                bases=[],
+                aggregate_root=True,
+            ),
+        }
+    )
+    return execute_search(
+        GraphSource(nodes, edges),
+        model,
+        'is(customer_node) and in_subnet(ip, "10.0.64.0/18")',
+    )
+
+
+@query(
     "graph_components",
     oracle="""
     WITH RECURSIVE pairs AS (

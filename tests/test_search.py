@@ -282,6 +282,50 @@ def test_nested_with_execution(spark):
     assert {r["id"] for r in got} == set()
 
 
+def test_parse_function_predicates():
+    from resotodatalink_spark.operators.search import FnPredicate
+
+    s = parse_search('in_subnet(ip, "10.0.0.0/8")')
+    assert s.filter == FnPredicate("in_subnet", "ip", ["10.0.0.0/8"])
+    s = parse_search('is(resource) and has_key(tags, "env", "owner")')
+    assert s.filter.right == FnPredicate("has_key", "tags", ["env", "owner"])
+    with pytest.raises(ValueError):
+        parse_search("in_subnet(ip)")  # missing the CIDR argument
+    with pytest.raises(ValueError):
+        parse_search('in_subnet(ip, 17)')  # non-string argument
+
+
+def test_fn_predicates_execution(spark):
+    docs = []
+    for i, (ip, tags) in enumerate([
+        ("10.1.2.3", {"env": "prod", "owner": "a"}),
+        ("10.130.0.9", {"env": "dev"}),
+        ("192.168.0.1", {}),
+        ("not-an-ip", None),
+    ]):
+        reported = {"kind": "some_volume", "id": f"n-{i}", "name": f"n{i}",
+                    "alias": "x", "description": "d", "capacity": 1,
+                    "ip": ip}
+        if tags is not None:
+            reported["tags"] = tags
+        docs.append({"type": "node", "id": f"n-{i}", "reported": reported,
+                     "ancestors": None})
+    src = GraphSource.from_docs(spark, docs)
+    model = example_model()
+    got = {r["id"] for r in execute_search(
+        src, model, 'in_subnet(ip, "10.0.0.0/9")').collect()}
+    assert got == {"n-0"}  # /9 covers 10.0-127.*; 10.130 is outside
+    got = {r["id"] for r in execute_search(
+        src, model, 'in_subnet(ip, "10.0.0.0/8")').collect()}
+    assert got == {"n-0", "n-1"}  # malformed ip never matches
+    got = {r["id"] for r in execute_search(
+        src, model, 'has_key(tags, "env")').collect()}
+    assert got == {"n-0", "n-1"}
+    got = {r["id"] for r in execute_search(
+        src, model, 'has_key(tags, "env", "owner")').collect()}
+    assert got == {"n-0"}
+
+
 def test_search_sort_limit(spark):
     from resotodatalink_spark.operators.search import execute_search
     from resotodatalink_spark.sources.graph import GraphSource
