@@ -326,6 +326,50 @@ def test_fn_predicates_execution(spark):
     assert got == {"n-0"}
 
 
+def test_in_subnet_matches_ipaddress_ground_truth(spark):
+    """The shift-arithmetic CIDR test must agree with the stdlib
+    ipaddress module over a structured grid of addresses (boundary
+    octets, prefix edges 0/1/8/22/32) plus malformed strings."""
+    import ipaddress
+    import json as _json
+
+    octets = [0, 1, 63, 64, 127, 128, 192, 255]
+    ips = [f"{a}.{b}.{c}.{d}"
+           for a in octets[:4] for b in octets for c in octets[:4]
+           for d in (0, 255)]
+    ips += ["10.64.0.0", "10.63.255.255", "not-an-ip", "1.2.3", "1.2.3.4.5",
+            "256.1.1.1"]  # octet overflow: engine treats as >255 value
+    cidrs = ["0.0.0.0/0", "10.0.0.0/8", "128.0.0.0/1",
+             "63.128.64.0/22", "127.255.0.255/32"]
+    docs = [
+        {"type": "node", "id": f"n-{i}",
+         "reported": {"kind": "some_volume", "id": f"n-{i}", "name": "n",
+                      "alias": "a", "description": "d", "capacity": 1,
+                      "ip": ip},
+         "ancestors": None}
+        for i, ip in enumerate(ips)
+    ]
+    src = GraphSource.from_docs(spark, docs)
+    model = example_model()
+
+    def truth(ip: str, cidr: str) -> bool:
+        try:
+            addr = ipaddress.IPv4Address(ip)
+        except ipaddress.AddressValueError:
+            return False
+        return addr in ipaddress.IPv4Network(cidr, strict=False)
+
+    for cidr in cidrs:
+        got = {
+            _json.loads(r["reported"])["ip"]
+            for r in execute_search(
+                src, model, f'in_subnet(ip, "{cidr}")'
+            ).collect()
+        }
+        expected = {ip for ip in ips if truth(ip, cidr)}
+        assert got == expected, f"cidr={cidr}: {got ^ expected}"
+
+
 def test_search_sort_limit(spark):
     from resotodatalink_spark.operators.search import execute_search
     from resotodatalink_spark.sources.graph import GraphSource
