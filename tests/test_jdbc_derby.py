@@ -117,6 +117,40 @@ def test_first_publish_tolerates_missing_prod(spark):
         execute_statements(spark, url, ["SELECT FROM syntax error ("])
 
 
+def test_example_collector_14_tables_to_derby(spark):
+    """The reference's own integration fixture (7 kind + 7 link tables,
+    collect_plugins_test.py:27-46) synced end-to-end into a LIVE
+    database: collect_sql -> df.write.jdbc per tmp table -> executed
+    swap -> the reference's exact per-table counts back over JDBC.
+    Includes a zero-row kind table, which must still publish."""
+    from tests.fixtures import example_collector_docs, example_collector_model
+
+    url = _derby_url()
+    src = GraphSource.from_docs(spark, example_collector_docs())
+    collect_sql(spark, src, example_collector_model(), url, run_swap=True)
+    expected_counts = {
+        "example_account": 1,
+        "example_custom_resource": 1,
+        "example_instance": 2,
+        "example_network": 2,
+        "example_region": 2,
+        "example_volume": 2,
+        "link_example_account_example_region": 2,
+        "link_example_instance_example_volume": 2,
+        "link_example_network_example_instance": 2,
+        "link_example_region_example_custom_resource": 1,
+        "link_example_region_example_instance": 2,
+        "link_example_region_example_network": 2,
+        "link_example_region_example_volume": 2,
+        "resource_short_property_access": 0,
+    }
+    assert list_jdbc_tables(spark, url) == sorted(expected_counts)
+    counts = {
+        t: spark.read.jdbc(url, t).count() for t in expected_counts
+    }
+    assert counts == expected_counts
+
+
 class _DerbyCon:
     """Minimal DB-API-ish shim over a JVM JDBC connection so the
     dialect matrix below drives sqlite3 and Derby identically."""
