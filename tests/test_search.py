@@ -105,6 +105,15 @@ def test_traversal(spark, graph):
         for r in execute_search(src, model, "is(some_instance) -[2:]->").collect()
     }
     assert got == set()
+    # zero min depth includes the matched nodes themselves
+    got = {
+        r["id"]
+        for r in execute_search(src, model, "is(some_instance) -[0:2]->").collect()
+    }
+    assert got == {"i-123", "v-123"}
+    # ... exactly once, even when a matched node is also reachable
+    rows = execute_search(src, model, "is(resource) -[0:1]->").collect()
+    assert sorted(r["id"] for r in rows) == ["i-123", "v-123"]
 
 
 def test_traversal_edge_types_and_inbound_range(spark):
