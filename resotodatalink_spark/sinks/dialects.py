@@ -177,6 +177,52 @@ class SnowflakeDialect(SqlDialect):
         ]
 
 
+class PostgresDialect(SqlDialect):
+    """PostgreSQL (reference engine via SQLAlchemy, README/pyproject
+    extras): nested values as JSONB (indexable, unlike TEXT), and the
+    tmp->prod publish wrapped in ONE transaction — Postgres DDL is
+    transactional, so the swap is genuinely atomic across ALL tables
+    of a sync, matching the reference's single-transaction publish
+    (collect_plugins.py:193-194) rather than per-table rename windows."""
+
+    name = "postgresql"
+
+    def nested_type(self) -> str:
+        return "JSONB"
+
+    def swap_sql(self, tmp_table: str, prod_table: str) -> list[str]:
+        return [
+            "BEGIN",
+            f"DROP TABLE IF EXISTS {prod_table}",
+            f"ALTER TABLE {tmp_table} RENAME TO {prod_table}",
+            "COMMIT",
+        ]
+
+
+class MySQLDialect(SqlDialect):
+    """MySQL/MariaDB (reference engine via SQLAlchemy): nested values
+    as native JSON, and the publish uses MySQL's atomic multi-table
+    ``RENAME TABLE old-out, new-in`` — both renames in one statement,
+    so readers never observe the table missing (the gap the plain
+    drop+rename swap has)."""
+
+    name = "mysql"
+
+    _SCALARS = dict(SqlDialect._SCALARS, double="DOUBLE", datetime="DATETIME")
+
+    def nested_type(self) -> str:
+        return "JSON"
+
+    def swap_sql(self, tmp_table: str, prod_table: str) -> list[str]:
+        trash = f"{prod_table}__old"
+        return [
+            f"DROP TABLE IF EXISTS {trash}",
+            f"CREATE TABLE IF NOT EXISTS {prod_table} LIKE {tmp_table}",
+            f"RENAME TABLE {prod_table} TO {trash}, {tmp_table} TO {prod_table}",
+            f"DROP TABLE {trash}",
+        ]
+
+
 class DerbyDialect(SqlDialect):
     """Apache Derby (the engine embedded in Spark's own classpath for
     the Hive metastore) — used as a LIVE second engine in CI: Derby has
@@ -239,6 +285,8 @@ def register_dialect(dialect: type[SqlDialect]) -> type[SqlDialect]:
 
 register_dialect(SqlDialect)
 register_dialect(SnowflakeDialect)
+register_dialect(PostgresDialect)
+register_dialect(MySQLDialect)
 register_dialect(DerbyDialect)
 
 

@@ -70,7 +70,10 @@ def test_dialect_registry_url_dispatch():
 
     assert dialect_for("jdbc:snowflake://acct.snowflakecomputing.com/").name == "snowflake"
     assert dialect_for("snowflake").name == "snowflake"
-    assert dialect_for("jdbc:postgresql://localhost/db").name == "default"
+    assert dialect_for("jdbc:postgresql://localhost/db").name == "postgresql"
+    assert dialect_for("jdbc:mysql://localhost/db").name == "mysql"
+    assert dialect_for("jdbc:derby:memory:x;create=true").name == "derby"
+    assert dialect_for("jdbc:unknowndb://localhost/db").name == "default"
 
     @register_dialect
     class MyDb(SqlDialect):
@@ -144,13 +147,24 @@ def test_default_dialect_create_and_insert():
 
     model = _nested_model()
     props = [("id", "string"), ("cores", "int32"), ("tags", "dictionary[string, string]")]
-    d = dialect_for("jdbc:postgresql://h/db")
+    d = dialect_for("jdbc:sqlite://h/db")
     assert d.create_table_sql("thing", props, model) == (
         "CREATE TABLE IF NOT EXISTS thing (id TEXT, cores INTEGER, tags TEXT)"
     )
     assert d.insert_sql("thing", props, model, n_rows=1) == (
         "INSERT INTO thing (id, cores, tags) VALUES (?, ?, ?)"
     )
+    # Postgres ships nested values as JSONB, MySQL as native JSON
+    pg = dialect_for("jdbc:postgresql://h/db")
+    assert pg.create_table_sql("thing", props, model) == (
+        "CREATE TABLE IF NOT EXISTS thing (id TEXT, cores INTEGER, tags JSONB)"
+    )
+    my = dialect_for("jdbc:mysql://h/db")
+    assert my.create_table_sql("thing", props, model) == (
+        "CREATE TABLE IF NOT EXISTS thing (id TEXT, cores INTEGER, tags JSON)"
+    )
+    assert my.column_type(model, "double") == "DOUBLE"
+    assert my.column_type(model, "datetime") == "DATETIME"
 
 
 def test_dialect_swap_statements():
@@ -168,4 +182,26 @@ def test_dialect_swap_statements():
         "CREATE TABLE IF NOT EXISTS t LIKE tmp_t",
         "ALTER TABLE tmp_t SWAP WITH t",
         "DROP TABLE tmp_t",
+    ]
+    # Postgres: the whole publish inside one transaction (DDL is
+    # transactional there, so the swap is atomic for readers)
+    assert dialect_for("postgresql").swap_sql("tmp_t", "t") == [
+        "BEGIN",
+        "DROP TABLE IF EXISTS t",
+        "ALTER TABLE tmp_t RENAME TO t",
+        "COMMIT",
+    ]
+    # MySQL: both renames in ONE atomic RENAME TABLE statement — the
+    # table is never observed missing
+    assert dialect_for("mysql").swap_sql("tmp_t", "t") == [
+        "DROP TABLE IF EXISTS t__old",
+        "CREATE TABLE IF NOT EXISTS t LIKE tmp_t",
+        "RENAME TABLE t TO t__old, tmp_t TO t",
+        "DROP TABLE t__old",
+    ]
+    # Derby: no IF EXISTS guards; RENAME TABLE form (executed live in
+    # test_jdbc_derby.py, missing-prod DROP tolerated via SQLState)
+    assert dialect_for("derby").swap_sql("tmp_t", "t") == [
+        "DROP TABLE t",
+        "RENAME TABLE tmp_t TO t",
     ]
