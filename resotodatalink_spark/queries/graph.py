@@ -469,6 +469,74 @@ def graph_search_in_subnet(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "graph_search_has_key",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey, c_name,
+             CASE WHEN c_custkey % 15 = 0 THEN '{"env":"prod","owner":"a"}'
+                  WHEN c_custkey % 3 = 0 THEN '{"env":"prod"}'
+                  WHEN c_custkey % 5 = 0 THEN '{"owner":"a"}'
+                  ELSE '{}' END AS tags
+      FROM customer
+    )
+    SELECT concat('C', CAST(c_custkey AS VARCHAR)) AS id,
+           'customer_node' AS kind,
+           concat('{"name":"', c_name, '","tags":', tags, '}') AS reported
+    FROM c
+    WHERE json_extract(concat('{"name":"', c_name, '","tags":', tags, '}'),
+                       '$.tags.env') IS NOT NULL
+      AND json_extract(concat('{"name":"', c_name, '","tags":', tags, '}'),
+                       '$.tags.owner') IS NOT NULL
+    """,
+)
+def graph_search_has_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Function predicate ``has_key`` (server-delegated function terms,
+    remote_graph.py:62-63): customers whose tags object carries BOTH
+    the env and owner keys — custkey divisible by 15 in this synthetic
+    tagging.  Both engines extract from the real nested JSON (Spark
+    get_json_object, DuckDB json_extract), not a precomputed modulus."""
+    from resotodatalink_spark.model.kinds import Kind, Model, Property
+    from resotodatalink_spark.operators.search import execute_search
+    from resotodatalink_spark.sources.graph import GraphSource
+
+    customer = table(spark, sf_dir, "customer")
+    tags = (
+        F.when(F.col("c_custkey") % 15 == 0, '{"env":"prod","owner":"a"}')
+        .when(F.col("c_custkey") % 3 == 0, '{"env":"prod"}')
+        .when(F.col("c_custkey") % 5 == 0, '{"owner":"a"}')
+        .otherwise("{}")
+    )
+    nodes = customer.select(
+        F.concat(F.lit("C"), F.col("c_custkey").cast("string")).alias("id"),
+        F.lit("customer_node").alias("kind"),
+        F.concat(
+            F.lit('{"name":"'), F.col("c_name"), F.lit('","tags":'),
+            tags, F.lit("}"),
+        ).alias("reported"),
+        F.lit(None).cast("string").alias("ancestors"),
+    )
+    edges = spark.createDataFrame(
+        [], "from_id: string, to_id: string, edge_type: string"
+    )
+    model = Model(
+        {
+            "string": Kind("string"),
+            "customer_node": Kind(
+                "customer_node",
+                properties=[Property("name", "string")],
+                bases=[],
+                aggregate_root=True,
+            ),
+        }
+    )
+    return execute_search(
+        GraphSource(nodes, edges),
+        model,
+        'is(customer_node) and has_key(tags, "env", "owner")',
+    )
+
+
+@query(
     "graph_components",
     oracle="""
     WITH RECURSIVE pairs AS (
