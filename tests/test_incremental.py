@@ -135,6 +135,93 @@ def test_untouched_tables_are_not_rewritten(spark, tmp_path):
     assert len(vols) == 1 and vols[0][1] == 99
 
 
+def test_random_delta_sequences_equal_full_resync(spark, tmp_path):
+    """Equivalence property: applying k random deltas sequentially must
+    land on exactly the tables a FULL resync of the final graph
+    produces — the incremental path may never drift from the
+    reference's rebuild semantics.  Seeded so failures replay."""
+    import random
+
+    rng = random.Random(20260813)
+
+    def vol(vid: str, cap: int) -> dict:
+        return {
+            "type": "node", "id": vid,
+            "reported": {"kind": "some_volume", "id": vid, "name": f"n{vid}",
+                         "alias": "a", "description": "d", "capacity": cap},
+            "ancestors": carz_ancestors(),
+        }
+
+    def inst(iid: str, cores: int) -> dict:
+        return {
+            "type": "node", "id": iid,
+            "reported": {"kind": "some_instance", "id": iid, "name": f"n{iid}",
+                         "alias": "a", "description": "d", "cores": cores,
+                         "memory": 1},
+            "ancestors": carz_ancestors(),
+        }
+
+    # live state the generator evolves: instance -> (cores, [volume ids])
+    state: dict[str, tuple[int, list[str]]] = {
+        f"i-{k}": (1, [f"v-{k}"]) for k in range(4)
+    }
+    vols: dict[str, int] = {f"v-{k}": 10 for k in range(4)}
+
+    def full_docs() -> list[dict]:
+        docs = []
+        for iid, (cores, vids) in state.items():
+            docs.append(inst(iid, cores))
+            for vid in vids:
+                docs.append(
+                    {"type": "edge", "from": iid, "to": vid,
+                     "edge_type": "default"})
+        docs += [vol(vid, cap) for vid, cap in vols.items()]
+        return docs
+
+    dest = str(tmp_path / "inc")
+    os.makedirs(dest)
+    collect_to_files(
+        spark, GraphSource.from_docs(spark, full_docs()),
+        example_model(), dest,
+    )
+
+    for step in range(4):
+        delta_docs: list[dict] = []
+        deleted: list[str] = []
+        # mutate an instance: bump cores, rewire to a brand-new volume
+        iid = rng.choice(sorted(state))
+        cores, vids = state[iid]
+        new_vid = f"v-new-{step}"
+        vols[new_vid] = 50 + step
+        state[iid] = (cores + 1, [new_vid])
+        delta_docs.append(inst(iid, cores + 1))
+        delta_docs.append(vol(new_vid, 50 + step))
+        delta_docs.append({"type": "edge", "from": iid, "to": new_vid,
+                           "edge_type": "default"})
+        # sometimes delete one of the now-orphaned volumes
+        orphans = [v for v in vids if v in vols]
+        if orphans and rng.random() < 0.7:
+            gone = rng.choice(orphans)
+            del vols[gone]
+            deleted.append(gone)
+        sync_delta(
+            spark, GraphSource.from_docs(spark, delta_docs),
+            example_model(), dest, deleted_ids=deleted,
+        )
+
+        # oracle: full resync of the current state into a fresh dir
+        ref = str(tmp_path / f"ref-{step}")
+        collect_to_files(
+            spark, GraphSource.from_docs(spark, full_docs()),
+            example_model(), ref,
+        )
+        for t in ("some_instance", "some_volume",
+                  "link_some_instance_some_volume"):
+            assert _rows(spark, dest, t) == _rows(spark, ref, t), (
+                f"step {step}, table {t} diverged from full resync"
+            )
+
+
 def test_deleting_a_node_drops_inbound_links(spark, tmp_path):
     """Deleting a node with no delta rows still removes its table row
     AND any link rows pointing at it (no dangling edges)."""
