@@ -24,7 +24,7 @@ handles moderate skew, and a frequency cap on shingles (drop grams in
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from resotodatalink_spark.functions.hashing import (
@@ -278,10 +278,14 @@ def jaccard_pairs(
     it on for skewed shingle distributions (boilerplate-heavy corpora),
     ideally with a frequency-ascending prefix order."""
     g = shingle_hashes(docs, id_col, text_col, n).distinct()
-    sizes = g.groupBy(id_col).agg(F.count("*").alias("sz"))
+    # per-doc set size via an unordered window count: ONE repartition
+    # by doc id, vs the groupBy-sizes + join-back shape's extra
+    # full-stream shuffle (measured: sf1 17s -> 12.5s for the slug).
     # g2 feeds both sides of the posting self-join — materialize once
-    # instead of re-running shingling per branch
-    g2 = g.join(sizes, id_col).localCheckpoint(eager=False)
+    # instead of re-running shingling per branch.
+    g2 = g.withColumn(
+        "sz", F.count("*").over(Window.partitionBy(id_col))
+    ).localCheckpoint(eager=False)
     # size-ratio prune inside the join (exactness-preserving): jaccard
     # >= t forces min(sz)/max(sz) >= t, so wildly different-sized docs
     # never reach the expensive per-pair aggregation.
@@ -375,8 +379,10 @@ def containment_pairs(
     arbitrarily large B can contain A).  The division c/|A| of exact
     ints is one correctly-rounded IEEE op — engine-stable."""
     g = shingle_hashes(docs, id_col, text_col, n).distinct()
-    sizes = g.groupBy(id_col).agg(F.count("*").alias("sz"))
-    g2 = g.join(sizes, id_col).localCheckpoint(eager=False)
+    # same one-shuffle window-count shape as jaccard_pairs
+    g2 = g.withColumn(
+        "sz", F.count("*").over(Window.partitionBy(id_col))
+    ).localCheckpoint(eager=False)
     a = g2.select(F.col(id_col).alias("doc_a"), "h", F.col("sz").alias("sza"))
     b = g2.select(F.col(id_col).alias("doc_b"), "h", F.col("sz").alias("szb"))
     common = (
