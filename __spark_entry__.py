@@ -34,6 +34,8 @@ _CHANGED_THIS_ROUND = [
     "graph_search_nested_with",
     "graph_search_in_subnet",
     "graph_search_has_key",
+    "novelty_score",
+    "mixture_weights",
     "dedup_containment",
     "dedup_ngram_jaccard",
     "graph_search_dsl",
@@ -46,8 +48,8 @@ _CHANGED_THIS_ROUND = [
 
 _ATTEST_FIRST = _CHANGED_THIS_ROUND + [
     # Newest green row is CORRECTNESS_r03 (these formed the r4 window's
-    # complement) — stalest evidence first.  12 changed + 45 stale = 57
-    # ranked for a 50-slug window: the LAST 7 below overflow this
+    # complement) — stalest evidence first.  14 changed + 45 stale = 59
+    # ranked for a 50-slug window: the LAST 9 below overflow this
     # round and must lead round 6's window (tools/check_queries.py
     # full runs keep them locally verified meanwhile).
     "dedup_simhash",

@@ -308,3 +308,41 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+@query(
+    "mixture_weights",
+    oracle="""
+    WITH s AS (
+      SELECT source, sum(len(string_split(text, ' '))) AS tokens
+      FROM documents GROUP BY source
+    )
+    SELECT source, CAST(tokens AS BIGINT) AS tokens,
+           tokens * 1.0 / sum(tokens) OVER () AS share,
+           (1.0 / count(*) OVER ()) / (tokens * 1.0 / sum(tokens) OVER ())
+             AS weight
+    FROM s
+    """,
+)
+def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture re-weighting (the DoReMi-style knob every
+    multi-source training run needs): per-source token mass, its share
+    of the corpus, and the sampling weight that moves the mixture to a
+    uniform target (weight = target_share / current_share; >1 means
+    upsample).  The heavy part is one groupBy over the corpus; the
+    share/weight math runs on the #sources-row aggregate via
+    unpartitioned windows — fine at any scale because the aggregate IS
+    tiny, never the input."""
+    d = table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).alias("tokens")
+    )
+    w = W.partitionBy(F.lit(1))
+    share = F.col("tokens") * 1.0 / F.sum("tokens").over(w)
+    target = 1.0 / F.count("*").over(w)
+    return per_src.select(
+        "source",
+        F.col("tokens").cast("long").alias("tokens"),
+        share.alias("share"),
+        (target / share).alias("weight"),
+    )

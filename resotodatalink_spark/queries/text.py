@@ -571,3 +571,39 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+@query(
+    "novelty_score",
+    oracle=f"""
+    WITH {H.duck_shingle_cte("documents", "doc_id", "text", 3)},
+    g AS (SELECT DISTINCT doc_id, h FROM __hashes),
+    w AS (SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df FROM g)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+           avg(CASE WHEN df = 1 THEN 1.0 ELSE 0.0 END) AS novelty
+    FROM w GROUP BY doc_id
+    """,
+)
+def novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc novelty: the fraction of a document's distinct 3-gram
+    shingles that appear in NO other document — the complement of the
+    boilerplate/duplication signal curation pipelines threshold on
+    (a doc of fully-shared text scores 0, fully original scores 1).
+
+    Scale shape: corpus doc-frequency is an unordered window count
+    over the shingle hash (one shuffle by h — the window-over-
+    aggregate-join lesson from the jaccard prune sizes), then one
+    groupBy doc.  No joins, no UDFs."""
+    from resotodatalink_spark.operators.dedup import shingle_hashes
+
+    d = table(spark, sf_dir, "documents")
+    g = shingle_hashes(d, "doc_id", "text", 3).distinct()
+    df = F.count("*").over(W.partitionBy("h"))
+    return (
+        g.withColumn("df", df)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.avg(F.when(F.col("df") == 1, 1.0).otherwise(0.0)).alias("novelty"),
+        )
+    )
