@@ -85,6 +85,8 @@ EXTENDED = [
     "retention_cohorts",
     "salted_groupby",
     "skew_join_salted",
+    "novelty_score",
+    "mixture_weights",
 ]
 
 
