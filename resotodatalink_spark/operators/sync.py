@@ -85,6 +85,7 @@ def collect_sql(
     feedback: Feedback | None = None,
     batch_size: int = 5000,
     run_swap: bool = False,
+    drop_existing_tables: bool = False,
 ) -> list[str]:
     """Graph -> JDBC database with tmp-table swap DDL (collect_sql
     analog).  Executed for real in CI against embedded Derby
@@ -93,10 +94,17 @@ def collect_sql(
     default, Snowflake's atomic SWAP WITH, Derby's RENAME TABLE — and
     with ``run_swap`` they are executed over a live JDBC connection
     (the reference's engine-side publish, sql.py:129-159); otherwise
-    they are returned for the caller to run."""
+    they are returned for the caller to run.  ``drop_existing_tables``
+    (requires ``run_swap``) then drops every production table this
+    sync did NOT update — the reference's stale-table cleanup
+    (sql.py:147-151, update_sql's flag, collect_plugins.py:176-178)."""
     from resotodatalink_spark.model.kinds import TEMP_PREFIX
     from resotodatalink_spark.sinks.dialects import dialect_for
-    from resotodatalink_spark.sinks.jdbc import execute_statements, write_jdbc
+    from resotodatalink_spark.sinks.jdbc import (
+        execute_statements,
+        list_jdbc_tables,
+        write_jdbc,
+    )
 
     feedback = feedback or NoFeedback()
     views = sync_views(spark, source, model, temp_prefix=True)
@@ -106,11 +114,23 @@ def collect_sql(
         feedback.progress_done("write_jdbc", i, len(names))
     dialect = dialect_for(url)
     stmts: list[str] = []
+    updated: set[str] = set()
     for name in names:
         if name.startswith(TEMP_PREFIX):
-            stmts.extend(dialect.swap_sql(name, name[len(TEMP_PREFIX):]))
+            prod = name[len(TEMP_PREFIX):]
+            updated.add(prod)
+            stmts.extend(dialect.swap_sql(name, prod))
     if run_swap:
         executed = execute_statements(spark, url, stmts)
+        if drop_existing_tables:
+            stale = [
+                t
+                for t in list_jdbc_tables(spark, url)
+                if t not in updated and not t.startswith(TEMP_PREFIX)
+            ]
+            executed += execute_statements(
+                spark, url, [f"DROP TABLE {t}" for t in stale]
+            )
         feedback.progress_done("swap", len(executed), len(executed))
     return stmts
 

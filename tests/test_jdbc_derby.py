@@ -117,6 +117,57 @@ def test_first_publish_tolerates_missing_prod(spark):
         execute_statements(spark, url, ["SELECT FROM syntax error ("])
 
 
+def test_drop_existing_tables_removes_stale_prod(spark):
+    """Reference sql.py:147-151: a sync with drop_existing_tables
+    removes every production table it did not update — live on Derby.
+    A second sync carrying only the volume kind drops the instance
+    and link tables; the updated volume survives with the new data."""
+    from resotodatalink_spark.model.kinds import Kind, Model, Property
+
+    url = _derby_url()
+    model = example_model()
+    docs = example_docs()
+    collect_sql(spark, GraphSource.from_docs(spark, docs), model, url,
+                run_swap=True)
+    assert len(list_jdbc_tables(spark, url)) == 3
+
+    volume_only = Model(
+        {
+            k.fqn: k
+            for k in [
+                Kind("string", runtime_kind=None),
+                Kind("int32", runtime_kind=None),
+                Kind("int64", runtime_kind=None),
+                Kind(
+                    "resource",
+                    properties=[
+                        Property("id", "string"),
+                        Property("name", "string"),
+                        Property("alias", "string"),
+                        Property("description", "string"),
+                    ],
+                    bases=[],
+                    aggregate_root=True,
+                ),
+                Kind(
+                    "some_volume",
+                    properties=[Property("capacity", "int32")],
+                    bases=["resource"],
+                    aggregate_root=True,
+                ),
+            ]
+        }
+    )
+    vol2 = dict(docs[1])
+    vol2["reported"] = dict(docs[1]["reported"], capacity=77)
+    collect_sql(
+        spark, GraphSource.from_docs(spark, [vol2]), volume_only, url,
+        run_swap=True, drop_existing_tables=True,
+    )
+    assert list_jdbc_tables(spark, url) == ["some_volume"]
+    assert [r[1] for r in _rows(spark, url, "some_volume")] == [77]
+
+
 def test_example_collector_14_tables_to_derby(spark):
     """The reference's own integration fixture (7 kind + 7 link tables,
     collect_plugins_test.py:27-46) synced end-to-end into a LIVE
