@@ -40,8 +40,14 @@ def collect_sql(
     source: GraphSource,
     model: Model,
     engine_config: EngineConfig,
+    swap_temp_tables: bool = False,
+    drop_existing_tables: bool = False,
 ) -> list[str]:
-    """Reference-shaped entry point (collect_plugins.py:103-152)."""
+    """Reference-shaped entry point (collect_plugins.py:103-152) with
+    the reference's two publish flags: ``swap_temp_tables`` executes
+    the swap over a live JDBC connection, ``drop_existing_tables``
+    then removes stale production tables (collect_plugins.py:107-108,
+    sql.py:147-151)."""
     from resotodatalink_spark.operators.sync import collect_sql as _impl
 
     return _impl(
@@ -50,6 +56,8 @@ def collect_sql(
         model,
         engine_config.connection_string,
         batch_size=engine_config.batch_size,
+        run_swap=swap_temp_tables,
+        drop_existing_tables=drop_existing_tables,
     )
 
 

@@ -168,6 +168,25 @@ def test_drop_existing_tables_removes_stale_prod(spark):
     assert [r[1] for r in _rows(spark, url, "some_volume")] == [77]
 
 
+def test_reference_shaped_config_entry_point(spark):
+    """The config-level collect_sql (reference collect_plugins.py:
+    103-108 signature: engine config + swap_temp_tables +
+    drop_existing_tables) drives the live publish end-to-end."""
+    from resotodatalink_spark.config import EngineConfig
+    from resotodatalink_spark.config import collect_sql as cfg_collect_sql
+
+    url = _derby_url()
+    src = GraphSource.from_docs(spark, example_docs())
+    cfg_collect_sql(
+        spark, src, example_model(), EngineConfig(url, batch_size=1000),
+        swap_temp_tables=True,
+    )
+    assert list_jdbc_tables(spark, url) == [
+        "link_some_instance_some_volume", "some_instance", "some_volume",
+    ]
+    assert _rows(spark, url, "some_instance") == [GOLDEN_INSTANCE]
+
+
 def test_example_collector_14_tables_to_derby(spark):
     """The reference's own integration fixture (7 kind + 7 link tables,
     collect_plugins_test.py:27-46) synced end-to-end into a LIVE
