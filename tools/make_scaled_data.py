@@ -12,14 +12,21 @@ Scaling rules (10 copies, copy 0 == the original rows):
   suppkey/partkey in supplier/part/lineitem) so join selectivity and
   group cardinality scale linearly, not quadratically.
 * nation/region stay as-is (bounded dimensions, like the real world).
-* documents get a per-copy CAESAR ROTATION (letters by k, digits by k
-  mod 10): a character bijection preserves token lengths and therefore
-  the truncated-prefix hash's collision structure EXACTLY, so
-  within-copy near-dup structure is the original's and cross-copy
-  shingle overlap is zero — duplicate density stays constant as volume
-  grows (10x rows => ~10x true pairs).  (A token prefix/suffix tag was
-  tried first and rejected: it shifts every shingle's 16-char hash
-  window and inflated the minhash pair count 8x through truncation
+* documents get a per-copy AFFINE character bijection (letter i ->
+  a*i + b mod 26 with b = k mod 26 and the multiplier a stepping
+  through units of Z26 every 26 copies; digits likewise over Z10): a
+  character bijection preserves token lengths and therefore the
+  truncated-prefix hash's collision structure EXACTLY, so within-copy
+  near-dup structure is the original's and cross-copy shingle overlap
+  is zero — duplicate density stays constant as volume grows (10x
+  rows => ~10x true pairs).  For k < 10 (the sf1 range) this IS the
+  previous Caesar rotation bit-for-bit; the multiplier step exists
+  because a pure rotation cycles at 26 copies — copies k and k+26
+  shared a letter map and their cross-overlap inflated pair counts
+  ~4x at 30 copies (caught by the sf3 sweep).  Distinct bijections
+  are guaranteed for k < 312.  (A token prefix/suffix tag was tried
+  first and rejected: it shifts every shingle's 16-char hash window
+  and inflated the minhash pair count 8x through truncation
   collisions.)
 * embeddings for copies >= 1 are fresh seeded-random unit-ish vectors:
   cross-copy cosine ~ 0 for 64-dim random data, so near-dup pair
@@ -102,11 +109,16 @@ def main(dest: str = "benchdata/sf1", copies: int = 10) -> None:
         if k == 0:
             chunks.append(docs_tbl)
             continue
+        # affine bijection: identical to the old Caesar for k < 26
+        # (multiplier 1), new multiplier every full rotation cycle
+        mults26 = [1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25]
+        a26, b26 = mults26[(k // 26) % len(mults26)], k % 26
+        perm_l = "".join(lower[(a26 * i + b26) % 26] for i in range(26))
+        mults10 = [1, 3, 7, 9]
+        a10, b10 = mults10[(k // 10) % len(mults10)], k % 10
+        perm_d = "".join(digits[(a10 * i + b10) % 10] for i in range(10))
         rot = str.maketrans(
-            lower + upper + digits,
-            lower[k % 26:] + lower[: k % 26]
-            + upper[k % 26:] + upper[: k % 26]
-            + digits[k % 10:] + digits[: k % 10],
+            lower + upper + digits, perm_l + perm_l.upper() + perm_d
         )
         cols = {}
         for name in docs_tbl.column_names:
