@@ -167,6 +167,23 @@ def main() -> None:
         out["sf1_queries"] = sf1
         out["sf1_total"] = round(sum(sf1.values()), 3)
 
+    # sf3 (30 copies, tools/make_scaled_data.py benchdata/sf3 30):
+    # linearity check for the dedup family — true pairs must scale with
+    # rows (DESIGN_NOTES "sf3 sweep"); single-shot, dir-gated
+    sf3_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "benchdata", "sf3"
+    )
+    if os.path.isdir(sf3_dir):
+        sf3 = _run(
+            spark,
+            [n for n in ("dedup_minhash", "dedup_ngram_jaccard",
+                         "dedup_simhash", "dedup_clusters", "novelty_score")
+             if n in registry.QUERIES],
+            sf3_dir,
+        )
+        out["sf3_queries"] = sf3
+        out["sf3_total"] = round(sum(sf3.values()), 3)
+
     print(json.dumps(out))
 
 
