@@ -135,6 +135,42 @@ def test_untouched_tables_are_not_rewritten(spark, tmp_path):
     assert len(vols) == 1 and vols[0][1] == 99
 
 
+def test_new_kind_appears_mid_history(spark, tmp_path):
+    """A collector upgrade adds a kind between generations: the delta
+    carries the first node of a kind whose table does not exist yet —
+    sync_delta must create and publish it without touching the rest."""
+    from resotodatalink_spark.model.kinds import Kind, Model, Property
+
+    dest = _gen1(spark, tmp_path)
+    base = example_model()
+    extended = Model(
+        dict(
+            base.kinds,
+            some_snapshot=Kind(
+                "some_snapshot",
+                properties=[Property("age_days", "int32")],
+                bases=["resource"],
+                aggregate_root=True,
+            ),
+        )
+    )
+    delta_docs = [{
+        "type": "node", "id": "s-1",
+        "reported": {"kind": "some_snapshot", "id": "s-1", "name": "snap",
+                     "alias": "a", "description": "d", "age_days": 7},
+        "ancestors": carz_ancestors(),
+    }]
+    stats = sync_delta(
+        spark, GraphSource.from_docs(spark, delta_docs), extended, dest
+    )
+    assert stats["some_snapshot"] == {"upserted": 1, "removed": 0}
+    snap = _rows(spark, dest, "some_snapshot")
+    assert len(snap) == 1 and snap[0][0] == "s-1" and snap[0][1] == 7
+    # prior tables untouched
+    assert stats["some_instance"] == {"upserted": 0, "removed": 0}
+    assert _rows(spark, dest, "some_volume")[0][0] == "v-123"
+
+
 def test_random_delta_sequences_equal_full_resync(spark, tmp_path):
     """Equivalence property: applying k random deltas sequentially must
     land on exactly the tables a FULL resync of the final graph

@@ -261,6 +261,9 @@ def test_fulltext_whole_token_match(spark, graph):
         for r in execute_search(src, model, '"in1" or "vol1"').collect()
     }
     assert got == {"i-123", "v-123"}
+    # regex-special characters in the term are literal (re.escape)
+    got = {r["id"] for r in execute_search(src, model, '"i.1"').collect()}
+    assert got == set()  # '.' must NOT wildcard-match 'in1'
 
 
 def test_nested_with_execution(spark):
