@@ -78,8 +78,19 @@ def str_hash_sql(e: str) -> str:
 
 
 def spread_sql(e: str) -> str:
-    """Avalanche the low bits for bit-sampling (SimHash)."""
+    """Avalanche the low bits for bit-sampling (SimHash).  31 usable
+    bits (SPREAD_MOD = 2^31); signature bits past 31 need the second
+    independent spread below."""
     return f"(({e}) * {SPREAD_MULT}) % {SPREAD_MOD}"
+
+
+SPREAD_MULT2 = 2246822519  # xxhash PRIME32_2 — independent of SPREAD_MULT
+
+
+def spread2_sql(e: str) -> str:
+    """Second independent 31-bit avalanche: supplies signature bits
+    31..61 for wide SimHash (both spreads stay portable SQL)."""
+    return f"(({e}) * {SPREAD_MULT2}) % {SPREAD_MOD}"
 
 
 def minhash_sql(h: str, i: int) -> str:

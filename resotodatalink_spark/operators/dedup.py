@@ -177,24 +177,45 @@ def simhash_signatures(
     n^2 / 2^b birthday collisions rival true pairs — the sf1 sweep
     measured 4.4M hamming<=1 pairs over 50k docs at the default 16
     bits (the oracle-checked slug keeps 16 for cross-engine
-    expressibility).  At production scale use n_bits=64, the standard
-    SimHash width."""
+    expressibility).  At production scale use ``n_bits=62`` — the
+    widest signature the two portable 31-bit spreads can feed (bits
+    0..30 from spread 1, 31..61 from the independent spread 2; the
+    per-bit vote for bit j<16 is identical at every width, tested).
+    A true 64-bit signature needs a non-portable 64-bit hash — swap
+    ``str_hash_sql`` for ``xxhash64`` when oracle parity isn't
+    required; the vote/block plan shape is width-independent."""
+    if not 1 <= n_bits <= 62:
+        raise ValueError(f"n_bits must be 1..62, got {n_bits}")
     toks = docs.select(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
     )
-    from resotodatalink_spark.functions.hashing import str_hash_sql
+    from resotodatalink_spark.functions.hashing import spread2_sql, str_hash_sql
 
-    hh = toks.select(
-        F.col(id_col), F.expr(spread_sql(str_hash_sql("tok"))).alias("hh")
-    )
+    h = str_hash_sql("tok")
+    cols = [F.col(id_col), F.expr(spread_sql(h)).alias("hh")]
+    if n_bits > 31:  # second spread only when high bits are sampled
+        cols.append(F.expr(spread2_sql(h)).alias("hh2"))
+    hh = toks.select(*cols)
     aggs = [
-        F.sum(F.expr(f"shiftright(hh, {j}) & 1")).alias(f"c{j}")
+        F.sum(
+            F.expr(
+                f"shiftright(hh, {j}) & 1"
+                if j < 31
+                else f"shiftright(hh2, {j - 31}) & 1"
+            )
+        ).alias(f"c{j}")
         for j in range(n_bits)
     ] + [F.count("*").alias("n")]
     votes = hh.groupBy(id_col).agg(*aggs)
+    # shiftleft on a long literal, NOT a Python int literal: 1 << 62
+    # still fits a long, but the expression form keeps every bit
+    # position overflow-safe and uniform
     sim = sum(
-        F.when(2 * F.col(f"c{j}") >= F.col("n"), 1 << j).otherwise(0)
+        F.when(
+            2 * F.col(f"c{j}") >= F.col("n"),
+            F.shiftleft(F.lit(1).cast("long"), j),
+        ).otherwise(F.lit(0).cast("long"))
         for j in range(n_bits)
     )
     return (

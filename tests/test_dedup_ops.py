@@ -87,6 +87,45 @@ def test_jaccard_ppjoin_prefix_filter_exact(spark):
         assert base == pp, f"threshold={threshold}"
 
 
+def test_simhash_wide_signatures(spark):
+    """The production-width path (n_bits=62, two independent 31-bit
+    spreads): low bits must agree with the oracle-checked 16-bit
+    signature at every width, the high bits must actually carry
+    entropy (the old single 31-bit spread silently zeroed bits 31+),
+    and exact dups must surface at hamming 0."""
+    from resotodatalink_spark.operators.dedup import (
+        simhash_pairs,
+        simhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "alpha beta gamma delta epsilon zeta eta theta"),  # exact dup
+         (3, "totally different words everywhere here now then"),
+         (4, "kappa lambda mu nu xi omicron pi rho sigma tau")],
+        "doc_id: long, text: string",
+    )
+    s16 = {r.doc_id: r.simhash for r in simhash_signatures(docs).collect()}
+    s62 = {r.doc_id: r.simhash
+           for r in simhash_signatures(docs, n_bits=62).collect()}
+    # cross-width consistency: bit j's vote is width-independent
+    for d in s16:
+        assert s62[d] & 0xFFFF == s16[d], f"doc {d} low bits diverge"
+    # high bits carry entropy — not all zero across the corpus
+    assert any(sig >> 31 for sig in s62.values()), "bits 31+ are dead"
+    # exact dup at full width: identical signature, hamming 0
+    assert s62[1] == s62[2]
+    pairs = {(r.doc_a, r.doc_b): r.hamming
+             for r in simhash_pairs(
+                 simhash_signatures(docs, n_bits=62),
+                 max_hamming=2, n_bits=62).collect()}
+    assert pairs.get((1, 2)) == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        simhash_signatures(docs, n_bits=64)  # needs a 64-bit hash
+
+
 def test_containment_asymmetry_and_exact_dup(spark):
     """A doc fully quoted inside a longer doc has containment 1.0 in
     one direction only; identical docs contain each other both ways."""
