@@ -38,6 +38,7 @@ _CHANGED_THIS_ROUND = [
     "mixture_weights",
     "dedup_containment",
     "dedup_ngram_jaccard",
+    "dedup_simhash",  # wide-signature fix; 16-bit slug bit-identical
     "graph_search_dsl",
     "graph_search_aggregate",
     "graph_search_with",
@@ -48,11 +49,10 @@ _CHANGED_THIS_ROUND = [
 
 _ATTEST_FIRST = _CHANGED_THIS_ROUND + [
     # Newest green row is CORRECTNESS_r03 (these formed the r4 window's
-    # complement) — stalest evidence first.  14 changed + 45 stale = 59
+    # complement) — stalest evidence first.  15 changed + 44 stale = 59
     # ranked for a 50-slug window: the LAST 9 below overflow this
     # round and must lead round 6's window (tools/check_queries.py
     # full runs keep them locally verified meanwhile).
-    "dedup_simhash",
     "dedup_clusters",
     "dedup_survivors",
     "dedup_incremental",
