@@ -23,80 +23,91 @@ registry.load_all()
 # attestation (no row in the previous round's CORRECTNESS file).  Slugs
 # with a fresh green row from last round and no changes this round are
 # the ones that may fall past the cap.  All slugs stay registered.
+_R3_STALE = [
+    # Newest driver-green row is CORRECTNESS_r03 (two rounds old — the
+    # round-5 judge's top next-round item): these LEAD the round-6
+    # window unconditionally.
+    "tpch_q3_shape",
+    "tpch_q5_shape",
+    "tpch_q10_shape",
+    "join_asof",
+    "pivot_table",
+    "median_stats",
+    "string_agg",
+    "window_range_frame",
+    "sessionize_events",
+]
+
 _CHANGED_THIS_ROUND = [
-    # round 5 edits: the two NEW search-DSL slugs (fulltext terms,
-    # nested with() subqueries); the two dedup slugs whose size prunes
-    # gained the relative borderline-threshold nudge; and every other
+    # round 6 edits: the NEW negation/grouping slug; in_subnet's octet
+    # range gate (operators/search.py _ipv4_to_long); and every other
     # graph_search_* slug, because all of them run through the
-    # parser/compiler that round 5 changed (operators/search.py:
-    # Fulltext term branch, recursive _apply_with refactor).
-    "graph_search_fulltext",
-    "graph_search_nested_with",
+    # parser/compiler that round 6 changed (not()/parenthesized boolean
+    # groups in the grammar); dedup_simhash gained the opt-in xxhash64
+    # signature path.
+    "graph_search_not",
     "graph_search_in_subnet",
-    "graph_search_has_key",
-    "novelty_score",
-    "mixture_weights",
-    "dedup_containment",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",  # wide-signature fix; 16-bit slug bit-identical
     "graph_search_dsl",
     "graph_search_aggregate",
     "graph_search_with",
     "graph_search_sorted",
     "graph_search_inbound",
     "graph_search_edge_typed",
+    "graph_search_fulltext",
+    "graph_search_nested_with",
+    "graph_search_has_key",
+    "dedup_simhash",
 ]
 
-_ATTEST_FIRST = _CHANGED_THIS_ROUND + [
-    # Newest green row is CORRECTNESS_r03 (these formed the r4 window's
-    # complement) — stalest evidence first.  15 changed + 44 stale = 59
-    # ranked for a 50-slug window: the LAST 9 below overflow this
-    # round and must lead round 6's window (tools/check_queries.py
-    # full runs keep them locally verified meanwhile).
-    "dedup_clusters",
-    "dedup_survivors",
-    "dedup_incremental",
-    "graph_reachability",
-    "multimodal_features",
-    "pandas_udaf_zscore",
-    "class_rebalance",
-    "sql_passthrough",
-    "project_columns",
-    "nested_field_access",
-    "filter_predicate",
-    "map_ops",
-    "json_ops",
-    "date_functions",
-    "string_functions",
-    "math_functions",
-    "join_broadcast",
-    "join_link_table",
-    "join_semi",
-    "join_anti",
-    "join_outer",
-    "join_theta_range",
-    "groupby_count",
-    "distinct_agg",
-    "topk_argmax",
-    "agg_sum_avg_min_max",
-    "groupby_having",
-    "rollup_cube",
-    "sort_limit",
-    "topk_per_group",
-    "set_ops",
-    "window_rank",
-    "window_running_sum",
-    "array_ops",
-    "subquery_exists",
-    "pivot_table",
-    "median_stats",
-    "string_agg",
-    "tpch_q3_shape",
-    "tpch_q5_shape",
-    "join_asof",
-    "window_range_frame",
-    "tpch_q10_shape",
-    "sessionize_events",
+_ATTEST_FIRST = _R3_STALE + _CHANGED_THIS_ROUND + [
+    # Newest green row is CORRECTNESS_r04 — stalest-first.  9 + 12
+    # changed + 43 below = 64 ranked for a 50-slug window: the last ~14
+    # overflow to round 7 (their newest driver row stays r4, within the
+    # judge's freshness bound; tools/check_queries.py full runs keep
+    # them locally verified meanwhile).
+    "dedup_exact",
+    "dedup_minhash",
+    "graph_reachability_min2",
+    "graph_components",
+    "multimodal_decode",
+    "multimodal_frames",
+    "pii_redaction",
+    "repetition_filter",
+    "decontamination",
+    "global_shuffle",
+    "dataset_split",
+    "salted_groupby",
+    "skew_join_salted",
+    "ann_cosine_topk",
+    "ann_lsh_bucketed",
+    "ann_lsh_multiprobe",
+    "dedup_embedding",
+    "ann_ivf_cells",
+    "embedding_centroids",
+    "embedding_quantize",
+    "kmeans_lloyd",
+    "stream_tumbling_window",
+    "stream_sliding_window",
+    "stream_session_window",
+    "stream_interval_join",
+    "funnel_conversion",
+    "retention_cohorts",
+    "stream_dedup",
+    "cdc_latest",
+    "lang_id",
+    "quality_score",
+    "token_count",
+    "doc_fingerprint",
+    "text_normalize",
+    "udtf_tokenize",
+    "frequent_terms",
+    "sample_hash_stratified",
+    "curation_pipeline",
+    "text_chunking",
+    "tfidf_top_terms",
+    "quota_sample",
+    "sequence_packing",
+    "unigram_logprob",
 ]
 
 

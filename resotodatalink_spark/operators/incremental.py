@@ -39,11 +39,44 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from resotodatalink_spark.model.kinds import Model
+from resotodatalink_spark.model.kinds import Model, get_table_name
 from resotodatalink_spark.operators.flatten import sync_views
 from resotodatalink_spark.operators.sync import Feedback, NoFeedback
 from resotodatalink_spark.sinks.files import swap_staging, write_table
 from resotodatalink_spark.sources.graph import GraphSource
+
+
+def _resolved_node_kinds(
+    spark: SparkSession, delta: GraphSource, model: Model, dest_dir: str
+) -> DataFrame:
+    """(id, kind) resolution frame for delta-edge endpoints: delta
+    nodes win (a changed node's NEW kind), published tables fill in the
+    unchanged endpoints.  Without the published side, a delta edge
+    whose target is an unchanged node would silently drop out of the
+    endpoint inner join (the round-5 advisor's high finding).
+
+    Scale shape: each published table contributes only its pruned
+    ``_id`` column (parquet column pruning makes this a key-column
+    scan, not a data read); the union is an equi anti-join keyed the
+    same way as every other step.  A collector that ships endpoint
+    kinds inside the edge doc could skip this entirely — this is the
+    fallback that needs nothing beyond the published generation."""
+    nk = delta.nodes.select("id", "kind")
+    pubs: list[DataFrame] = []
+    for kind in model.table_kinds():
+        path = os.path.join(dest_dir, get_table_name(kind.fqn))
+        if os.path.isdir(path):
+            pubs.append(
+                spark.read.parquet(path).select(
+                    F.col("_id").alias("id"), F.lit(kind.fqn).alias("kind")
+                )
+            )
+    if pubs:
+        pub = pubs[0]
+        for p in pubs[1:]:
+            pub = pub.unionByName(p)
+        nk = nk.unionByName(pub.join(nk.select("id"), "id", "left_anti"))
+    return nk
 
 
 def sync_delta(
@@ -61,7 +94,16 @@ def sync_delta(
     ``{"upserted": n, "removed": m}`` (removed = replaced + deleted
     rows); tables with both zero are skipped, not rewritten."""
     feedback = feedback or NoFeedback()
-    views = sync_views(spark, delta, model)
+    node_kind = _resolved_node_kinds(spark, delta, model, dest_dir)
+    views = sync_views(spark, delta, model, node_kind=node_kind)
+    # The sweep key set: EVERY changed node id (not just the ids a
+    # given table's delta view happens to contain).  This is what makes
+    # the merge equivalent to a full resync in the two silent cases the
+    # per-view key set misses: a changed node whose outbound edges all
+    # vanished (no link-view row ⇒ stale links would survive) and a
+    # node whose kind changed (old kind's view has no row for it ⇒ the
+    # stale row in the old table would survive).
+    changed = delta.nodes.select("id").distinct()
     del_df: DataFrame | None = None
     if deleted_ids:
         del_df = spark.createDataFrame(
@@ -98,17 +140,17 @@ def sync_delta(
         kept = existing
         if name.startswith("link_"):
             # ownership merge: drop rows whose from-side node changed or
-            # died, drop rows pointing at dead nodes, add the delta edges
-            owners = dv.select("from_id").distinct() if dv is not None else None
+            # died, drop rows pointing at dead nodes, add the delta edges.
+            # Owners = ALL changed node ids, not the delta edges'
+            # from_ids: a changed node whose outbound edges all vanished
+            # ships no edge rows, yet still owns (and thus retracts) its
+            # old links.
+            owners = changed.select(F.col("id").alias("from_id"))
             if del_df is not None:
-                dead = del_df.select(F.col("id").alias("from_id"))
-                owners = (
-                    owners.unionByName(dead).distinct()
-                    if owners is not None
-                    else dead
-                )
-            if owners is not None:
-                kept = kept.join(owners, "from_id", "left_anti")
+                owners = owners.unionByName(
+                    del_df.select(F.col("id").alias("from_id"))
+                ).distinct()
+            kept = kept.join(owners, "from_id", "left_anti")
             if del_df is not None:
                 kept = kept.join(
                     del_df.select(F.col("id").alias("to_id")),
@@ -116,8 +158,11 @@ def sync_delta(
                     "left_anti",
                 )
         else:
-            if dv is not None:
-                kept = kept.join(dv.select("_id").distinct(), "_id", "left_anti")
+            # sweep by the FULL changed-id set so a node whose kind
+            # changed leaves no stale row in its old kind's table
+            kept = kept.join(
+                changed.select(F.col("id").alias("_id")), "_id", "left_anti"
+            )
             if del_df is not None:
                 kept = kept.join(
                     del_df.select(F.col("id").alias("_id")), "_id", "left_anti"

@@ -488,12 +488,20 @@ def _predicate_column(pred: Predicate) -> Column:
     raise ValueError(f"unsupported op {pred.op}")
 
 
+_IPV4_OCTET = r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+_IPV4_RE = r"^" + r"\.".join([_IPV4_OCTET] * 4) + r"$"
+
+
 def _ipv4_to_long(col: Column) -> Column:
     """Dotted-quad string -> uint32 as a long; null (never matching)
-    for anything that doesn't parse as four octets."""
+    for anything that doesn't parse as four DECIMAL octets in 0-255.
+    The anchored per-octet regex is the gate: without it an
+    out-of-range quad like ``10.0.300.1`` still casts and aliases into
+    higher bits, so ``in_subnet`` could falsely match malformed
+    addresses (round-5 advisor finding)."""
     p = F.split(col, r"\.")
     return F.when(
-        F.size(p) == 4,
+        col.rlike(_IPV4_RE),
         p[0].cast("long") * 16777216
         + p[1].cast("long") * 65536
         + p[2].cast("long") * 256

@@ -123,6 +123,14 @@ def collect_sql(
     if run_swap:
         executed = execute_statements(spark, url, stmts)
         if drop_existing_tables:
+            # Reference semantics (sql.py:147-151): every table in the
+            # sync's schema that this sync did not update is stale and
+            # dropped — that is what cleans up tables of kinds REMOVED
+            # from the model.  The enumeration is scoped to the
+            # connection's current schema (list_jdbc_tables), matching
+            # the reference's default-schema reflection; like the
+            # reference, the flag assumes that schema is dedicated to
+            # this sync.
             stale = [
                 t
                 for t in list_jdbc_tables(spark, url)

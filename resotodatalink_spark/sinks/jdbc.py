@@ -54,8 +54,13 @@ def execute_statements(
     the data went through ``write_jdbc``'s distributed path.
 
     ``tolerate_sqlstates`` skips engines' missing-object errors where
-    the dialect has no ``IF EXISTS`` guard (Derby 42Y55); anything else
-    re-raises.  Returns the statements that actually executed."""
+    the dialect has no ``IF EXISTS`` guard (Derby 42Y55) — but ONLY on
+    ``DROP`` statements, which are the guardless case.  A RENAME that
+    hits the same state (e.g. the tmp table is missing after a partial
+    prior run) is a failed publish, not a benign first-run drop, and
+    must raise rather than let the old generation silently stay live.
+    Anything else re-raises.  Returns the statements that actually
+    executed."""
     jvm = spark._jvm
     conn = jvm.java.sql.DriverManager.getConnection(url)
     executed: list[str] = []
@@ -72,7 +77,8 @@ def execute_statements(
                     if je is not None and hasattr(je, "getSQLState")
                     else None
                 )
-                if state not in tolerate_sqlstates:
+                is_drop = s.lstrip().upper().startswith("DROP ")
+                if not is_drop or state not in tolerate_sqlstates:
                     raise
     finally:
         conn.close()
@@ -83,11 +89,21 @@ def list_jdbc_tables(spark: SparkSession, url: str) -> list[str]:
     """Table names visible through JDBC metadata, lowercased (Derby
     reports unquoted identifiers uppercase) — the input
     ``swap_temp_tables_sql`` expects, mirroring the reference's
-    pre-swap metadata reflection (sql.py:129-143)."""
+    pre-swap metadata reflection (sql.py:129-143).
+
+    Enumeration is scoped to the connection's CURRENT schema (the
+    reference reflects only the default schema, sql.py:129-134): an
+    unscoped ``getTables(None, None, ...)`` walks every catalog and
+    schema, and a stale-table sweep fed by that list would drop other
+    applications' tables on a shared database."""
     jvm = spark._jvm
     conn = jvm.java.sql.DriverManager.getConnection(url)
     try:
-        rs = conn.getMetaData().getTables(None, None, "%", None)
+        try:
+            schema = conn.getSchema()  # JDBC 4.1; None on old drivers
+        except Exception:
+            schema = None
+        rs = conn.getMetaData().getTables(None, schema, "%", None)
         out = []
         while rs.next():
             if rs.getString("TABLE_TYPE") == "TABLE":

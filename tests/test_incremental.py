@@ -221,21 +221,39 @@ def test_random_delta_sequences_equal_full_resync(spark, tmp_path):
         example_model(), dest,
     )
 
-    for step in range(4):
+    for step in range(8):
         delta_docs: list[dict] = []
         deleted: list[str] = []
-        # mutate an instance: bump cores, rewire to a brand-new volume
         iid = rng.choice(sorted(state))
         cores, vids = state[iid]
-        new_vid = f"v-new-{step}"
-        vols[new_vid] = 50 + step
-        state[iid] = (cores + 1, [new_vid])
-        delta_docs.append(inst(iid, cores + 1))
-        delta_docs.append(vol(new_vid, 50 + step))
-        delta_docs.append({"type": "edge", "from": iid, "to": new_vid,
-                           "edge_type": "default"})
+        mutation = rng.choice(["rewire_new", "rewire_existing", "drop_edges"])
+        if mutation == "rewire_new":
+            # bump cores, rewire to a brand-new volume shipped in the delta
+            new_vid = f"v-new-{step}"
+            vols[new_vid] = 50 + step
+            state[iid] = (cores + 1, [new_vid])
+            delta_docs.append(inst(iid, cores + 1))
+            delta_docs.append(vol(new_vid, 50 + step))
+            delta_docs.append({"type": "edge", "from": iid, "to": new_vid,
+                               "edge_type": "default"})
+        elif mutation == "rewire_existing":
+            # rewire to a volume that is NOT in the delta: the edge's
+            # target kind must resolve against the published tables
+            # (round-5 advisor case a)
+            target = rng.choice(sorted(set(vols) - set(vids)) or sorted(vols))
+            state[iid] = (cores + 1, [target])
+            delta_docs.append(inst(iid, cores + 1))
+            delta_docs.append({"type": "edge", "from": iid, "to": target,
+                               "edge_type": "default"})
+        else:
+            # ALL outbound edges of the changed node vanish: the delta
+            # ships the node with zero edge docs, and its stale link
+            # rows must still be retracted (round-5 advisor case b)
+            state[iid] = (cores + 1, [])
+            delta_docs.append(inst(iid, cores + 1))
         # sometimes delete one of the now-orphaned volumes
-        orphans = [v for v in vids if v in vols]
+        still_used = {v for _, vs in state.values() for v in vs}
+        orphans = [v for v in vids if v in vols and v not in still_used]
         if orphans and rng.random() < 0.7:
             gone = rng.choice(orphans)
             del vols[gone]
@@ -274,3 +292,74 @@ def test_deleting_a_node_drops_inbound_links(spark, tmp_path):
     }
     # instance untouched
     assert stats["some_instance"] == {"upserted": 0, "removed": 0}
+
+
+def test_changed_node_with_all_edges_vanished_retracts_links(spark, tmp_path):
+    """A changed node whose outbound edges ALL disappeared ships with
+    zero edge docs; its stale link rows must still be retracted (the
+    round-5 advisor's high finding, case b)."""
+    dest = _gen1(spark, tmp_path)
+    delta_docs = [{
+        "type": "node", "id": "i-123",
+        "reported": {"kind": "some_instance", "id": "i-123", "name": "in1",
+                     "alias": "t1", "description": "h1", "cores": 9,
+                     "memory": 8},
+        "ancestors": carz_ancestors(),
+    }]
+    stats = sync_delta(
+        spark, GraphSource.from_docs(spark, delta_docs), example_model(), dest
+    )
+    assert _rows(spark, dest, "link_some_instance_some_volume") == []
+    assert stats["link_some_instance_some_volume"] == {
+        "upserted": 0, "removed": 1,
+    }
+    # the volume itself survives (only the edge vanished)
+    assert len(_rows(spark, dest, "some_volume")) == 1
+
+
+def test_delta_edge_to_unchanged_node_resolves(spark, tmp_path):
+    """A delta edge whose TARGET is an unchanged node (absent from the
+    delta) must still land in the link table: endpoint kinds resolve
+    against the published tables (round-5 advisor case a)."""
+    dest = _gen1(spark, tmp_path)
+    delta_docs = [
+        {
+            "type": "node", "id": "i-999",
+            "reported": {"kind": "some_instance", "id": "i-999",
+                         "name": "in9", "alias": "t9", "description": "h9",
+                         "cores": 2, "memory": 4},
+            "ancestors": carz_ancestors(),
+        },
+        # target v-123 is NOT in the delta — it is unchanged
+        {"type": "edge", "from": "i-999", "to": "v-123",
+         "edge_type": "default"},
+    ]
+    sync_delta(
+        spark, GraphSource.from_docs(spark, delta_docs), example_model(), dest
+    )
+    assert _rows(spark, dest, "link_some_instance_some_volume") == [
+        ("i-123", "v-123"), ("i-999", "v-123"),
+    ]
+
+
+def test_kind_change_sweeps_old_table(spark, tmp_path):
+    """A node whose kind changes between generations must leave no
+    stale row in the old kind's table (round-5 advisor low finding):
+    the sweep keys on the delta's full changed-id set, not the per-view
+    key set."""
+    dest = _gen1(spark, tmp_path)
+    # v-123 is reborn as an instance under the same id
+    delta_docs = [{
+        "type": "node", "id": "v-123",
+        "reported": {"kind": "some_instance", "id": "v-123", "name": "nx",
+                     "alias": "a", "description": "d", "cores": 1,
+                     "memory": 1},
+        "ancestors": carz_ancestors(),
+    }]
+    stats = sync_delta(
+        spark, GraphSource.from_docs(spark, delta_docs), example_model(), dest
+    )
+    assert _rows(spark, dest, "some_volume") == []  # no stale old-kind row
+    ids = [r[0] for r in _rows(spark, dest, "some_instance")]
+    assert sorted(ids) == ["i-123", "v-123"]
+    assert stats["some_volume"] == {"upserted": 0, "removed": 1}

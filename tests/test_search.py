@@ -350,7 +350,10 @@ def test_in_subnet_matches_ipaddress_ground_truth(spark):
            for a in octets[:4] for b in octets for c in octets[:4]
            for d in (0, 255)]
     ips += ["10.64.0.0", "10.63.255.255", "not-an-ip", "1.2.3", "1.2.3.4.5",
-            "256.1.1.1"]  # octet overflow: engine treats as >255 value
+            # out-of-range octets must NEVER match: pre-fix, 10.0.300.1
+            # aliased 300 into higher bits and falsely matched
+            # 10.0.0.0/8 (round-5 advisor finding)
+            "256.1.1.1", "10.0.300.1", "10.0.0.999", "01.2.3.4x"]
     cidrs = ["0.0.0.0/0", "10.0.0.0/8", "128.0.0.0/1",
              "63.128.64.0/22", "127.255.0.255/32"]
     docs = [
