@@ -167,7 +167,11 @@ def minhash_pairs_with_agreement(
 
 
 def simhash_signatures(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_bits: int = 16
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bits: int = 16,
+    hash_fn: str = "portable",
 ) -> DataFrame:
     """(id, simhash): frequency-weighted bit votes over word hashes.
     Bit j is 1 iff #(tokens with bit j set) >= #(without) — pure integer
@@ -181,16 +185,44 @@ def simhash_signatures(
     widest signature the two portable 31-bit spreads can feed (bits
     0..30 from spread 1, 31..61 from the independent spread 2; the
     per-bit vote for bit j<16 is identical at every width, tested).
-    A true 64-bit signature needs a non-portable 64-bit hash — swap
-    ``str_hash_sql`` for ``xxhash64`` when oracle parity isn't
-    required; the vote/block plan shape is width-independent."""
-    if not 1 <= n_bits <= 62:
-        raise ValueError(f"n_bits must be 1..62, got {n_bits}")
+
+    ``hash_fn="xxhash64"`` is the production 64-bit variant: one
+    JVM-side ``xxhash64`` per token feeds all 64 bit positions
+    directly (no spreads), so ``n_bits`` may go to 64 and the per-token
+    cost drops from two spread expressions to one hash.  NOT oracle-
+    portable (DuckDB has no xxhash64 with Spark's seed) — use it when
+    cross-engine parity isn't required; the vote/block plan shape is
+    identical, and the planted-pair recall at hamming<=2 matches the
+    portable path on the fixture corpus (tests/test_dedup_ops.py)."""
+    max_bits = 64 if hash_fn == "xxhash64" else 62
+    if hash_fn not in ("portable", "xxhash64"):
+        raise ValueError(f"hash_fn must be portable|xxhash64, got {hash_fn!r}")
+    if not 1 <= n_bits <= max_bits:
+        raise ValueError(f"n_bits must be 1..{max_bits}, got {n_bits}")
     toks = docs.select(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
     )
     from resotodatalink_spark.functions.hashing import spread2_sql, str_hash_sql
+
+    if hash_fn == "xxhash64":
+        hh = toks.select(F.col(id_col), F.xxhash64("tok").alias("hh"))
+        aggs = [
+            F.sum(F.expr(f"shiftright(hh, {j}) & 1")).alias(f"c{j}")
+            for j in range(n_bits)
+        ] + [F.count("*").alias("n")]
+        votes = hh.groupBy(id_col).agg(*aggs)
+        sim = sum(
+            F.when(
+                2 * F.col(f"c{j}") >= F.col("n"),
+                F.shiftleft(F.lit(1).cast("long"), j),
+            ).otherwise(F.lit(0).cast("long"))
+            for j in range(n_bits)
+        )
+        return (
+            votes.select(F.col(id_col), sim.cast("long").alias("simhash"))
+            .localCheckpoint(eager=False)
+        )
 
     h = str_hash_sql("tok")
     cols = [F.col(id_col), F.expr(spread_sql(h)).alias("hh")]

@@ -13,7 +13,15 @@ way the reference's CSV type map does (type_converter.py:35-55,
 writer.py:130-146).
 
 Cloud paths (s3a://, gs://) work through the Hadoop filesystem — the
-reference's spool-and-upload dance (writer.py:187-219) disappears.
+reference's spool-and-upload dance (writer.py:187-219) disappears:
+``df.write`` resolves the scheme itself, and ``swap_staging`` routes
+its list/rename/delete through the Hadoop FileSystem API whenever the
+destination is a URI (exercised in CI over ``file:`` URIs, which take
+the exact same FS-API path as ``s3a://`` minus the S3 connector —
+tests/test_sinks.py).  NOTE on object stores: S3 "rename" is
+copy+delete (not atomic, O(data)); for heavy S3 publishing prefer a
+table format with a metastore pointer flip.  The FS-API path is still
+correct there — just not instantaneous.
 """
 
 from __future__ import annotations
@@ -26,6 +34,39 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 STAGING_SUFFIX = "__staging"
+
+
+def _is_uri(path: str) -> bool:
+    return "://" in path or path.startswith("file:")
+
+
+class _HadoopFs:
+    """Minimal list/exists/rename/rmtree over the JVM Hadoop
+    FileSystem — the routing layer that makes the staged-publish
+    sequence work on any scheme Spark can write to (K8, reference
+    writer.py:187-219)."""
+
+    def __init__(self, spark: SparkSession, base: str):
+        jvm = spark._jvm
+        self._Path = jvm.org.apache.hadoop.fs.Path
+        hconf = spark._jsc.hadoopConfiguration()
+        self._fs = self._Path(base).getFileSystem(hconf)
+
+    def listdir(self, d: str) -> list[str]:
+        p = self._Path(d)
+        if not self._fs.exists(p):
+            return []
+        return [s.getPath().getName() for s in self._fs.listStatus(p)]
+
+    def exists(self, p: str) -> bool:
+        return bool(self._fs.exists(self._Path(p)))
+
+    def rename(self, src: str, dst: str) -> None:
+        if not self._fs.rename(self._Path(src), self._Path(dst)):
+            raise OSError(f"rename failed: {src} -> {dst}")
+
+    def rmtree(self, p: str) -> None:
+        self._fs.delete(self._Path(p), True)
 
 
 def stringify_nested(df: DataFrame) -> DataFrame:
@@ -62,10 +103,18 @@ def write_table(
 OLD_SUFFIX = "__old"
 
 
-def swap_staging(dest_dir: str, tables: list[str] | None = None) -> list[str]:
+def swap_staging(
+    dest_dir: str,
+    tables: list[str] | None = None,
+    spark: SparkSession | None = None,
+) -> list[str]:
     """Publish ``*__staging`` dirs (reference swap_temp_tables,
-    sql.py:129-159).  Local-FS implementation; on HDFS/S3 the same
-    sequence goes through the Hadoop FileSystem API.
+    sql.py:129-159).  A plain local path uses ``os`` primitives; a URI
+    destination (``file:``, ``hdfs://``, ``s3a://``, ``gs://``) routes
+    every list/rename/delete through the Hadoop FileSystem API of the
+    active Spark session — the same resolver ``df.write`` used, so any
+    scheme the write reached can also be published (K8, reference
+    writer.py:187-219).
 
     Per table the order is: rename the live dir aside to ``<t>__old``,
     rename staging into place, delete the old dir LAST.  This is
@@ -78,23 +127,34 @@ def swap_staging(dest_dir: str, tables: list[str] | None = None) -> list[str]:
     publish to named tables; single-table writers (upsert/delete) pass
     it so a leftover staging dir from an unrelated failed job is never
     accidentally published."""
+    if _is_uri(dest_dir):
+        spark = spark or SparkSession.getActiveSession()
+        if spark is None:
+            raise ValueError("URI destination needs an active SparkSession")
+        fs = _HadoopFs(spark, dest_dir)
+        listdir, exists = fs.listdir, fs.exists
+        rename, rmtree = fs.rename, fs.rmtree
+        join = lambda *parts: "/".join(p.rstrip("/") for p in parts)  # noqa: E731
+    else:
+        listdir, exists = os.listdir, os.path.exists
+        rename, rmtree, join = os.rename, shutil.rmtree, os.path.join
     published = []
-    for entry in sorted(os.listdir(dest_dir)):
+    for entry in sorted(listdir(dest_dir)):
         if not entry.endswith(STAGING_SUFFIX):
             continue
         final = entry[: -len(STAGING_SUFFIX)]
         if tables is not None and final not in tables:
             continue
-        final_path = os.path.join(dest_dir, final)
+        final_path = join(dest_dir, final)
         old_path = final_path + OLD_SUFFIX
-        if os.path.exists(old_path):  # leftover from a prior crash
-            shutil.rmtree(old_path)
-        had_old = os.path.exists(final_path)
+        if exists(old_path):  # leftover from a prior crash
+            rmtree(old_path)
+        had_old = exists(final_path)
         if had_old:
-            os.rename(final_path, old_path)
-        os.rename(os.path.join(dest_dir, entry), final_path)
+            rename(final_path, old_path)
+        rename(join(dest_dir, entry), final_path)
         if had_old:
-            shutil.rmtree(old_path)
+            rmtree(old_path)
         published.append(final)
     return published
 

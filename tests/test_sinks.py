@@ -205,3 +205,32 @@ def test_dialect_swap_statements():
         "DROP TABLE t",
         "RENAME TABLE tmp_t TO t",
     ]
+
+
+def test_cloud_uri_staged_publish_roundtrip(spark, tmp_path):
+    """K8 cloud-path routing (reference writer.py:187-219): a URI
+    destination drives write_table AND swap_staging through the Hadoop
+    FileSystem API — ``file:`` resolves via the same scheme-dispatch an
+    ``s3a://`` bucket would, so this proves the staged-publish sequence
+    composes with non-local URIs end-to-end."""
+    from resotodatalink_spark.sinks.files import read_table
+
+    uri = "file:" + str(tmp_path / "bucket")
+    df = spark.range(5).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    write_table(df, uri, "t")
+    # staged, not yet live
+    assert os.path.isdir(tmp_path / "bucket" / "t__staging")
+    assert not os.path.exists(tmp_path / "bucket" / "t")
+    assert swap_staging(uri, spark=spark) == ["t"]
+    assert not os.path.exists(tmp_path / "bucket" / "t__staging")
+    got = read_table(spark, uri, "t")
+    assert sorted(r["v"] for r in got.collect()) == [0, 2, 4, 6, 8]
+
+    # generation 2 replaces, old dir cleaned up
+    df2 = spark.range(3).select(F.col("id"), (F.col("id") + 10).alias("v"))
+    write_table(df2, uri, "t")
+    assert swap_staging(uri, tables=["t"], spark=spark) == ["t"]
+    assert sorted(
+        r["v"] for r in read_table(spark, uri, "t").collect()
+    ) == [10, 11, 12]
+    assert not os.path.exists(tmp_path / "bucket" / "t__old")
