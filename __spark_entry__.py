@@ -46,6 +46,7 @@ _CHANGED_THIS_ROUND = [
     # groups in the grammar); dedup_simhash gained the opt-in xxhash64
     # signature path.
     "graph_search_not",
+    "dedup_paragraph",
     "graph_search_in_subnet",
     "graph_search_dsl",
     "graph_search_aggregate",

@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 from resotodatalink_spark.model.kinds import Model, get_table_name
 from resotodatalink_spark.operators.flatten import sync_views
 from resotodatalink_spark.operators.sync import Feedback, NoFeedback
-from resotodatalink_spark.sinks.files import swap_staging, write_table
+from resotodatalink_spark.sinks.files import NODE_INDEX, swap_staging, write_table
 from resotodatalink_spark.sources.graph import GraphSource
 
 
@@ -55,13 +55,18 @@ def _resolved_node_kinds(
     whose target is an unchanged node would silently drop out of the
     endpoint inner join (the round-5 advisor's high finding).
 
-    Scale shape: each published table contributes only its pruned
-    ``_id`` column (parquet column pruning makes this a key-column
-    scan, not a data read); the union is an equi anti-join keyed the
-    same way as every other step.  A collector that ships endpoint
-    kinds inside the edge doc could skip this entirely — this is the
-    fallback that needs nothing beyond the published generation."""
+    Scale shape, in preference order: a published ``_node_index``
+    table (collect_to_files(node_index=True)) makes this ONE narrow
+    key-partitioned table read; the fallback unions the pruned ``_id``
+    column of every published kind table (parquet column pruning makes
+    each a key-column scan, not a data read — correct everywhere, but
+    O(tables) scans per delta).  A collector that ships endpoint kinds
+    inside the edge doc could skip both."""
     nk = delta.nodes.select("id", "kind")
+    idx_path = os.path.join(dest_dir, NODE_INDEX)
+    if os.path.isdir(idx_path):
+        pub = spark.read.parquet(idx_path).select("id", "kind")
+        return nk.unionByName(pub.join(nk.select("id"), "id", "left_anti"))
     pubs: list[DataFrame] = []
     for kind in model.table_kinds():
         path = os.path.join(dest_dir, get_table_name(kind.fqn))
@@ -118,6 +123,7 @@ def sync_delta(
         e for e in (os.listdir(dest_dir) if os.path.isdir(dest_dir) else [])
         if os.path.isdir(os.path.join(dest_dir, e))
         and not e.endswith(("__staging", "__old"))
+        and not e.startswith("_")  # _node_index is maintained below
     )
     names = sorted(set(views) | set(on_disk))
 
@@ -179,6 +185,20 @@ def sync_delta(
         staged.append(name)
         stats[name] = {"upserted": n_delta, "removed": n_removed}
         feedback.progress_done("sync_delta", i, len(names))
+
+    # _node_index advances by the same merge algebra as the kind
+    # tables (anti-join on changed ∪ deleted, union the delta nodes),
+    # inside the SAME publish pass — the index is never a generation
+    # behind the tables it summarizes
+    idx_path = os.path.join(dest_dir, NODE_INDEX)
+    if os.path.isdir(idx_path):
+        idx = spark.read.parquet(idx_path)
+        idx = idx.join(changed, "id", "left_anti")
+        if del_df is not None:
+            idx = idx.join(del_df, "id", "left_anti")
+        idx = idx.unionByName(delta.nodes.select("id", "kind"))
+        write_table(idx, dest_dir, NODE_INDEX, staging=True)
+        staged.append(NODE_INDEX)
 
     # one publish pass: readers see the whole generation or none of it
     swap_staging(dest_dir, tables=staged)

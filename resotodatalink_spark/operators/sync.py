@@ -60,13 +60,27 @@ def collect_to_files(
     fmt: str = "parquet",
     swap: bool = True,
     feedback: Feedback | None = None,
+    node_index: bool = False,
 ) -> list[str]:
     """Graph -> staged table files -> atomic publish (collect_to_file +
     swap_temp_tables semantics: readers see either the old or the new
-    complete set, never a mix)."""
+    complete set, never a mix).
+
+    ``node_index`` additionally publishes the narrow ``_node_index``
+    (id, kind) table; ``sync_delta`` then resolves delta-edge endpoint
+    kinds against that ONE table (and maintains it) instead of
+    scanning the id column of every published kind table per delta —
+    the difference between O(tables) scans and one key-partitioned
+    join at collector scale."""
+    from resotodatalink_spark.sinks.files import NODE_INDEX
+
     feedback = feedback or NoFeedback()
     views = sync_views(spark, source, model)
     names = sorted(views)
+    if node_index:
+        views = dict(views)
+        views[NODE_INDEX] = source.nodes.select("id", "kind")
+        names = sorted(views)
     for i, name in enumerate(names, 1):
         write_table(views[name], dest_dir, name, fmt=fmt, staging=True)
         feedback.progress_done("write_tables", i, len(names))

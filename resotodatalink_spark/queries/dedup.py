@@ -292,3 +292,99 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("batch_doc", "corpus_doc", agree.cast("int").alias("n_common"))
         .filter(F.col("n_common") >= 8)
     )
+
+
+@query(
+    "dedup_paragraph",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), chunks AS (
+      SELECT doc_id, i AS chunk_idx,
+             array_to_string(t[(i*20+1):(i*20+20)], ' ') AS chunk_text
+      FROM toks,
+           LATERAL (SELECT unnest(generate_series(
+             0, CAST((len(t) + 19) // 20 AS INTEGER) - 1)) AS i)
+    ), ranked AS (
+      SELECT doc_id, chunk_idx, chunk_text,
+             doc_id * 1000 + chunk_idx AS ord,
+             min(doc_id * 1000 + chunk_idx)
+               OVER (PARTITION BY chunk_text) AS first_ord
+      FROM chunks
+    )
+    SELECT doc_id,
+           CAST(count(*) AS INTEGER) AS n_chunks,
+           CAST(count(*) FILTER (ord = first_ord) AS INTEGER) AS n_kept,
+           CASE WHEN count(*) FILTER (ord = first_ord) > 0
+                THEN string_agg(chunk_text, ' ' ORDER BY chunk_idx)
+                       FILTER (ord = first_ord)
+           END AS text_dedup
+    FROM ranked GROUP BY doc_id
+    """,
+)
+def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level (C4-style) dedup: the corpus keeps only the FIRST
+    occurrence of every repeated span — here a span is a fixed 20-token
+    chunk, the synthetic stand-in for a paragraph (the corpus has no
+    newline structure).  First occurrence = min (doc_id, chunk_idx) in
+    a global total order, so the operation is deterministic and
+    ORDER-FREE to compute: one window-min per distinct span text (a
+    single hash shuffle on the span), no sort of the corpus.
+
+    Scale shape: chunking is pure JVM array code (split -> slice ->
+    posexplode, whole-stage codegen); the only shuffle partitions by
+    span text, whose cardinality tracks the corpus' distinct content —
+    the same invariant the exact-dedup groupBy rides.  Reassembly
+    groups by doc_id (second shuffle) with an array_sort, not a global
+    sort.  Docs whose every span was seen earlier surface with
+    text_dedup NULL — the rows a curation pipeline would drop."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    n_chunks = F.ceil(F.size("t") / F.lit(20)).cast("int")
+    chunks = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(F.slice("t", i * 20 + 1, 20), " "),
+            )
+        ).alias("chunk_idx", "chunk_text"),
+    )
+    ord_col = F.col("doc_id") * 1000 + F.col("chunk_idx")
+    from pyspark.sql import Window
+
+    ranked = chunks.select(
+        "doc_id", "chunk_idx", "chunk_text", ord_col.alias("ord")
+    ).withColumn(
+        "first_ord", F.min("ord").over(Window.partitionBy("chunk_text"))
+    )
+    keep = F.col("ord") == F.col("first_ord")
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_chunks"),
+            F.sum(keep.cast("int")).cast("int").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                keep,
+                                F.struct(
+                                    F.col("chunk_idx"), F.col("chunk_text")
+                                ),
+                            )
+                        )
+                    ),
+                    lambda s: s.getField("chunk_text"),
+                ),
+                " ",
+            ).alias("_joined"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_kept",
+            F.when(F.col("n_kept") > 0, F.col("_joined")).alias("text_dedup"),
+        )
+    )

@@ -35,6 +35,13 @@ from pyspark.sql import types as T
 
 STAGING_SUFFIX = "__staging"
 
+# Optional (id, kind) index table maintained alongside the kind tables
+# (leading underscore keeps it out of the kind/link namespace).  At
+# collector scale it turns incremental endpoint-kind resolution from
+# "scan the id column of EVERY published kind table" into one bucketed
+# join against one narrow table — see operators/incremental.py.
+NODE_INDEX = "_node_index"
+
 
 def _is_uri(path: str) -> bool:
     return "://" in path or path.startswith("file:")

@@ -363,3 +363,59 @@ def test_kind_change_sweeps_old_table(spark, tmp_path):
     ids = [r[0] for r in _rows(spark, dest, "some_instance")]
     assert sorted(ids) == ["i-123", "v-123"]
     assert stats["some_volume"] == {"upserted": 0, "removed": 1}
+
+
+def test_node_index_resolution_and_maintenance(spark, tmp_path):
+    """collect_to_files(node_index=True) publishes _node_index; a delta
+    then resolves edge endpoints against that ONE table (no per-kind
+    scans) and advances it in the same publish pass — after arbitrary
+    deltas the index must equal the live node set exactly."""
+    from resotodatalink_spark.operators.sync import collect_to_files
+    from resotodatalink_spark.sinks.files import NODE_INDEX
+
+    dest = str(tmp_path)
+    published = collect_to_files(
+        spark, GraphSource.from_docs(spark, example_docs()),
+        example_model(), dest, node_index=True,
+    )
+    assert NODE_INDEX in published
+    idx0 = {(r.id, r.kind) for r in read_table(spark, dest, NODE_INDEX).collect()}
+    assert idx0 == {("i-123", "some_instance"), ("v-123", "some_volume")}
+
+    # delta: new instance pointing at the UNCHANGED v-123 (endpoint
+    # must resolve via the index), v-123's kind unchanged; delete i-123
+    delta_docs = [
+        {
+            "type": "node", "id": "i-999",
+            "reported": {"kind": "some_instance", "id": "i-999",
+                         "name": "in9", "alias": "t9", "description": "h9",
+                         "cores": 2, "memory": 4},
+            "ancestors": carz_ancestors(),
+        },
+        {"type": "edge", "from": "i-999", "to": "v-123",
+         "edge_type": "default"},
+    ]
+    sync_delta(
+        spark, GraphSource.from_docs(spark, delta_docs), example_model(),
+        dest, deleted_ids=["i-123"],
+    )
+    assert _rows(spark, dest, "link_some_instance_some_volume") == [
+        ("i-999", "v-123")
+    ]
+    idx1 = {(r.id, r.kind) for r in read_table(spark, dest, NODE_INDEX).collect()}
+    assert idx1 == {("i-999", "some_instance"), ("v-123", "some_volume")}
+
+    # kind change with the index live: index follows the new kind
+    delta2 = [{
+        "type": "node", "id": "v-123",
+        "reported": {"kind": "some_instance", "id": "v-123", "name": "nx",
+                     "alias": "a", "description": "d", "cores": 1,
+                     "memory": 1},
+        "ancestors": carz_ancestors(),
+    }]
+    sync_delta(
+        spark, GraphSource.from_docs(spark, delta2), example_model(), dest
+    )
+    idx2 = {(r.id, r.kind) for r in read_table(spark, dest, NODE_INDEX).collect()}
+    assert idx2 == {("i-999", "some_instance"), ("v-123", "some_instance")}
+    assert _rows(spark, dest, "some_volume") == []

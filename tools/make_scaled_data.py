@@ -33,7 +33,11 @@ Scaling rules (10 copies, copy 0 == the original rows):
   density again scales linearly.
 * events shift event_id/user_id and keep the timestamp distribution.
 
-Usage: python tools/make_scaled_data.py [dest_dir] [n_copies]
+Usage: python tools/make_scaled_data.py [dest_dir] [n_copies] [tables]
+``tables`` is an optional comma-separated subset (e.g. ``documents``):
+the sf10 decade sweep only exercises the dedup family, so generating
+just documents keeps the 100-copy set at document scale instead of
+dragging 60M lineitem rows onto disk.
 """
 
 from __future__ import annotations
@@ -49,9 +53,16 @@ import pyarrow.parquet as pq
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def main(dest: str = "benchdata/sf1", copies: int = 10) -> None:
+def main(
+    dest: str = "benchdata/sf1",
+    copies: int = 10,
+    tables: list[str] | None = None,
+) -> None:
     os.makedirs(dest, exist_ok=True)
     con = duckdb.connect()
+
+    def wanted(t: str) -> bool:
+        return tables is None or t in tables
 
     def src(t: str) -> str:
         return f"'{SRC}/{t}.parquet'"
@@ -65,7 +76,8 @@ def main(dest: str = "benchdata/sf1", copies: int = 10) -> None:
 
     # bounded dims: pass through
     for t in ("region", "nation"):
-        write(t, f"SELECT * FROM {src(t)}")
+        if wanted(t):
+            write(t, f"SELECT * FROM {src(t)}")
 
     def keymax(table: str, col: str) -> int:
         return con.execute(f"SELECT max({col})+1 FROM {src(table)}").fetchone()[0]
@@ -97,8 +109,13 @@ def main(dest: str = "benchdata/sf1", copies: int = 10) -> None:
         return f"SELECT {sel} FROM {src(table)}, {copies_rel}"
 
     for t in ("customer", "supplier", "part", "orders", "lineitem", "events"):
-        write(t, scaled(t))
+        if wanted(t):
+            write(t, scaled(t))
 
+    if not wanted("documents"):
+        if wanted("embeddings"):
+            _scale_embeddings(con, src, dest, copies)
+        return
     docs_tbl = pq.read_table(f"{SRC}/documents.parquet")
     did_shift = max(docs_tbl["doc_id"].to_pylist()) + 1
     lower = "abcdefghijklmnopqrstuvwxyz"
@@ -137,6 +154,11 @@ def main(dest: str = "benchdata/sf1", copies: int = 10) -> None:
     pq.write_table(pa.concat_tables(chunks), f"{dest}/documents.parquet")
     print(f"documents: {sum(len(c) for c in chunks)} rows")
 
+    if wanted("embeddings"):
+        _scale_embeddings(con, src, dest, copies)
+
+
+def _scale_embeddings(con, src, dest: str, copies: int) -> None:
     # embeddings: copy 0 original; further copies fresh random vectors
     emb = con.execute(
         f"SELECT vec_id, embedding, label FROM {src('embeddings')} ORDER BY vec_id"
@@ -167,4 +189,5 @@ def main(dest: str = "benchdata/sf1", copies: int = 10) -> None:
 if __name__ == "__main__":
     dest = sys.argv[1] if len(sys.argv) > 1 else "benchdata/sf1"
     copies = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-    main(dest, copies)
+    tables = sys.argv[3].split(",") if len(sys.argv) > 3 else None
+    main(dest, copies, tables)
