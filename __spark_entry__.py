@@ -47,6 +47,9 @@ _CHANGED_THIS_ROUND = [
     # signature path.
     "graph_search_not",
     "dedup_paragraph",
+    "dedup_levenshtein",
+    "unpivot_stack",
+    "stream_stateful_totals",
     "graph_search_in_subnet",
     "graph_search_dsl",
     "graph_search_aggregate",

@@ -91,6 +91,9 @@ EXTENDED = [
     "novelty_score",
     "mixture_weights",
     "dedup_paragraph",
+    "dedup_levenshtein",
+    "unpivot_stack",
+    "stream_stateful_totals",
 ]
 
 

@@ -460,6 +460,89 @@ def containment_pairs(
     )
 
 
+def levenshtein_pairs(
+    docs: DataFrame,
+    max_distance: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_cols: tuple[str, ...] = ("lang",),
+    bucket_width: int | None = None,
+) -> DataFrame:
+    """Blocked edit-distance near-dup: every pair (a, b) in the same
+    block with ``levenshtein(text_a, text_b) <= max_distance`` — the
+    classic record-linkage formulation (block on a cheap key, verify
+    with the expensive metric).
+
+    Candidate generation is an EXACTNESS-PRESERVING equi-join, not a
+    cross join: edit distance <= d forces ``|len(a) - len(b)| <= d``
+    (each edit changes the length by at most 1), so each doc is
+    assigned to its length bucket AND the next one (bucket width
+    ``w > d``); any qualifying pair then shares at least one
+    (block, bucket) key.  Candidates are deduped on ids only (cheap
+    shuffle key), and the verify step uses Spark's banded
+    ``levenshtein(..., threshold)`` — O(len*d) per pair instead of
+    O(len^2), returning -1 above the band so the filter is a single
+    comparison.  All steps are equi-joins on small keys; survives a
+    1000-executor scale-up wherever the block/bucket histogram does
+    (skewed blocks would salt the same way skew_join_salted does).
+
+    Reference parity: the reference has no fuzzy matching at all (its
+    dedup surface is the SQL target's DISTINCT); this is part of the
+    training-pipeline layer, same family as ``jaccard_pairs``."""
+    w = bucket_width or (max_distance + 1)
+    if w <= max_distance:
+        raise ValueError("bucket_width must exceed max_distance")
+    base = docs.select(
+        F.col(id_col), F.col(text_col), *[F.col(c) for c in block_cols]
+    ).withColumn("len", F.length(text_col))
+    e = base.withColumn(
+        "bk",
+        F.explode(
+            F.array(
+                F.floor(F.col("len") / w), F.floor(F.col("len") / w) + 1
+            )
+        ),
+    )
+    a = e.select(
+        F.col(id_col).alias("doc_a"),
+        F.col(text_col).alias("text_a"),
+        F.col("len").alias("len_a"),
+        "bk",
+        *[F.col(c) for c in block_cols],
+    )
+    b = e.select(
+        F.col(id_col).alias("doc_b"),
+        F.col(text_col).alias("text_b"),
+        F.col("len").alias("len_b"),
+        "bk",
+        *[F.col(c) for c in block_cols],
+    )
+    cand = (
+        a.join(b, [*block_cols, "bk"])
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (
+                F.abs(F.col("len_a") - F.col("len_b"))
+                <= F.lit(max_distance)
+            )
+        )
+        # a pair whose docs share a length bucket matches on BOTH of
+        # its exploded keys — dedupe on the id pair (ids only: texts
+        # are functionally dependent, no reason to hash them)
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        cand.withColumn(
+            "edit_distance",
+            F.levenshtein("text_a", "text_b", max_distance),
+        )
+        # banded levenshtein returns -1 when the distance exceeds the
+        # threshold band
+        .filter(F.col("edit_distance") >= 0)
+        .select("doc_a", "doc_b", "edit_distance")
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",

@@ -388,3 +388,28 @@ def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("n_kept") > 0, F.col("_joined")).alias("text_dedup"),
         )
     )
+
+
+@query(
+    "dedup_levenshtein",
+    oracle="""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.text, b.text) AS INTEGER) AS edit_distance
+    FROM documents a
+    JOIN documents b
+      ON a.lang = b.lang
+     AND a.doc_id < b.doc_id
+     AND abs(length(a.text) - length(b.text)) <= 15
+    WHERE levenshtein(a.text, b.text) <= 15
+    """,
+)
+def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance near-dup (record-linkage style): pairs in
+    the same language block within levenshtein distance 15.  The Spark
+    side generates candidates with the exactness-preserving
+    (block, length-bucket) equi-join and verifies with the banded
+    levenshtein (operators/dedup.py levenshtein_pairs); the oracle is
+    the O(n^2)-within-block spec with only the provable
+    length-difference prune."""
+    d = table(spark, sf_dir, "documents")
+    return D.levenshtein_pairs(d, max_distance=15)

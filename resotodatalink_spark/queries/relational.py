@@ -1110,3 +1110,40 @@ def tpch_q10_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.sum(cents * (100 - disc)) / 10000.0).alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "nation_name")
     )
+
+
+@query(
+    "unpivot_stack",
+    oracle="""
+    WITH agg AS (
+      SELECT p_brand,
+             round(avg(p_retailprice), 2) AS avg_price,
+             round(avg(p_size), 2) AS avg_size,
+             CAST(count(*) AS DOUBLE) AS n_parts
+      FROM part GROUP BY p_brand
+    )
+    SELECT p_brand, metric, value FROM agg
+    UNPIVOT (value FOR metric IN (avg_price, avg_size, n_parts))
+    """,
+)
+def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long melt (the inverse of pivot_table): one row per
+    (brand, metric) from a wide per-brand aggregate.  Spark's
+    ``DataFrame.unpivot`` compiles to the Expand physical operator —
+    rows multiply map-side inside whole-stage codegen, no shuffle
+    beyond the feeding aggregate, and column pruning still reaches the
+    scan (only the unpivoted measures are read).  The reference
+    delegates melt-shaped reporting to the target database; here it is
+    a first-class plan node."""
+    p = table(spark, sf_dir, "part")
+    wide = p.groupBy("p_brand").agg(
+        F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+        F.round(F.avg("p_size"), 2).alias("avg_size"),
+        F.count("*").cast("double").alias("n_parts"),
+    )
+    return wide.unpivot(
+        ids=["p_brand"],
+        values=["avg_price", "avg_size", "n_parts"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )

@@ -16,6 +16,8 @@ are half-open ``[start, last+gap)``), mirrored in the oracle's
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -347,5 +349,56 @@ def cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.col("m.ts").alias("last_ts"),
             F.col("m.value").alias("last_value"),
+        )
+    )
+
+
+@query(
+    "stream_stateful_totals",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-stateful streaming (``applyInPandasWithState``, the
+    full version of the reference's per-key batch buffer,
+    batch_stream.py:16-64): a REAL readStream + availableNow run of the
+    running per-user accumulator, whose final per-key snapshot must
+    equal the batch group-by.  State accumulates integer cents, so the
+    emitted totals are micro-batch-boundary-independent and the value
+    hash is comparable against the SQL spec.  The final snapshot is
+    selected by per-user argmax on n_events (snapshots are cumulative,
+    so the largest count IS the last emission); multi-batch state
+    carry-over is pinned by tests/test_streaming.py with
+    maxFilesPerTrigger=1."""
+    import tempfile
+    import uuid
+
+    from resotodatalink_spark.streaming.batch_stream import stream_events
+    from resotodatalink_spark.streaming.stateful import running_user_totals
+
+    name = "stateful_" + uuid.uuid4().hex[:12]
+    src = stream_events(spark, sf_dir)
+    q = (
+        running_user_totals(src)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="cp_stateful_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    snaps = spark.table(name)
+    return (
+        snaps.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "total_value")).alias("m"))
+        .select(
+            "user_id",
+            F.col("m.n_events").alias("n_events"),
+            F.col("m.total_value").alias("total_value"),
         )
     )

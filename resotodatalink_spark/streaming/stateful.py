@@ -31,29 +31,45 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "user_id long, n_events long, total_value double"
-STATE_SCHEMA = "n long, total double"
-
-
-def _accumulate(
-    key: tuple[Any, ...],
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    n, total = state.get if state.exists else (0, 0.0)
-    for pdf in pdfs:
-        n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, total))
-    yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
-    )
+# state accumulates integer CENTS, not a float sum: int accumulation is
+# associative, so the emitted totals are bit-identical regardless of
+# micro-batch boundaries or row order inside a batch — which is what
+# lets the slug's value-hash oracle compare against a batch SQL sum
+STATE_SCHEMA = "n long, cents long"
 
 
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Streaming: per-user running totals, one snapshot row per key per
-    micro-batch, state carried across batches."""
+    micro-batch, state carried across batches.
+
+    The state function is a SELF-CONTAINED nested closure (same rule as
+    operators/multimodal.py): cloudpickle ships it by value, so
+    executor Python workers don't need this package importable — the
+    driver harness imports us by path, which executors don't inherit.
+    """
+
+    def accumulate(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        state.update((n, cents))
+        yield _pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [cents / 100.0],
+            }
+        )
+
     return events.groupBy("user_id").applyInPandasWithState(
-        _accumulate,
+        accumulate,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",

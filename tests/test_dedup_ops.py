@@ -226,3 +226,47 @@ def test_simhash_xxhash64_path_matches_portable_recall(spark):
         simhash_signatures(docs, n_bits=65, hash_fn="xxhash64")
     with _pytest.raises(ValueError):
         simhash_signatures(docs, n_bits=16, hash_fn="md5")  # unknown fn
+
+
+def test_levenshtein_pairs_blocked_exactness(spark):
+    """The (block, length-bucket) candidate join must not lose any pair
+    within the distance bound — including pairs whose lengths straddle
+    a bucket boundary (the adjacent-bucket assignment exists for
+    exactly that case)."""
+    from resotodatalink_spark.operators.dedup import levenshtein_pairs
+
+    # bucket width = 4 (max_distance 3); lengths 15 vs 17 straddle the
+    # w=4 boundary at 16
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaabbbbccccddd", "en"),     # len 15
+            (2, "aaaabbbbccccddddd", "en"),   # len 17, distance 2 from 1
+            (3, "aaaabbbbccccddd", "de"),     # identical text, other block
+            (4, "zzzzzzzzzzzzzzz", "en"),     # len 15, far from 1
+            (5, "aaaabbbbccccddd", "en"),     # exact dup of 1 (distance 0)
+        ],
+        "doc_id: long, text: string, lang: string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["edit_distance"]
+        for r in levenshtein_pairs(docs, max_distance=3).collect()
+    }
+    # (1,2) straddles the bucket boundary; (1,5) same bucket twice over
+    # the exploded keys — must appear exactly once
+    assert got == {(1, 2): 2, (1, 5): 0, (2, 5): 2}
+
+
+def test_levenshtein_pairs_banded_threshold(spark):
+    """Pairs beyond max_distance are dropped even when they share a
+    block and bucket (the banded levenshtein's -1 path)."""
+    from resotodatalink_spark.operators.dedup import levenshtein_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefgh", "en"), (2, "abxxxfgh", "en"), (3, "zzzzzzzz", "en")],
+        "doc_id: long, text: string, lang: string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["edit_distance"]
+        for r in levenshtein_pairs(docs, max_distance=3).collect()
+    }
+    assert got == {(1, 2): 3}
