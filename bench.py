@@ -116,6 +116,9 @@ SF1_SUBSET = [
     "graph_components",
     "curation_pipeline",
     "stream_session_window",
+    # blocked candidate join + banded verify: volume behavior needs
+    # real block histograms, which sf0.1's 5k docs can't show
+    "dedup_levenshtein",
 ]
 
 

@@ -270,3 +270,59 @@ def test_levenshtein_pairs_banded_threshold(spark):
         for r in levenshtein_pairs(docs, max_distance=3).collect()
     }
     assert got == {(1, 2): 3}
+
+
+def test_levenshtein_pairs_equals_bruteforce_random(spark):
+    """Randomized equivalence: on a seeded corpus of mutated strings,
+    the blocked candidate join + banded verify must return EXACTLY the
+    brute-force O(n^2) within-block pair set — exercises bucket
+    straddling, duplicate candidates, and the band boundary at many
+    lengths at once."""
+    import random
+
+    from resotodatalink_spark.operators.dedup import levenshtein_pairs
+
+    rng = random.Random(42)
+    alphabet = "abcdef"
+    base = ["".join(rng.choice(alphabet) for _ in range(rng.randint(5, 40)))
+            for _ in range(12)]
+    rows = []
+    doc_id = 0
+    for s in base:
+        for _ in range(rng.randint(1, 5)):
+            t = list(s)
+            for _ in range(rng.randint(0, 6)):  # 0-6 random edits
+                op = rng.choice("ins del sub".split())
+                if op == "ins":
+                    t.insert(rng.randrange(len(t) + 1), rng.choice(alphabet))
+                elif op == "del" and t:
+                    del t[rng.randrange(len(t))]
+                elif t:
+                    t[rng.randrange(len(t))] = rng.choice(alphabet)
+            rows.append((doc_id, "".join(t), rng.choice(["en", "de"])))
+            doc_id += 1
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    max_d = 4
+    want = {
+        (ra[0], rb[0]): lev(ra[1], rb[1])
+        for i, ra in enumerate(rows)
+        for rb in rows[i + 1:]
+        if ra[2] == rb[2] and lev(ra[1], rb[1]) <= max_d
+    }
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string, lang: string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["edit_distance"]
+        for r in levenshtein_pairs(docs, max_distance=max_d).collect()
+    }
+    assert len(want) > 5  # the corpus must actually exercise the path
+    assert got == want
