@@ -50,6 +50,8 @@ _CHANGED_THIS_ROUND = [
     "dedup_levenshtein",
     "unpivot_stack",
     "stream_stateful_totals",
+    "semdedup",
+    "hard_negatives",
     "graph_search_in_subnet",
     "graph_search_dsl",
     "graph_search_aggregate",

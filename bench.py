@@ -94,6 +94,8 @@ EXTENDED = [
     "dedup_levenshtein",
     "unpivot_stack",
     "stream_stateful_totals",
+    "semdedup",
+    "hard_negatives",
 ]
 
 

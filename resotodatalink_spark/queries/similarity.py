@@ -655,3 +655,153 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a1.select(
         "vec_id", "cluster_id", F.round("cosine", 6).alias("cosine")
     )
+
+
+_SEM_K = 8
+_SEM_TAU = 0.35
+
+
+@query(
+    "semdedup",
+    oracle=f"""
+    WITH c0 AS (
+      SELECT vec_id AS cluster_id, embedding AS cvec
+      FROM embeddings WHERE vec_id < {_SEM_K}
+    ),
+    a AS ({_duck_assign('c0')}),
+    dups AS (
+      SELECT DISTINCT y.vec_id
+      FROM a x JOIN a y
+        ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
+      WHERE {V.cosine_duck('x.embedding', 'y.embedding')} >= {_SEM_TAU}
+    )
+    SELECT a.vec_id, a.cluster_id,
+           a.vec_id NOT IN (SELECT vec_id FROM dups) AS keep
+    FROM a
+    """,
+)
+def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embeddings, then inside each cluster drop every vector that has a
+    LOWER-id near-twin at cosine >= tau — semantic dedup without the
+    O(n^2) global pair scan, because candidate pairs only form within
+    a cluster.
+
+    Scale shape: the assignment pass is the k-means E-step (broadcast
+    k=8 constant centroid rows, n x k BNLJ, no shuffle — same
+    allowlisted shape as kmeans_lloyd); the within-cluster pair join is
+    an equi-join on cluster_id.  In production k scales with n
+    (k ~ n/target_cluster_size) keeping clusters bounded, so pair
+    volume tracks cluster size ^2 x k ~ n — the paper's exact argument;
+    here k is pinned tiny so the oracle stays cheap.  Keep rule is
+    deterministic (lowest vec_id in each near-twin group survives;
+    chained twins collapse transitively onto the chain's minimum only
+    if adjacent — the published greedy keeps exactly this pairwise
+    rule, not connected components)."""
+    e = _spread(table(spark, sf_dir, "embeddings"), "vec_id").select(
+        "vec_id", "embedding"
+    )
+    cent = e.filter(F.col("vec_id") < _SEM_K).select(
+        F.col("vec_id").alias("cluster_id"), F.col("embedding").alias("cvec")
+    )
+    sims = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cluster_id",
+        "embedding",
+        V.cosine_spark("embedding", "cvec").alias("cosine"),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("cluster_id"))
+    a = (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cluster_id", "embedding")
+        .localCheckpoint(eager=False)
+    )
+    x = a.select(
+        F.col("cluster_id"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+    )
+    y = a.select(
+        F.col("cluster_id"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+    )
+    dups = (
+        x.join(y, "cluster_id")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(V.cosine_spark("ea", "eb") >= F.lit(_SEM_TAU))
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+    )
+    return a.join(dups.withColumn("_dup", F.lit(True)), "vec_id", "left").select(
+        "vec_id",
+        "cluster_id",
+        F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep"),
+    )
+
+
+@query(
+    "hard_negatives",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, embedding, label FROM embeddings
+               WHERE vec_id < {_N_QUERIES}),
+    c AS (SELECT vec_id, embedding, label FROM embeddings
+          WHERE vec_id >= {_N_QUERIES}),
+    sims AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {V.cosine_duck('q.embedding', 'c.embedding')} AS cosine
+      FROM q JOIN c ON c.label <> q.label
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM sims
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= {_TOPK}
+    """,
+)
+def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (DPR/Contriever
+    recipe): for each query vector, the top-5 most-similar vectors
+    carrying a DIFFERENT label — maximally confusing negatives.  Same
+    broadcast-bounded brute-force shape as ann_cosine_topk (the query
+    side is a constant-size broadcast, candidates never shuffle; the
+    label-mismatch predicate rides inside the broadcast join), so the
+    plan is linear in the candidate count at any scale."""
+    e = _spread(table(spark, sf_dir, "embeddings"), "vec_id")
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.sqrt(V.dot_spark("embedding", "embedding")).alias("qn"),
+        F.col("label").alias("qlabel"),
+    )
+    c = e.filter(F.col("vec_id") >= _N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.sqrt(V.dot_spark("embedding", "embedding")).alias("cn"),
+        F.col("label").alias("clabel"),
+    )
+    sims = (
+        c.join(F.broadcast(q), F.col("clabel") != F.col("qlabel"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (V.dot_spark("qe", "ce") / (F.col("qn") * F.col("cn"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOPK)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

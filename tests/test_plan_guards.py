@@ -16,6 +16,12 @@ The allowlist is intentional, not historical:
   centroid rows against the table; the n x k BNLJ IS the k-means
   E-step (k x d FLOPs per row, no shuffle) and k is a constant, so
   work grows linearly with data.
+* semdedup — its assignment pass is the same k-constant E-step BNLJ
+  as kmeans_lloyd; the dedup pair join itself is an equi-join on
+  cluster_id.
+* hard_negatives — same constant-query-set broadcast as
+  ann_cosine_topk, with the label-mismatch predicate riding inside
+  the broadcast join (an n x 10 BNLJ, linear in candidates).
 """
 
 from __future__ import annotations
@@ -32,6 +38,8 @@ CARTESIAN_OK = {
     "funnel_conversion",
     "unigram_logprob",
     "kmeans_lloyd",
+    "semdedup",
+    "hard_negatives",
 }
 
 
