@@ -52,6 +52,7 @@ _CHANGED_THIS_ROUND = [
     "stream_stateful_totals",
     "semdedup",
     "hard_negatives",
+    "join_lateral",
     "graph_search_in_subnet",
     "graph_search_dsl",
     "graph_search_aggregate",

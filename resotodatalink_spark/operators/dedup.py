@@ -478,13 +478,19 @@ def levenshtein_pairs(
     (each edit changes the length by at most 1), so each doc is
     assigned to its length bucket AND the next one (bucket width
     ``w > d``); any qualifying pair then shares at least one
-    (block, bucket) key.  Candidates are deduped on ids only (cheap
-    shuffle key), and the verify step uses Spark's banded
+    (block, bucket) key.  A pair can share TWO keys (both docs in the
+    same base bucket), so the join keeps only the CANONICAL match —
+    ``bk == max(base_bucket_a, base_bucket_b)`` — which every
+    qualifying pair satisfies exactly once: no dropDuplicates, no
+    shuffle of the candidate pairs at all (the only exchange is the
+    2x-corpus explode partitioned by (block, bucket); candidates are
+    generated and verified inside the join stage and only true pairs
+    leave it).  The verify step is Spark's banded
     ``levenshtein(..., threshold)`` — O(len*d) per pair instead of
     O(len^2), returning -1 above the band so the filter is a single
-    comparison.  All steps are equi-joins on small keys; survives a
-    1000-executor scale-up wherever the block/bucket histogram does
-    (skewed blocks would salt the same way skew_join_salted does).
+    comparison.  Survives a 1000-executor scale-up wherever the
+    block/bucket histogram does (a pathologically hot (block, bucket)
+    would salt the same way skew_join_salted does).
 
     Reference parity: the reference has no fuzzy matching at all (its
     dedup surface is the SQL target's DISTINCT); this is part of the
@@ -517,19 +523,17 @@ def levenshtein_pairs(
         "bk",
         *[F.col(c) for c in block_cols],
     )
-    cand = (
-        a.join(b, [*block_cols, "bk"])
-        .filter(
-            (F.col("doc_a") < F.col("doc_b"))
-            & (
-                F.abs(F.col("len_a") - F.col("len_b"))
-                <= F.lit(max_distance)
+    cand = a.join(b, [*block_cols, "bk"]).filter(
+        (F.col("doc_a") < F.col("doc_b"))
+        & (F.abs(F.col("len_a") - F.col("len_b")) <= F.lit(max_distance))
+        # canonical-key rule: of the (up to two) shared exploded keys,
+        # count the pair only at the greater base bucket
+        & (
+            F.col("bk")
+            == F.greatest(
+                F.floor(F.col("len_a") / w), F.floor(F.col("len_b") / w)
             )
         )
-        # a pair whose docs share a length bucket matches on BOTH of
-        # its exploded keys — dedupe on the id pair (ids only: texts
-        # are functionally dependent, no reason to hash them)
-        .dropDuplicates(["doc_a", "doc_b"])
     )
     return (
         cand.withColumn(

@@ -1147,3 +1147,25 @@ def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+_LATERAL_SQL = """
+SELECT n.n_name, t.c_name, t.c_acctbal
+FROM nation n,
+LATERAL (
+  SELECT c_name, c_acctbal FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_name LIMIT 2
+) t
+"""
+
+
+@query("join_lateral", oracle=_LATERAL_SQL)
+def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY/LIMIT (the
+    top-n-per-outer-row idiom, delegated SQL surface like D6).
+    Catalyst decorrelates the lateral into a partitioned window
+    filter — no nested-loop re-execution per outer row; the identical
+    SQL string runs on both engines."""
+    load_tables(spark, sf_dir, names=("nation", "customer"))
+    return execute_sql(spark, _LATERAL_SQL)
