@@ -698,8 +698,9 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     chained twins collapse transitively onto the chain's minimum only
     if adjacent — the published greedy keeps exactly this pairwise
     rule, not connected components)."""
-    e = _spread(table(spark, sf_dir, "embeddings"), "vec_id").select(
-        "vec_id", "embedding"
+    e = _spread(
+        table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+        "vec_id",
     )
     cent = e.filter(F.col("vec_id") < _SEM_K).select(
         F.col("vec_id").alias("cluster_id"), F.col("embedding").alias("cvec")
