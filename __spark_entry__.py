@@ -53,6 +53,7 @@ _CHANGED_THIS_ROUND = [
     "semdedup",
     "hard_negatives",
     "join_lateral",
+    "corpus_stats",
     "graph_search_in_subnet",
     "graph_search_dsl",
     "graph_search_aggregate",

@@ -96,6 +96,7 @@ EXTENDED = [
     "stream_stateful_totals",
     "semdedup",
     "hard_negatives",
+    "corpus_stats",
 ]
 
 

@@ -607,3 +607,57 @@ def novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.when(F.col("df") == 1, 1.0).otherwise(0.0)).alias("novelty"),
         )
     )
+
+
+@query(
+    "corpus_stats",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, lang, source, n_chars,
+             md5(substring(text, 1, 80)) AS h
+      FROM documents
+    ),
+    sized AS (
+      SELECT f.*, count(*) OVER (PARTITION BY h) AS grp
+      FROM f
+    )
+    SELECT count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           count(DISTINCT lang) AS n_langs,
+           count(DISTINCT source) AS n_sources,
+           round(avg(CAST(n_chars AS DOUBLE)), 2) AS avg_chars,
+           round(CAST(sum(CASE WHEN grp > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS dup_fraction
+    FROM sized
+    """,
+)
+def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card summary: one row profiling the corpus — volume,
+    language/source diversity, and the exact-duplicate fraction (share
+    of docs whose content fingerprint is non-unique, the dedup_exact
+    hash rule).  Scale shape: one window count partitioned by the
+    fingerprint (cardinality = distinct content) feeding a single
+    global aggregate; distinct counts are exact (count distinct over
+    low-cardinality lang/source).  The one-row result is what a
+    curation dashboard or datasheet generator consumes per snapshot."""
+    d = table(spark, sf_dir, "documents")
+    f = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.md5(F.substring("text", 1, 80)).alias("h"),
+    )
+    sized = f.withColumn("grp", F.count("*").over(W.partitionBy("h")))
+    return sized.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.round(F.avg(F.col("n_chars").cast("double")), 2).alias("avg_chars"),
+        F.round(
+            F.sum(F.when(F.col("grp") > 1, 1).otherwise(0)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("dup_fraction"),
+    )
