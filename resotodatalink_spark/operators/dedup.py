@@ -34,6 +34,7 @@ from resotodatalink_spark.functions.hashing import (
     N_MINHASH,
     spread_sql,
 )
+from resotodatalink_spark.operators.spread import spread_partitions
 
 
 def exact_dedup(
@@ -509,16 +510,10 @@ def levenshtein_pairs(
             )
         ),
     )
-    # FLOP-heavy probe side over a byte-small scan: a single-row-group
-    # parquet file splits into 1-2 partitions, which would run the
-    # whole banded-verify join on 1-2 cores (measured 180s at sf1; 32x
-    # parallel after this).  One keyed repartition of the exploded
-    # frame (~2x input bytes) buys full parallelism — a no-op cost at
-    # 100 TB where the scan already arrives in thousands of splits.
-    spark = docs.sparkSession
-    target = spark.sparkContext.defaultParallelism
-    if e.rdd.getNumPartitions() < target:
-        e = e.repartition(target, *[F.col(c) for c in block_cols], F.col("bk"))
+    # FLOP-heavy probe side over a byte-small scan: without the spread
+    # the whole banded-verify join runs on the scan's 1-2 splits
+    # (measured 180s at sf1; 17.5s on 32 cores after).
+    e = spread_partitions(e, *block_cols, "bk")
     a = e.select(
         F.col(id_col).alias("doc_a"),
         F.col(text_col).alias("text_a"),

@@ -27,22 +27,8 @@ _N_QUERIES = 10
 _TOPK = 5
 
 
-def _spread(df: DataFrame, *keys: str) -> DataFrame:
-    """Hash-repartition a compute-bound input up to the session's
-    parallelism when the scan under-splits it.
-
-    Embedding tables are byte-small but FLOP-heavy: a single-row-group
-    parquet file scans as 1-2 partitions, so a k x d dot-product stage
-    would run on 1-2 of the cluster's cores.  One keyed shuffle of the
-    raw vectors (~input bytes) buys k x parallel compute — worth it
-    whenever upstream splits < cores; a no-op (plan unchanged) when the
-    scan is already wide enough, so at 100 TB, where the table arrives
-    in thousands of splits, this adds nothing."""
-    spark = df.sparkSession
-    target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
-        return df
-    return df.repartition(target, *[F.col(k) for k in keys])
+# canonical home + rationale: operators/spread.py
+from resotodatalink_spark.operators.spread import spread_partitions as _spread
 
 
 @query(
