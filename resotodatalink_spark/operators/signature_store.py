@@ -113,3 +113,51 @@ def ingest_batch(
     write_table(next_store, dest_dir, SIGNATURE_TABLE)
     swap_staging(dest_dir, [SIGNATURE_TABLE], spark=spark)
     return pairs
+
+
+def stream_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    checkpoint_dir: str,
+    dest_dir: str,
+    min_agree: int = 8,
+    pairs_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Continuous dedup as a stream (the delta_sync pattern): drain a
+    directory of spooled document-batch parquet files; every
+    micro-batch runs ``ingest_batch`` — twins against the stored
+    corpus, one atomic store generation per batch — and appends the
+    twin pairs to ``pairs_dir`` (the curation pipeline's drop list).
+    Restart-safe: the streaming checkpoint remembers which batch files
+    were applied, and a replayed batch re-merges idempotently (same
+    ids replace the same rows).  ``maxFilesPerTrigger=1`` makes each
+    spooled file one generation — how the test replays a
+    multi-generation history deterministically."""
+    schema = spark.read.parquet(src_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.parquet(src_dir)
+
+    def handle(batch_df: DataFrame, _batch_id: int) -> None:
+        pairs = ingest_batch(
+            spark,
+            dest_dir,
+            batch_df,
+            min_agree=min_agree,
+            id_col=id_col,
+            text_col=text_col,
+        )
+        if pairs_dir is not None:
+            pairs.write.mode("append").parquet(pairs_dir)
+
+    (
+        raw.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(handle)
+        .start()
+        .awaitTermination()
+    )

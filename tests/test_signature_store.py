@@ -109,3 +109,51 @@ def test_batch_vs_store_equals_full_cross_check(spark, tmp_path):
     }
     assert got == want
     assert want, "fixture must actually contain cross twins"
+
+
+def test_stream_ingest_multi_generation(spark, tmp_path):
+    """Replay a 2-batch history through the streaming wrapper: one
+    store generation per spooled file, twins accumulated in pairs_dir,
+    final store identical to signing the full corpus."""
+    from resotodatalink_spark.operators.signature_store import stream_ingest
+
+    dest = str(tmp_path / "store")
+    os.makedirs(dest)
+    bootstrap_signature_store(_docs(spark, [(1, _BASE), (2, _OTHER)]), dest)
+
+    src = str(tmp_path / "src")
+    # two spooled batch files: batch A brings a twin of doc 1 (id 10),
+    # batch B brings a twin of batch A's doc (id 20 ~ 10)
+    _docs(spark, [(10, _BASE + " tail")]).coalesce(1).write.parquet(
+        src, mode="append"
+    )
+    _docs(spark, [(20, _BASE + " tail")]).coalesce(1).write.parquet(
+        src, mode="append"
+    )
+    pairs_dir = str(tmp_path / "pairs")
+    stream_ingest(
+        spark,
+        src,
+        str(tmp_path / "cp"),
+        dest,
+        pairs_dir=pairs_dir,
+        max_files_per_trigger=1,
+    )
+    store = read_signature_store(spark, dest)
+    assert sorted(r.doc_id for r in store.select("doc_id").collect()) == [
+        1, 2, 10, 20,
+    ]
+    got = {
+        (r.batch_doc, r.corpus_doc)
+        for r in spark.read.parquet(pairs_dir).collect()
+    }
+    # each generation saw the store AS OF its batch: 10 paired with 1;
+    # 20 paired with both 1 and the already-ingested 10
+    assert (10, 1) in got and (20, 10) in got and (20, 1) in got
+    fresh = minhash_signatures(
+        _docs(spark, [(1, _BASE), (2, _OTHER),
+                      (10, _BASE + " tail"), (20, _BASE + " tail")])
+    )
+    assert sorted(map(tuple, store.collect())) == sorted(
+        map(tuple, fresh.collect())
+    )
