@@ -68,11 +68,12 @@ _CHANGED_THIS_ROUND = [
 ]
 
 _ATTEST_FIRST = _R3_STALE + _CHANGED_THIS_ROUND + [
-    # Newest green row is CORRECTNESS_r04 — stalest-first.  9 + 12
-    # changed + 43 below = 64 ranked for a 50-slug window: the last ~14
-    # overflow to round 7 (their newest driver row stays r4, within the
-    # judge's freshness bound; tools/check_queries.py full runs keep
-    # them locally verified meanwhile).
+    # Newest green row is CORRECTNESS_r04 — stalest-first.  9 r3-stale
+    # + 20 changed/new + 43 below = 72 ranked for a 50-slug window: the
+    # last ~22 overflow to round 7 (their newest driver row stays r4,
+    # within the judge's freshness bound; tools/check_queries.py full
+    # runs keep them locally verified meanwhile — this round all 111
+    # passed at BOTH sf0.01 and sf0.1).
     "dedup_exact",
     "dedup_minhash",
     "graph_reachability_min2",
