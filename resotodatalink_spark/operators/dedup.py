@@ -528,7 +528,14 @@ def levenshtein_pairs(
         "bk",
         *[F.col(c) for c in block_cols],
     )
-    cand = a.join(b, [*block_cols, "bk"]).filter(
+    # NEVER broadcast this self-join: the build side is the whole
+    # exploded corpus, which only looks broadcast-small in the scan
+    # estimate — at sf1 inside a long-lived JVM the 60MB+ build OOMed
+    # the driver ("Not enough memory to build and broadcast").  The
+    # shuffle-hash hint keeps the join on the (block, bucket) hash
+    # partitioning the spread already established (no extra exchange)
+    # and is the only plan that exists at corpus scale anyway.
+    cand = a.join(b.hint("shuffle_hash"), [*block_cols, "bk"]).filter(
         (F.col("doc_a") < F.col("doc_b"))
         & (F.abs(F.col("len_a") - F.col("len_b")) <= F.lit(max_distance))
         # canonical-key rule: of the (up to two) shared exploded keys,
