@@ -54,6 +54,7 @@ _CHANGED_THIS_ROUND = [
     "hard_negatives",
     "join_lateral",
     "corpus_stats",
+    "grouping_sets",
     "graph_search_in_subnet",
     "graph_search_dsl",
     "graph_search_aggregate",

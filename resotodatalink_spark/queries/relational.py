@@ -1169,3 +1169,38 @@ def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL string runs on both engines."""
     load_tables(spark, sf_dir, names=("nation", "customer"))
     return execute_sql(spark, _LATERAL_SQL)
+
+
+@query(
+    "grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS total,
+           CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+           CAST(grouping(o_orderpriority) AS INTEGER) AS g_prio
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), ())
+    """,
+)
+def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form rollup/cube compile
+    to, A5 family) with grouping() indicators disambiguating real
+    NULLs from subtotal rows.  One Expand + one hash aggregate —
+    subtotals cost one extra map-side row per input row per set, no
+    extra shuffle."""
+    load_tables(spark, sf_dir, names=("orders",))
+    return execute_sql(
+        spark,
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n,
+               round(sum(o_totalprice), 2) AS total,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_prio
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        """,
+    )

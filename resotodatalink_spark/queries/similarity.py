@@ -20,15 +20,14 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from resotodatalink_spark.functions import vectors as V
+
+# canonical home + rationale: operators/spread.py
+from resotodatalink_spark.operators.spread import spread_partitions as _spread
 from resotodatalink_spark.registry import query
 from resotodatalink_spark.sources.tables import table
 
 _N_QUERIES = 10
 _TOPK = 5
-
-
-# canonical home + rationale: operators/spread.py
-from resotodatalink_spark.operators.spread import spread_partitions as _spread
 
 
 @query(
