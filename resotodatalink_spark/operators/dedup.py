@@ -468,6 +468,7 @@ def levenshtein_pairs(
     text_col: str = "text",
     block_cols: tuple[str, ...] = ("lang",),
     bucket_width: int | None = None,
+    salt: int = 1,
 ) -> DataFrame:
     """Blocked edit-distance near-dup: every pair (a, b) in the same
     block with ``levenshtein(text_a, text_b) <= max_distance`` — the
@@ -490,8 +491,16 @@ def levenshtein_pairs(
     ``levenshtein(..., threshold)`` — O(len*d) per pair instead of
     O(len^2), returning -1 above the band so the filter is a single
     comparison.  Survives a 1000-executor scale-up wherever the
-    block/bucket histogram does (a pathologically hot (block, bucket)
-    would salt the same way skew_join_salted does).
+    block/bucket histogram does.
+
+    ``salt > 1`` is the hot-block mitigation (skew_join_salted's
+    playbook applied to a self-join): side A additionally keys on
+    ``pmod(hash(id), salt)`` — each row lands in ONE salt shard — and
+    side B replicates each row across all ``salt`` shards, so every
+    qualifying pair still meets exactly once but the hottest
+    (block, bucket)'s pair enumeration splits across ``salt`` tasks.
+    Cost: B's explode grows x salt (input bytes, cheap); exactness is
+    unchanged (pinned by the salted-equals-unsalted test).
 
     Reference parity: the reference has no fuzzy matching at all (its
     dedup surface is the SQL target's DISTINCT); this is part of the
@@ -514,6 +523,7 @@ def levenshtein_pairs(
     # the whole banded-verify join runs on the scan's 1-2 splits
     # (measured 180s at sf1; 17.5s on 32 cores after).
     e = spread_partitions(e, *block_cols, "bk")
+    join_keys = [*block_cols, "bk"]
     a = e.select(
         F.col(id_col).alias("doc_a"),
         F.col(text_col).alias("text_a"),
@@ -521,6 +531,9 @@ def levenshtein_pairs(
         "bk",
         *[F.col(c) for c in block_cols],
     )
+    if salt > 1:
+        join_keys.append("sl")
+        a = a.withColumn("sl", F.pmod(F.xxhash64("doc_a"), F.lit(salt)))
     b = e.select(
         F.col(id_col).alias("doc_b"),
         F.col(text_col).alias("text_b"),
@@ -528,6 +541,8 @@ def levenshtein_pairs(
         "bk",
         *[F.col(c) for c in block_cols],
     )
+    if salt > 1:
+        b = b.withColumn("sl", F.explode(F.array(*[F.lit(s) for s in range(salt)])))
     # NEVER broadcast this self-join: the build side is the whole
     # exploded corpus, which only looks broadcast-small in the scan
     # estimate — at sf1 inside a long-lived JVM the 60MB+ build OOMed
@@ -535,7 +550,7 @@ def levenshtein_pairs(
     # shuffle-hash hint keeps the join on the (block, bucket) hash
     # partitioning the spread already established (no extra exchange)
     # and is the only plan that exists at corpus scale anyway.
-    cand = a.join(b.hint("shuffle_hash"), [*block_cols, "bk"]).filter(
+    cand = a.join(b.hint("shuffle_hash"), join_keys).filter(
         (F.col("doc_a") < F.col("doc_b"))
         & (F.abs(F.col("len_a") - F.col("len_b")) <= F.lit(max_distance))
         # canonical-key rule: of the (up to two) shared exploded keys,

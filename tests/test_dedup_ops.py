@@ -326,3 +326,30 @@ def test_levenshtein_pairs_equals_bruteforce_random(spark):
     }
     assert len(want) > 5  # the corpus must actually exercise the path
     assert got == want
+
+
+def test_levenshtein_pairs_salted_equals_unsalted(spark):
+    """Hot-block salting must not change the pair set: side A keys on
+    one salt shard, side B replicates across all shards, so every
+    qualifying pair still meets exactly once."""
+    import random
+
+    from resotodatalink_spark.operators.dedup import levenshtein_pairs
+
+    rng = random.Random(7)
+    alphabet = "abcd"
+    rows = []
+    for i in range(40):  # one hot block: same lang, similar lengths
+        s = "".join(rng.choice(alphabet) for _ in range(rng.randint(8, 14)))
+        rows.append((i, s, "en"))
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string, lang: string")
+    base = {
+        (r.doc_a, r.doc_b, r.edit_distance)
+        for r in levenshtein_pairs(docs, max_distance=4).collect()
+    }
+    salted = {
+        (r.doc_a, r.doc_b, r.edit_distance)
+        for r in levenshtein_pairs(docs, max_distance=4, salt=3).collect()
+    }
+    assert base, "fixture must produce pairs"
+    assert salted == base
