@@ -23,101 +23,92 @@ registry.load_all()
 # attestation (no row in the previous round's CORRECTNESS file).  Slugs
 # with a fresh green row from last round and no changes this round are
 # the ones that may fall past the cap.  All slugs stay registered.
-_R3_STALE = [
-    # Newest driver-green row is CORRECTNESS_r03 (two rounds old — the
-    # round-5 judge's top next-round item): these LEAD the round-6
-    # window unconditionally.
-    "tpch_q3_shape",
-    "tpch_q5_shape",
-    "tpch_q10_shape",
-    "join_asof",
-    "pivot_table",
-    "median_stats",
-    "string_agg",
-    "window_range_frame",
-    "sessionize_events",
+_R4_STALE = [
+    # Newest driver-green row is CORRECTNESS_r04 (the round-6 judge's
+    # top next-round item): these LEAD the round-7 window
+    # unconditionally so no slug's newest driver row is older than r5
+    # after this round.
+    "cdc_latest",
+    "curation_pipeline",
+    "doc_fingerprint",
+    "frequent_terms",
+    "funnel_conversion",
+    "kmeans_lloyd",
+    "lang_id",
+    "quality_score",
+    "quota_sample",
+    "retention_cohorts",
+    "sample_hash_stratified",
+    "sequence_packing",
+    "stream_dedup",
+    "stream_interval_join",
+    "stream_session_window",
+    "stream_sliding_window",
+    "stream_tumbling_window",
+    "text_chunking",
+    "text_normalize",
+    "tfidf_top_terms",
+    "token_count",
+    "udtf_tokenize",
+    "unigram_logprob",
 ]
 
 _CHANGED_THIS_ROUND = [
-    # round 6 edits: the NEW negation/grouping slug; in_subnet's octet
-    # range gate (operators/search.py _ipv4_to_long); and every other
-    # graph_search_* slug, because all of them run through the
-    # parser/compiler that round 6 changed (not()/parenthesized boolean
-    # groups in the grammar); dedup_simhash gained the opt-in xxhash64
-    # signature path.
-    "graph_search_not",
-    "dedup_paragraph",
+    # round 7 edits: dedup_levenshtein now auto-salts hot blocks from
+    # the observed (block, bucket) histogram; semdedup derives k from
+    # count(*) instead of the fixed k=8; stream_stateful_totals
+    # switches to an explicit half-away-from-zero cents rule and a
+    # cleaned-up checkpoint dir.
     "dedup_levenshtein",
-    "unpivot_stack",
-    "stream_stateful_totals",
     "semdedup",
-    "hard_negatives",
-    "join_lateral",
-    "corpus_stats",
-    "grouping_sets",
-    "graph_search_in_subnet",
-    "graph_search_dsl",
-    "graph_search_aggregate",
-    "graph_search_with",
-    "graph_search_sorted",
-    "graph_search_inbound",
-    "graph_search_edge_typed",
-    "graph_search_fulltext",
-    "graph_search_nested_with",
-    "graph_search_has_key",
-    "dedup_simhash",
+    "stream_stateful_totals",
 ]
 
-_ATTEST_FIRST = _R3_STALE + _CHANGED_THIS_ROUND + [
-    # Newest green row is CORRECTNESS_r04 — stalest-first.  9 r3-stale
-    # + 20 changed/new + 43 below = 72 ranked for a 50-slug window: the
-    # last ~22 overflow to round 7 (their newest driver row stays r4,
-    # within the judge's freshness bound; tools/check_queries.py full
-    # runs keep them locally verified meanwhile — this round all 111
-    # passed at BOTH sf0.01 and sf0.1).
-    "dedup_exact",
-    "dedup_minhash",
-    "graph_reachability_min2",
-    "graph_components",
-    "multimodal_decode",
-    "multimodal_frames",
-    "pii_redaction",
-    "repetition_filter",
-    "decontamination",
-    "global_shuffle",
-    "dataset_split",
-    "salted_groupby",
-    "skew_join_salted",
-    "ann_cosine_topk",
-    "ann_lsh_bucketed",
-    "ann_lsh_multiprobe",
-    "dedup_embedding",
-    "ann_ivf_cells",
-    "embedding_centroids",
-    "embedding_quantize",
-    "kmeans_lloyd",
-    "stream_tumbling_window",
-    "stream_sliding_window",
-    "stream_session_window",
-    "stream_interval_join",
-    "funnel_conversion",
-    "retention_cohorts",
-    "stream_dedup",
-    "cdc_latest",
-    "lang_id",
-    "quality_score",
-    "token_count",
-    "doc_fingerprint",
-    "text_normalize",
-    "udtf_tokenize",
-    "frequent_terms",
-    "sample_hash_stratified",
-    "curation_pipeline",
-    "text_chunking",
-    "tfidf_top_terms",
-    "quota_sample",
-    "sequence_packing",
-    "unigram_logprob",
+_ATTEST_FIRST = _R4_STALE + _CHANGED_THIS_ROUND + [
+    # Newest green row is CORRECTNESS_r05 — these fill the rest of the
+    # 50-slug window (23 + changed + 39 ranked for 50 slots: the last
+    # ~15 overflow to round 8 with their newest driver row at r5,
+    # within the freshness bound; tools/check_queries.py full runs
+    # keep them locally verified meanwhile).
+    "agg_sum_avg_min_max",
+    "array_ops",
+    "class_rebalance",
+    "date_functions",
+    "dedup_clusters",
+    "dedup_containment",
+    "dedup_incremental",
+    "dedup_ngram_jaccard",
+    "dedup_survivors",
+    "distinct_agg",
+    "filter_predicate",
+    "graph_reachability",
+    "groupby_count",
+    "groupby_having",
+    "join_anti",
+    "join_broadcast",
+    "join_link_table",
+    "join_outer",
+    "join_semi",
+    "join_theta_range",
+    "json_ops",
+    "map_ops",
+    "math_functions",
+    "mixture_weights",
+    "multimodal_features",
+    "nested_field_access",
+    "novelty_score",
+    "pandas_udaf_zscore",
+    "project_columns",
+    "rollup_cube",
+    "set_ops",
+    "sort_limit",
+    "sql_passthrough",
+    "string_functions",
+    "subquery_exists",
+    "topk_argmax",
+    "topk_per_group",
+    "window_rank",
+    "window_running_sum",
 ]
 
 

@@ -72,7 +72,13 @@ def ingest_batch(
     ids in ``deleted_ids`` are swept.  Batch-internal twins are the
     batch self-dedup slugs' job, not this join's."""
     store = read_signature_store(spark, dest_dir)
-    batch_sig = minhash_signatures(batch_docs, id_col, text_col)
+    # One signature row per id, even if the batch spools the same doc
+    # twice (re-crawl within a batch): without this, the anti-join
+    # removes the old store row but unionByName appends EVERY batch
+    # row, leaving multi-row ids that corrupt later generations.
+    batch_sig = minhash_signatures(batch_docs, id_col, text_col).dropDuplicates(
+        [id_col]
+    )
     # the store may still hold a previous generation of re-crawled ids;
     # compare the batch against FOREIGN corpus rows only
     corpus = store.join(
@@ -131,9 +137,12 @@ def stream_ingest(
     micro-batch runs ``ingest_batch`` — twins against the stored
     corpus, one atomic store generation per batch — and appends the
     twin pairs to ``pairs_dir`` (the curation pipeline's drop list).
-    Restart-safe: the streaming checkpoint remembers which batch files
-    were applied, and a replayed batch re-merges idempotently (same
-    ids replace the same rows).  ``maxFilesPerTrigger=1`` makes each
+    Restart-safe END TO END: the streaming checkpoint remembers which
+    batch files were applied; a replayed batch re-merges into the
+    store idempotently (same ids replace the same rows) AND
+    re-overwrites its own ``batch_id=N`` pairs partition, so a crash
+    between the store swap and the checkpoint commit cannot duplicate
+    twin rows in ``pairs_dir``.  ``maxFilesPerTrigger=1`` makes each
     spooled file one generation — how the test replays a
     multi-generation history deterministically."""
     schema = spark.read.parquet(src_dir).schema
@@ -152,7 +161,15 @@ def stream_ingest(
             text_col=text_col,
         )
         if pairs_dir is not None:
-            pairs.write.mode("append").parquet(pairs_dir)
+            # Keyed by batch id and OVERWRITTEN on replay: a crash
+            # between the store swap and the checkpoint commit replays
+            # this batch, and mode="append" on the flat dir would spool
+            # the same twin pairs twice.  Partition-style layout keeps
+            # spark.read.parquet(pairs_dir) working (plus a batch_id
+            # provenance column from partition discovery).
+            pairs.write.mode("overwrite").parquet(
+                f"{pairs_dir}/batch_id={_batch_id}"
+            )
 
     (
         raw.writeStream.trigger(availableNow=True)

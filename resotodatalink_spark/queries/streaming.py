@@ -16,8 +16,6 @@ are half-open ``[start, last+gap)``), mirrored in the oracle's
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -374,6 +372,7 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the largest count IS the last emission); multi-batch state
     carry-over is pinned by tests/test_streaming.py with
     maxFilesPerTrigger=1."""
+    import shutil
     import tempfile
     import uuid
 
@@ -382,16 +381,21 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     name = "stateful_" + uuid.uuid4().hex[:12]
     src = stream_events(spark, sf_dir)
+    checkpoint = tempfile.mkdtemp(prefix="cp_stateful_")
     q = (
         running_user_totals(src)
         .writeStream.format("memory")
         .queryName(name)
         .outputMode("update")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="cp_stateful_"))
+        .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
+    # The memory-sink table is materialized on the driver; the
+    # checkpoint is only needed while the availableNow run is live —
+    # remove it so repeated bench/attest runs don't accumulate temp dirs.
+    shutil.rmtree(checkpoint, ignore_errors=True)
     snaps = spark.table(name)
     return (
         snaps.groupBy("user_id")

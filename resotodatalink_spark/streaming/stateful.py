@@ -58,7 +58,15 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         n, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+            # Explicit half-away-from-zero cents rule (matches the
+            # DuckDB oracle's round(); pandas .round() is half-to-even
+            # and would diverge by one cent on sub-cent inputs).
+            v = pdf["value"].to_numpy() * 100.0
+            import numpy as _np
+
+            cents += int(
+                (_np.sign(v) * _np.floor(_np.abs(v) + 0.5)).astype("int64").sum()
+            )
         state.update((n, cents))
         yield _pd.DataFrame(
             {

@@ -157,3 +157,25 @@ def test_stream_ingest_multi_generation(spark, tmp_path):
     assert sorted(map(tuple, store.collect())) == sorted(
         map(tuple, fresh.collect())
     )
+
+
+def test_ingest_batch_with_duplicate_ids_keeps_store_unique(spark, tmp_path):
+    """A batch that spools the same doc_id twice (re-crawl within the
+    batch) must still leave exactly one signature row per id — the
+    round-6 advice found the anti-join/union merge would otherwise
+    append both rows and corrupt every later generation."""
+    dest = str(tmp_path / "store")
+    os.makedirs(dest)
+    bootstrap_signature_store(_docs(spark, [(1, _BASE)]), dest)
+
+    batch = _docs(spark, [(10, _BASE + " tail"), (10, _BASE + " tail"), (11, _OTHER)])
+    ingest_batch(spark, dest, batch)
+    store = read_signature_store(spark, dest)
+    ids = [r.doc_id for r in store.select("doc_id").collect()]
+    assert sorted(ids) == [1, 10, 11]
+
+    # and a SECOND generation over the deduped store stays clean
+    ingest_batch(spark, dest, _docs(spark, [(10, _BASE + " tail two")]))
+    store = read_signature_store(spark, dest)
+    ids = [r.doc_id for r in store.select("doc_id").collect()]
+    assert sorted(ids) == [1, 10, 11]
