@@ -461,6 +461,40 @@ def containment_pairs(
     )
 
 
+def _levenshtein_salt_histogram(
+    e: DataFrame,
+    block_cols: tuple[str, ...],
+    target_pairs: int,
+    max_salt: int,
+) -> DataFrame:
+    """Per-(block, bucket) shard counts for ``salt='auto'``: a key with
+    ``c`` exploded rows enumerates ~``c*c`` comparisons in one task;
+    splitting side A into ``s`` shards bounds that at ``c*c/s``.  So
+    ``s = clamp(ceil(c*c / target_pairs), 1, max_salt)`` — quadratic in
+    the key's row count, which is exactly the shape of the work.  The
+    histogram is a narrow map-side-combining count over the key
+    columns only (no text bytes move) and is broadcast back onto both
+    join sides; cardinality is #blocks x #length-buckets, bounded by
+    vocabulary not corpus size, so the broadcast holds at 100 TB."""
+    return (
+        e.groupBy(*block_cols, "bk")
+        .agg(F.count("*").alias("_kcnt"))
+        .withColumn(
+            "_nsalt",
+            F.greatest(
+                F.lit(1),
+                F.least(
+                    F.lit(max_salt),
+                    F.ceil(
+                        F.col("_kcnt") * F.col("_kcnt") / F.lit(target_pairs)
+                    ),
+                ),
+            ).cast("int"),
+        )
+        .drop("_kcnt")
+    )
+
+
 def levenshtein_pairs(
     docs: DataFrame,
     max_distance: int,
@@ -468,7 +502,9 @@ def levenshtein_pairs(
     text_col: str = "text",
     block_cols: tuple[str, ...] = ("lang",),
     bucket_width: int | None = None,
-    salt: int = 1,
+    salt: int | str = 1,
+    salt_target_pairs: int = 25_000_000,
+    max_salt: int = 64,
 ) -> DataFrame:
     """Blocked edit-distance near-dup: every pair (a, b) in the same
     block with ``levenshtein(text_a, text_b) <= max_distance`` — the
@@ -502,6 +538,19 @@ def levenshtein_pairs(
     Cost: B's explode grows x salt (input bytes, cheap); exactness is
     unchanged (pinned by the salted-equals-unsalted test).
 
+    ``salt="auto"`` derives the shard count PER KEY from the observed
+    (block, bucket) histogram (``_levenshtein_salt_histogram``):
+    ``ceil(cnt^2 / salt_target_pairs)`` capped at ``max_salt``, so the
+    modal length bucket of the dominant language — the key that
+    concentrates a quadratic enumeration in one task at corpus scale —
+    splits, while cold keys replicate nothing.  The shard count is a
+    function of the join key itself (both sides read it from the same
+    broadcast histogram), so the meet-exactly-once property is
+    preserved per key.  When NO key is hot the auto path falls back to
+    the unsalted exchange-free plan — the decision is one O(1) driver
+    scalar (``max(_nsalt)``), the same bounded-collect pattern as the
+    connected-components convergence check.
+
     Reference parity: the reference has no fuzzy matching at all (its
     dedup surface is the SQL target's DISTINCT); this is part of the
     training-pipeline layer, same family as ``jaccard_pairs``."""
@@ -523,7 +572,18 @@ def levenshtein_pairs(
     # the whole banded-verify join runs on the scan's 1-2 splits
     # (measured 180s at sf1; 17.5s on 32 cores after).
     e = spread_partitions(e, *block_cols, "bk")
-    join_keys = [*block_cols, "bk"]
+    key_cols = [*block_cols, "bk"]
+    hist = None
+    if salt == "auto":
+        hist = _levenshtein_salt_histogram(
+            e, block_cols, salt_target_pairs, max_salt
+        )
+        # O(1) driver scalar (bounded-collect, same pattern as the CC
+        # convergence check): when no key is hot, drop back to the
+        # unsalted plan so the cold path stays exchange-free.
+        if hist.agg(F.max("_nsalt")).collect()[0][0] <= 1:
+            hist = None
+    join_keys = list(key_cols)
     a = e.select(
         F.col(id_col).alias("doc_a"),
         F.col(text_col).alias("text_a"),
@@ -531,9 +591,6 @@ def levenshtein_pairs(
         "bk",
         *[F.col(c) for c in block_cols],
     )
-    if salt > 1:
-        join_keys.append("sl")
-        a = a.withColumn("sl", F.pmod(F.xxhash64("doc_a"), F.lit(salt)))
     b = e.select(
         F.col(id_col).alias("doc_b"),
         F.col(text_col).alias("text_b"),
@@ -541,7 +598,23 @@ def levenshtein_pairs(
         "bk",
         *[F.col(c) for c in block_cols],
     )
-    if salt > 1:
+    if hist is not None:
+        join_keys.append("sl")
+        a = (
+            a.join(F.broadcast(hist), key_cols)
+            .withColumn("sl", F.pmod(F.xxhash64("doc_a"), F.col("_nsalt")))
+            .drop("_nsalt")
+        )
+        b = (
+            b.join(F.broadcast(hist), key_cols)
+            .withColumn(
+                "sl", F.explode(F.sequence(F.lit(0), F.col("_nsalt") - 1))
+            )
+            .drop("_nsalt")
+        )
+    elif isinstance(salt, int) and salt > 1:
+        join_keys.append("sl")
+        a = a.withColumn("sl", F.pmod(F.xxhash64("doc_a"), F.lit(salt)))
         b = b.withColumn("sl", F.explode(F.array(*[F.lit(s) for s in range(salt)])))
     # NEVER broadcast this self-join: the build side is the whole
     # exploded corpus, which only looks broadcast-small in the scan
@@ -549,8 +622,32 @@ def levenshtein_pairs(
     # the driver ("Not enough memory to build and broadcast").  The
     # shuffle-hash hint keeps the join on the (block, bucket) hash
     # partitioning the spread already established (no extra exchange)
-    # and is the only plan that exists at corpus scale anyway.
-    cand = a.join(b.hint("shuffle_hash"), join_keys).filter(
+    # and is the only plan that exists at corpus scale anyway.  When
+    # salted, hint side A: B replicates each hot key's rows into every
+    # salt shard, so per-task A (one shard) is nsalt-x smaller — build
+    # the hash table from the small side.
+    if "sl" in join_keys:
+        cand = a.hint("shuffle_hash").join(b, join_keys).filter(
+            _levenshtein_join_filter(max_distance, w)
+        )
+    else:
+        cand = a.join(b.hint("shuffle_hash"), join_keys).filter(
+            _levenshtein_join_filter(max_distance, w)
+        )
+    return (
+        cand.withColumn(
+            "edit_distance",
+            F.levenshtein("text_a", "text_b", max_distance),
+        )
+        # banded levenshtein returns -1 when the distance exceeds the
+        # threshold band
+        .filter(F.col("edit_distance") >= 0)
+        .select("doc_a", "doc_b", "edit_distance")
+    )
+
+
+def _levenshtein_join_filter(max_distance: int, w: int):
+    return (
         (F.col("doc_a") < F.col("doc_b"))
         & (F.abs(F.col("len_a") - F.col("len_b")) <= F.lit(max_distance))
         # canonical-key rule: of the (up to two) shared exploded keys,
@@ -561,16 +658,6 @@ def levenshtein_pairs(
                 F.floor(F.col("len_a") / w), F.floor(F.col("len_b") / w)
             )
         )
-    )
-    return (
-        cand.withColumn(
-            "edit_distance",
-            F.levenshtein("text_a", "text_b", max_distance),
-        )
-        # banded levenshtein returns -1 when the distance exceeds the
-        # threshold band
-        .filter(F.col("edit_distance") >= 0)
-        .select("doc_a", "doc_b", "edit_distance")
     )
 
 

@@ -410,6 +410,11 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     (block, length-bucket) equi-join and verifies with the banded
     levenshtein (operators/dedup.py levenshtein_pairs); the oracle is
     the O(n^2)-within-block spec with only the provable
-    length-difference prune."""
+    length-difference prune.  ``salt="auto"`` engages per-key
+    hot-block sharding from the observed (lang, length-bucket)
+    histogram — at bench scale no key crosses the 25M-comparison
+    threshold so the plan is the unsalted exchange-free one, but the
+    same call splits the modal bucket of the dominant language at
+    corpus scale (round-6 verdict's 100-TB risk item)."""
     d = table(spark, sf_dir, "documents")
-    return D.levenshtein_pairs(d, max_distance=15)
+    return D.levenshtein_pairs(d, max_distance=15, salt="auto")

@@ -353,3 +353,69 @@ def test_levenshtein_pairs_salted_equals_unsalted(spark):
     }
     assert base, "fixture must produce pairs"
     assert salted == base
+
+
+def test_levenshtein_pairs_auto_salt_equals_unsalted(spark):
+    """salt='auto' with a hot block must engage per-key sharding
+    (n_salt > 1 for the hot key, 1 for cold keys) and return exactly
+    the unsalted pair set."""
+    import random
+
+    from resotodatalink_spark.operators.dedup import (
+        _levenshtein_salt_histogram,
+        levenshtein_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    rng = random.Random(11)
+    alphabet = "abcd"
+    rows = []
+    for i in range(40):  # hot: en block, lengths 8-14 share buckets
+        s = "".join(rng.choice(alphabet) for _ in range(rng.randint(8, 14)))
+        rows.append((i, s, "en"))
+    for i in range(40, 44):  # cold: tiny de block
+        s = "".join(rng.choice(alphabet) for _ in range(rng.randint(8, 14)))
+        rows.append((i, s, "de"))
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string, lang: string")
+
+    base = {
+        (r.doc_a, r.doc_b, r.edit_distance)
+        for r in levenshtein_pairs(docs, max_distance=4).collect()
+    }
+    # target_pairs=100: the en buckets (~dozens of exploded rows each,
+    # cnt^2 >> 100) must shard; the de buckets (cnt<=8, cnt^2<=64) not
+    auto = {
+        (r.doc_a, r.doc_b, r.edit_distance)
+        for r in levenshtein_pairs(
+            docs, max_distance=4, salt="auto", salt_target_pairs=100, max_salt=5
+        ).collect()
+    }
+    assert base, "fixture must produce pairs"
+    assert auto == base
+
+    # histogram decision itself: hot en keys shard, cold de keys don't
+    w = 5
+    e = docs.withColumn("len", F.length("text")).withColumn(
+        "bk",
+        F.explode(F.array(F.floor(F.col("len") / w), F.floor(F.col("len") / w) + 1)),
+    )
+    hist = {
+        (r.lang, r.bk): r._nsalt
+        for r in _levenshtein_salt_histogram(e, ("lang",), 100, 5).collect()
+    }
+    assert max(v for (lang, _), v in hist.items() if lang == "en") > 1
+    assert all(v == 1 for (lang, _), v in hist.items() if lang == "de")
+
+
+def test_levenshtein_pairs_auto_salt_cold_path_falls_back(spark):
+    """With no hot key, salt='auto' must return the same pairs via the
+    unsalted plan (max(_nsalt)==1 short-circuit)."""
+    from resotodatalink_spark.operators.dedup import levenshtein_pairs
+
+    rows = [(1, "abcd", "en"), (2, "abce", "en"), (3, "xyz", "de")]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string, lang: string")
+    got = {
+        (r.doc_a, r.doc_b, r.edit_distance)
+        for r in levenshtein_pairs(docs, max_distance=2, salt="auto").collect()
+    }
+    assert got == {(1, 2, 1)}
