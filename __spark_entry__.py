@@ -58,10 +58,18 @@ _CHANGED_THIS_ROUND = [
     # the observed (block, bucket) histogram; semdedup derives k from
     # count(*) instead of the fixed k=8; stream_stateful_totals
     # switches to an explicit half-away-from-zero cents rule and a
-    # cleaned-up checkpoint dir.
+    # cleaned-up checkpoint dir.  New round-7 slugs: deep BFS vs a
+    # recursive-CTE oracle, the binned interval overlap join, BPE
+    # pair stats, correlated scalar subquery, lag/lead windows, ntile.
     "dedup_levenshtein",
     "semdedup",
     "stream_stateful_totals",
+    "graph_shortest_paths",
+    "interval_overlap",
+    "bpe_pair_stats",
+    "subquery_scalar_correlated",
+    "window_lag_lead",
+    "ntile_deciles",
 ]
 
 _ATTEST_FIRST = _R4_STALE + _CHANGED_THIS_ROUND + [

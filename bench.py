@@ -122,6 +122,12 @@ SF1_SUBSET = [
     # blocked candidate join + banded verify: volume behavior needs
     # real block histograms, which sf0.1's 5k docs can't show
     "dedup_levenshtein",
+    # round-6 newcomers (r6 verdict item 5): k-scaled clustering pair
+    # volume, broadcast-query mining, stateful streaming, span dedup
+    "semdedup",
+    "hard_negatives",
+    "stream_stateful_totals",
+    "dedup_paragraph",
 ]
 
 

@@ -639,3 +639,84 @@ def graph_search_not(spark: SparkSession, sf_dir: str) -> DataFrame:
         'is(supplier_node) and not (name ~ "1$" or name ~ "2$") '
         'with(empty, <-- name ~ "^A")',
     )
+
+
+@query(
+    "graph_shortest_paths",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT concat('C', CAST(o_custkey AS VARCHAR)) AS src,
+             concat('O', CAST(o_orderkey AS VARCHAR)) AS dst
+      FROM orders
+      UNION ALL
+      SELECT concat('O', CAST(l_orderkey AS VARCHAR)) AS src,
+             concat('L', CAST(l_orderkey AS VARCHAR), '-',
+                    CAST(l_linenumber AS VARCHAR)) AS dst
+      FROM lineitem
+      UNION ALL
+      SELECT concat('L', CAST(l_orderkey AS VARCHAR), '-',
+                    CAST(l_linenumber AS VARCHAR)) AS src,
+             concat('S', CAST(l_suppkey AS VARCHAR)) AS dst
+      FROM lineitem
+    ),
+    roots AS (
+      SELECT concat('C', CAST(c_custkey AS VARCHAR)) AS node_id
+      FROM customer WHERE c_custkey % 100 = 0
+    ),
+    walk(node_id, depth) AS (
+      SELECT node_id, 0 FROM roots
+      UNION ALL
+      SELECT e.dst, w.depth + 1
+      FROM walk w JOIN e ON e.src = w.node_id
+      WHERE w.depth < 3
+    )
+    SELECT node_id, CAST(min(depth) AS INTEGER) AS depth
+    FROM walk GROUP BY node_id HAVING min(depth) >= 1
+    """,
+)
+def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortest-path distance (BFS, depth 1..3) over the 3-level
+    C->O->L->S DAG from a root subset of customers — the deep-traversal
+    generalization of graph_reachability, value-hash-checked against a
+    DuckDB ``WITH RECURSIVE`` walk (min(depth) per node = the BFS
+    first-reach level, because the iterative frontier anti-joins the
+    visited set).
+
+    Scale shape: one equi-join per hop keyed on node id; the frontier
+    is localCheckpointed per level so lineage stays flat; visited-set
+    anti-join bounds repeated work on converging paths — the recursive
+    CTE's path enumeration (all C->O->L->S walks) is exactly what the
+    BFS avoids, which is why the Spark side is the one that survives a
+    high-fan-in graph."""
+    orders = table(spark, sf_dir, "orders")
+    lineitem = table(spark, sf_dir, "lineitem")
+    customer = table(spark, sf_dir, "customer")
+
+    def node(prefix: str, col: str):
+        return F.concat(F.lit(prefix), F.col(col).cast("string"))
+
+    lnode = F.concat(
+        F.lit("L"),
+        F.col("l_orderkey").cast("string"),
+        F.lit("-"),
+        F.col("l_linenumber").cast("string"),
+    )
+    edges = (
+        orders.select(
+            node("C", "o_custkey").alias("src"), node("O", "o_orderkey").alias("dst")
+        )
+        .unionByName(
+            lineitem.select(
+                node("O", "l_orderkey").alias("src"), lnode.alias("dst")
+            )
+        )
+        .unionByName(
+            lineitem.select(
+                lnode.alias("src"), node("S", "l_suppkey").alias("dst")
+            )
+        )
+    )
+    roots = customer.filter(F.col("c_custkey") % 100 == 0).select(
+        node("C", "c_custkey").alias("node_id")
+    )
+    return reachable(edges, roots, max_depth=3)

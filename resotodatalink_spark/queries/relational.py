@@ -1204,3 +1204,163 @@ def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (o_orderstatus), ())
         """,
     )
+
+
+# --- D6 breadth: correlated scalar subquery (TPC-H Q2/Q17 shape) ---------
+
+
+@query(
+    "subquery_scalar_correlated",
+    oracle="""
+    SELECT l_orderkey, CAST(l_linenumber AS INTEGER) AS l_linenumber,
+           l_extendedprice
+    FROM lineitem l1
+    WHERE l_extendedprice = (SELECT min(l2.l_extendedprice)
+                             FROM lineitem l2
+                             WHERE l2.l_orderkey = l1.l_orderkey)
+      AND l_orderkey % 10 = 0
+    """,
+)
+def subquery_scalar_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated SCALAR subquery in a predicate (TPC-H Q2/Q17's
+    min-per-group shape): each lineitem compared against ITS order's
+    minimum price.  Catalyst decorrelates this into one aggregate over
+    lineitem plus an equi-join on l_orderkey — no per-row re-execution
+    (the naive reading of the SQL) survives into the physical plan;
+    the same string runs on both engines."""
+    load_tables(spark, sf_dir, names=("lineitem",))
+    return spark.sql(
+        """
+        SELECT l_orderkey, CAST(l_linenumber AS INT) AS l_linenumber,
+               l_extendedprice
+        FROM lineitem l1
+        WHERE l_extendedprice = (SELECT min(l2.l_extendedprice)
+                                 FROM lineitem l2
+                                 WHERE l2.l_orderkey = l1.l_orderkey)
+          AND l_orderkey % 10 = 0
+        """
+    )
+
+
+# --- D3 breadth: lag/lead + distribution window functions ----------------
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+    SELECT event_id, user_id,
+           round(value - lag(value, 1, 0.0)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id), 6)
+             AS delta_prev,
+           round(lead(value, 1, 0.0)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) - value, 6)
+             AS delta_next,
+           round(percent_rank()
+                 OVER (PARTITION BY user_id ORDER BY value, event_id), 6)
+             AS pr,
+           round(cume_dist()
+                 OVER (PARTITION BY user_id ORDER BY value, event_id), 6)
+             AS cd
+    FROM events WHERE user_id < 20
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset (lag/lead with defaults) and distribution (percent_rank/
+    cume_dist) window functions over per-user event streams — one
+    shuffle on user_id serves all four, deterministic via the
+    (ts, event_id) / (value, event_id) tiebreaks."""
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    wt = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wv = W.partitionBy("user_id").orderBy("value", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value", 1, 0.0).over(wt), 6).alias(
+            "delta_prev"
+        ),
+        F.round(F.lead("value", 1, 0.0).over(wt) - F.col("value"), 6).alias(
+            "delta_next"
+        ),
+        F.round(F.percent_rank().over(wv), 6).alias("pr"),
+        F.round(F.cume_dist().over(wv), 6).alias("cd"),
+    )
+
+
+# --- D4/D1 breadth: ntile decile assignment ------------------------------
+
+
+@query(
+    "ntile_deciles",
+    oracle="""
+    SELECT doc_id,
+           CAST(ntile(10) OVER (PARTITION BY lang
+                                ORDER BY n_chars, doc_id) AS INTEGER)
+             AS decile
+    FROM documents
+    """,
+)
+def ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language decile assignment (quality-binning for curation
+    mixes): ntile(10) partitioned by lang — both engines share the
+    equal-height bucket rule (larger buckets first), deterministic via
+    the doc_id tiebreak.  Partitioned window: frames are per-language,
+    never global."""
+    d = table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return d.select(
+        "doc_id", F.ntile(10).over(w).cast("int").alias("decile")
+    )
+
+
+# --- J4 breadth: interval overlap join, binned to an equi-join -----------
+
+
+@query(
+    "interval_overlap",
+    oracle="""
+    WITH iv AS (
+      SELECT event_id,
+             epoch_us(ts) AS s,
+             epoch_us(ts)
+               + (CAST(floor(abs(value)) AS BIGINT) % 30 + 1) * 60000000 AS e
+      FROM events WHERE user_id < 40
+    )
+    SELECT a.event_id AS id_a, b.event_id AS id_b,
+           least(a.e, b.e) - greatest(a.s, b.s) AS overlap_us
+    FROM iv a JOIN iv b
+      ON a.event_id < b.event_id AND a.s < b.e AND b.s < a.e
+    """,
+)
+def interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval overlap self-join (session overlap / attribution
+    shape): events become half-open intervals [ts, ts + 1..30 min);
+    return every overlapping pair with its overlap length in microseconds.
+
+    The oracle is the naive theta-join spec; the Spark side is
+    operators/intervals.overlap_self_join — intervals explode onto
+    fixed 1h time buckets, candidates form via an EQUI-join on the
+    bucket, and the canonical-witness rule (pair counted only at
+    max(start_bucket_a, start_bucket_b)) keeps each pair exactly once
+    with zero dedup shuffles.  A plain theta overlap join would be a
+    BroadcastNestedLoop/cartesian — the binned join is the only shape
+    that survives corpus scale, same family as the levenshtein
+    length-bucket join.  Interval lengths only (never absolute epoch)
+    reach the output, so the NTZ-anchor seconds base is
+    timezone-independent."""
+    from resotodatalink_spark.operators.intervals import overlap_self_join
+
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    micros = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'2024-01-01 00:00:00', ts)"
+    )
+    iv = ev.select(
+        F.col("event_id").alias("id"),
+        micros.alias("s"),
+        (
+            micros
+            + (F.floor(F.abs(F.col("value"))).cast("long") % 30 + 1) * 60_000_000
+        ).alias("e"),
+    )
+    return overlap_self_join(iv, bucket_width=3_600_000_000).select(
+        F.col("id_a"), F.col("id_b"), F.col("overlap").alias("overlap_us")
+    )

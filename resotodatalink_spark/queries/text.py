@@ -661,3 +661,47 @@ def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dup_fraction"),
     )
+
+
+@query(
+    "bpe_pair_stats",
+    oracle="""
+    SELECT pair, cnt, CAST(rnk AS INTEGER) AS rnk FROM (
+      SELECT pair, count(*) AS cnt,
+             row_number() OVER (ORDER BY count(*) DESC, pair) AS rnk
+      FROM (
+        SELECT substring(text, CAST(i AS INTEGER), 2) AS pair
+        FROM (SELECT text, unnest(range(1, length(text))) AS i
+              FROM documents) t
+      ) p
+      GROUP BY pair
+    ) r WHERE rnk <= 20
+    """,
+)
+def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training's inner loop: frequency of every ADJACENT symbol
+    pair across the corpus, top-20 merge candidates (char-level here;
+    the token-level variant is the same plan with a different explode).
+
+    Scale shape: pair generation is a codegen'd
+    ``transform(sequence(...), i -> substring(text, i, 2))`` + explode
+    — no Python; the count is map-side combined over a key space
+    bounded by alphabet^2 (vocabulary, not corpus, cardinality); the
+    top-k is TakeOrderedAndProject over those bounded counts, then the
+    20 survivors get ranked (global window over a provably tiny
+    frame)."""
+    d = table(spark, sf_dir, "documents")
+    pairs = d.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text") - 1),
+                lambda i: F.col("text").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    counts = pairs.groupBy("pair").agg(F.count("*").alias("cnt"))
+    top = counts.orderBy(F.desc("cnt"), F.asc("pair")).limit(20)
+    w = W.orderBy(F.desc("cnt"), F.asc("pair"))
+    return top.withColumn("rnk", F.row_number().over(w).cast("int")).select(
+        "pair", "cnt", "rnk"
+    )

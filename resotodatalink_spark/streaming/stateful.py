@@ -108,6 +108,10 @@ def running_type_profiles(events: DataFrame) -> DataFrame:
     self-contained-closure rule): cloudpickle ships it by value, so
     executor workers never import this package.
 
+    EXPERIMENTAL (round-7 status decision, VERDICT r6 item 9): this
+    operator is shipped but CANNOT be exercised in this sandbox — use
+    ``running_user_totals`` for verified stateful totals.
+
     ENVIRONMENT GATE: the TWS Python runner needs ``google.protobuf``
     (its driver-side worker speaks the Arrow/proto state protocol) and
     the RocksDB state store provider
