@@ -177,6 +177,13 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "runs_per_query": runs,
+        # Measured day-to-day environment variance (round 7, DESIGN_NOTES
+        # "Bench noise band"): the UNCHANGED r5 snapshot re-run in a later
+        # session moved +19% on the common set (26.7s -> 31.8s), with
+        # per-query scatter up to +/-30% on sub-second queries.  Cross-
+        # round totals within ~+/-20% are environment noise, not plan
+        # changes; compare same-session back-to-back runs to attribute.
+        "noise_band_note": "cross-session totals vary ~+/-20%; see DESIGN_NOTES 'Bench noise band'",
     }
 
     sf1_dir = os.environ.get(
