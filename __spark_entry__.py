@@ -70,6 +70,7 @@ _CHANGED_THIS_ROUND = [
     "subquery_scalar_correlated",
     "window_lag_lead",
     "ntile_deciles",
+    "graph_search_age",
 ]
 
 _ATTEST_FIRST = _R4_STALE + _CHANGED_THIS_ROUND + [

@@ -20,6 +20,10 @@ the resotocore server and only consumes the resulting node stream
             | "not" term
             | "(" filter ")"
     op     := == != > >= < <= ~ (regex match)
+    literal:= number | bool | "string"
+            | "[+-]N(w|d|h|min|s)"     time-relative: resolved against
+                                       ``now`` (caller-pinned or wall
+                                       clock), compared as timestamps
     trav   := "-->" | "<--"                       1-hop, either direction
             | "-[a:b]->" | "-[a:]->"              outbound depth range
             | "<-[a:b]-" | "<-[a:]-"              inbound depth range
@@ -450,7 +454,23 @@ def _matching_kinds(model: Model, base: str) -> set[str]:
     return out
 
 
-def _predicate_column(pred: Predicate) -> Column:
+_DURATION_RE = re.compile(r"^([+-]?\d+)(w|d|h|min|s)$")
+_DURATION_SECONDS = {"w": 604800, "d": 86400, "h": 3600, "min": 60, "s": 1}
+
+
+def _duration_offset(value: object) -> int | None:
+    """Signed seconds for a relative-time literal (``"-3d"``,
+    ``"2h"``), or None when the literal is not one.  Units follow the
+    reference's public duration vocabulary subset (w/d/h/min/s)."""
+    if not isinstance(value, str):
+        return None
+    m = _DURATION_RE.match(value)
+    if m is None:
+        return None
+    return int(m.group(1)) * _DURATION_SECONDS[m.group(2)]
+
+
+def _predicate_column(pred: Predicate, now: "datetime | None" = None) -> Column:
     path = pred.path
     if path.startswith("reported."):
         path = path[len("reported."):]
@@ -469,6 +489,20 @@ def _predicate_column(pred: Predicate) -> Column:
     elif isinstance(pred.value, (int, float)):
         col = raw.cast("double")
         lit = F.lit(float(pred.value))
+    elif (offset := _duration_offset(pred.value)) is not None:
+        # time-relative literal: "-3d" means now - 3 days; the path's
+        # string value is compared as a timestamp against the resolved
+        # cutoff.  ``now`` is injected by the caller for deterministic
+        # replays (and the oracle); default is the wall clock.
+        if now is None:
+            from datetime import datetime, timedelta, timezone
+
+            now = datetime.now(timezone.utc)
+        from datetime import timedelta as _td
+
+        cutoff = (now + _td(seconds=offset)).strftime("%Y-%m-%d %H:%M:%S")
+        col = raw.cast("timestamp")
+        lit = F.lit(cutoff).cast("timestamp")
     else:
         col, lit = raw, F.lit(pred.value)
     if pred.op == "==":
@@ -549,7 +583,9 @@ def _fn_predicate_column(node: FnPredicate) -> Column:
     raise ValueError(f"unknown function predicate {node.fn}")
 
 
-def _filter_column(node: Node, model: Model) -> Column:
+def _filter_column(
+    node: Node, model: Model, now: "datetime | None" = None
+) -> Column:
     if isinstance(node, IsKind):
         kinds = _matching_kinds(model, node.kind)
         return F.col("kind").isin(*kinds) if kinds else F.lit(False)
@@ -562,15 +598,15 @@ def _filter_column(node: Node, model: Model) -> Column:
         pat = r"\b" + re.escape(node.term.lower()) + r"\b"
         return F.lower(F.col("reported")).rlike(pat)
     if isinstance(node, Predicate):
-        return _predicate_column(node)
+        return _predicate_column(node, now)
     if isinstance(node, FnPredicate):
         return _fn_predicate_column(node)
     if isinstance(node, BoolOp):
-        left = _filter_column(node.left, model)
-        right = _filter_column(node.right, model)
+        left = _filter_column(node.left, model, now)
+        right = _filter_column(node.right, model, now)
         return left & right if node.op == "and" else left | right
     if isinstance(node, NotOp):
-        return ~_filter_column(node.child, model)
+        return ~_filter_column(node.child, model, now)
     raise TypeError(node)
 
 
@@ -585,16 +621,20 @@ def _path_column(path: str) -> Column:
 
 
 def _apply_with(
-    out: DataFrame, w: WithClause, source: GraphSource, model: Model
+    out: DataFrame,
+    w: WithClause,
+    source: GraphSource,
+    model: Model,
+    now: "datetime | None" = None,
 ) -> DataFrame:
     """Compile one with() level to a semi/anti join; a nested with()
     recursively constrains the neighbor set first, so n-deep subqueries
     become n chained joins over the same edge frames."""
     neighbor = source.nodes
     if w.filter is not None:
-        neighbor = neighbor.filter(_filter_column(w.filter, model))
+        neighbor = neighbor.filter(_filter_column(w.filter, model, now))
     if w.nested is not None:
-        neighbor = _apply_with(neighbor, w.nested, source, model)
+        neighbor = _apply_with(neighbor, w.nested, source, model, now)
     wedges = (
         source.default_edges()
         if w.edge_type is None
@@ -614,12 +654,19 @@ def _apply_with(
     return out.join(linked, "id", how)
 
 
-def execute_search(source: GraphSource, model: Model, search_text: str) -> DataFrame:
+def execute_search(
+    source: GraphSource,
+    model: Model,
+    search_text: str,
+    now: "datetime | None" = None,
+) -> DataFrame:
     """Run a search over the graph; returns matching nodes
     (id, kind, reported) — or the aggregate table when an
-    ``aggregate(...)`` clause is present."""
+    ``aggregate(...)`` clause is present.  ``now`` anchors
+    time-relative literals ("-3d"): pass a fixed datetime for
+    deterministic replays; default is the wall clock at compile."""
     search = parse_search(search_text)
-    matched = source.nodes.filter(_filter_column(search.filter, model))
+    matched = source.nodes.filter(_filter_column(search.filter, model, now))
     if search.traversal is None:
         out = matched.select("id", "kind", "reported")
     else:
@@ -645,7 +692,7 @@ def execute_search(source: GraphSource, model: Model, search_text: str) -> DataF
             out = out.unionByName(matched.select("id", "kind", "reported")).distinct()
 
     if search.with_clause is not None:
-        out = _apply_with(out, search.with_clause, source, model)
+        out = _apply_with(out, search.with_clause, source, model, now)
 
     if search.aggregate is not None:
         agg = search.aggregate

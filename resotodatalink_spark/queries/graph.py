@@ -720,3 +720,67 @@ def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         node("C", "c_custkey").alias("node_id")
     )
     return reachable(edges, roots, max_depth=3)
+
+
+@query(
+    "graph_search_age",
+    oracle="""
+    SELECT concat('O', CAST(o_orderkey AS VARCHAR)) AS id,
+           'order_node' AS kind,
+           concat('{"name":"order_', CAST(o_orderkey AS VARCHAR),
+                  '","ctime":"', strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'),
+                  '"}') AS reported
+    FROM orders
+    WHERE o_orderdate > TIMESTAMP '2000-01-01 00:00:00' - INTERVAL 90 DAY
+    """,
+)
+def graph_search_age(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-relative literal in the search DSL (the reference's public
+    duration vocabulary, e.g. ``ctime > "-90d"`` = created in the last
+    90 days): the compiler resolves the literal against a caller-pinned
+    ``now`` (deterministic replays; the oracle states the same cutoff
+    as an INTERVAL) and compares the JSON path as a timestamp.  The
+    predicate is plain column arithmetic, so it stays in the scan
+    stage's codegen like every other term."""
+    from datetime import datetime, timezone
+
+    from resotodatalink_spark.model.kinds import Kind, Model, Property
+    from resotodatalink_spark.operators.search import execute_search
+    from resotodatalink_spark.sources.graph import GraphSource
+
+    orders = table(spark, sf_dir, "orders")
+    nodes = orders.select(
+        F.concat(F.lit("O"), F.col("o_orderkey").cast("string")).alias("id"),
+        F.lit("order_node").alias("kind"),
+        F.to_json(
+            F.struct(
+                F.concat(
+                    F.lit("order_"), F.col("o_orderkey").cast("string")
+                ).alias("name"),
+                F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias(
+                    "ctime"
+                ),
+            )
+        ).alias("reported"),
+        F.lit(None).cast("string").alias("ancestors"),
+    )
+    edges = spark.createDataFrame(
+        [], "from_id: string, to_id: string, edge_type: string"
+    )
+    model = Model(
+        {
+            "string": Kind("string"),
+            "order_node": Kind(
+                "order_node",
+                properties=[Property("name", "string"), Property("ctime", "string")],
+                bases=[],
+                aggregate_root=True,
+            ),
+        }
+    )
+    return execute_search(
+        GraphSource(nodes, edges),
+        model,
+        'is(order_node) and ctime > "-90d"',
+        now=datetime(2000, 1, 1, tzinfo=timezone.utc),
+    )

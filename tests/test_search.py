@@ -395,3 +395,60 @@ def test_search_sort_limit(spark):
         src, example_model(), "is(resource) sort name desc limit 1"
     ).collect()
     assert [r["id"] for r in rows] == ["v-123"]
+
+
+def test_duration_literal_parsing():
+    from resotodatalink_spark.operators.search import _duration_offset
+
+    assert _duration_offset("-3d") == -3 * 86400
+    assert _duration_offset("2h") == 2 * 3600
+    assert _duration_offset("-15min") == -900
+    assert _duration_offset("1w") == 604800
+    assert _duration_offset("45s") == 45
+    assert _duration_offset("3dx") is None
+    assert _duration_offset("prod") is None  # plain strings unaffected
+    assert _duration_offset(3) is None
+
+
+def test_time_relative_predicate_execution(spark):
+    from datetime import datetime, timezone
+
+    docs = []
+    for i, ctime in enumerate(
+        ["2023-12-30 12:00:00", "2023-12-25 00:00:00", "2023-10-01 08:30:00"]
+    ):
+        docs.append(
+            {
+                "type": "node",
+                "id": f"n-{i}",
+                "reported": {
+                    "kind": "some_volume", "id": f"n-{i}", "name": f"n{i}",
+                    "alias": "x", "description": "d", "capacity": 1,
+                    "ctime": ctime,
+                },
+                "ancestors": None,
+            }
+        )
+    src = GraphSource.from_docs(spark, docs)
+    model = example_model()
+    now = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    got = {
+        r["id"]
+        for r in execute_search(
+            src, model, 'ctime > "-3d"', now=now
+        ).collect()
+    }
+    assert got == {"n-0"}
+    got = {
+        r["id"]
+        for r in execute_search(
+            src, model, 'ctime < "-1w"', now=now
+        ).collect()
+    }
+    assert got == {"n-2"}
+    # pinned now is deterministic: same search twice, same rows
+    again = {
+        r["id"]
+        for r in execute_search(src, model, 'ctime < "-1w"', now=now).collect()
+    }
+    assert again == got
