@@ -71,6 +71,7 @@ _CHANGED_THIS_ROUND = [
     "window_lag_lead",
     "ntile_deciles",
     "graph_search_age",
+    "sparse_cosine_pairs",
 ]
 
 _ATTEST_FIRST = _R4_STALE + _CHANGED_THIS_ROUND + [

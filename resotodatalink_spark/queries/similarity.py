@@ -802,3 +802,141 @@ def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+_SPARSE_TAU = 0.5
+
+
+@query(
+    "sparse_cosine_pairs",
+    oracle=f"""
+    WITH arr AS (
+      SELECT doc_id, string_split(text, ' ') AS a FROM documents
+    ),
+    big AS (
+      SELECT doc_id,
+             concat(a[CAST(i AS INTEGER)], '_', a[CAST(i AS INTEGER)+1]) AS tok
+      FROM (SELECT doc_id, a, unnest(range(1, len(a))) AS i FROM arr)
+    ),
+    tf AS (
+      SELECT doc_id, tok, count(*) AS tf FROM big GROUP BY doc_id, tok
+    ),
+    df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    w AS (
+      SELECT tf.doc_id, tf.tok,
+             tf.tf * ln((SELECT count(*) FROM documents) / df.df) AS w
+      FROM tf JOIN df USING (tok)
+    ),
+    nrm AS (SELECT doc_id, sqrt(sum(w*w)) AS nrm FROM w GROUP BY doc_id),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(a[CAST(i AS INTEGER):CAST(i AS INTEGER)+7], ' ')
+               AS s8
+      FROM (SELECT doc_id, a, unnest(range(1, len(a) - 6)) AS i FROM arr)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b USING (s8)
+      WHERE a.doc_id < b.doc_id
+    ),
+    dot AS (
+      SELECT c.doc_a, c.doc_b, sum(wa.w * wb.w) AS dot
+      FROM cand c
+      JOIN w wa ON wa.doc_id = c.doc_a
+      JOIN w wb ON wb.doc_id = c.doc_b AND wb.tok = wa.tok
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT dot.doc_a, dot.doc_b,
+           round(dot.dot / (na.nrm * nb.nrm), 6) AS cosine
+    FROM dot
+    JOIN nrm na ON na.doc_id = dot.doc_a
+    JOIN nrm nb ON nb.doc_id = dot.doc_b
+    WHERE dot.dot / (na.nrm * nb.nrm) >= {_SPARSE_TAU}
+    """,
+)
+def sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF document similarity (the text-side complement of
+    the dense `dedup_embedding` family): pairs with bigram-TF-IDF
+    cosine >= 0.5, candidates generated by SHARED 8-TOKEN SHINGLE —
+    the prefix-filter idea from the AllPairs/record-linkage literature
+    specialized to the near-dup regime: an 8-gram is rare by
+    construction (its df is bounded by the duplication factor, not the
+    corpus), so the inverted-index equi-join on shingles is linear in
+    the corpus while a term-level index join would be sum(df^2) over a
+    Zipf head.  Verify recomputes the FULL weighted cosine via two
+    doc-keyed joins over the weight vectors.  All codegen SQL — the
+    idf log, the norm, the dot — no Python; the one driver scalar is
+    the corpus count feeding idf (bounded-collect pattern)."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = d.count()
+    # byte-small scan feeding FLOP-heavy explodes: spread to session
+    # parallelism first (operators/spread.py rule)
+    arr = _spread(d, "doc_id").select("doc_id", F.split("text", " ").alias("a"))
+    big = arr.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("a") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("a") - 1),
+                    lambda i: F.concat(
+                        F.element_at("a", i), F.lit("_"), F.element_at("a", i + 1)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("tok"),
+    )
+    tf = big.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    # vocab is alphabet^2-bounded -> broadcast the idf table
+    w = tf.join(F.broadcast(df), "tok").select(
+        "doc_id",
+        "tok",
+        (F.col("tf") * F.log(F.lit(float(n)) / F.col("df"))).alias("w"),
+    ).localCheckpoint(eager=False)
+    nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    # join shingles by 64-bit hash, not the ~60-char string: 8x less
+    # shuffle volume for the distinct + self-join.  A hash collision
+    # can only ADD a candidate, which the exact-cosine verify then
+    # scores on its real vectors — the result is only affected if two
+    # DIFFERENT shingles collide on docs whose true cosine clears tau
+    # anyway (~2^-64 per shingle pair; accepted).
+    sh = arr.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("a") >= 8,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("a") - 7),
+                    lambda i: F.xxhash64(F.array_join(F.slice("a", i, 8), " ")),
+                ),
+            ).otherwise(F.array().cast("array<long>"))
+        ).alias("s8"),
+    ).distinct()
+    cand = (
+        sh.select(F.col("doc_id").alias("doc_a"), "s8")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "s8"), "s8")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    wa = w.select(F.col("doc_id").alias("doc_a"), "tok", F.col("w").alias("wa"))
+    wb = w.select(F.col("doc_id").alias("doc_b"), "tok", F.col("w").alias("wb"))
+    dot = (
+        cand.join(wa, "doc_a")
+        .join(wb, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = nrm.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = nrm.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
+    return (
+        dot.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(F.col("dot") / (F.col("na") * F.col("nb")) >= F.lit(_SPARSE_TAU))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cosine"),
+        )
+    )
