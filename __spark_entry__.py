@@ -72,6 +72,11 @@ _CHANGED_THIS_ROUND = [
     "ntile_deciles",
     "graph_search_age",
     "sparse_cosine_pairs",
+    "scd2_intervals",
+    "stream_topk_windowed",
+    "table_checksum",
+    "distinct_kmv_estimate",
+    "tpch_q18_shape",
 ]
 
 _ATTEST_FIRST = _R4_STALE + _CHANGED_THIS_ROUND + [

@@ -1364,3 +1364,122 @@ def interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return overlap_self_join(iv, bucket_width=3_600_000_000).select(
         F.col("id_a"), F.col("id_b"), F.col("overlap").alias("overlap_us")
     )
+
+
+# --- A4/K-family breadth: content checksum + sketch ----------------------
+
+
+@query(
+    "table_checksum",
+    oracle="""
+    SELECT o_orderstatus,
+           bit_xor(CAST(concat('0x', substring(md5(concat_ws('|',
+               CAST(o_orderkey AS VARCHAR),
+               CAST(o_custkey AS VARCHAR),
+               o_orderstatus,
+               CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+               strftime(o_orderdate, '%Y-%m-%d'))), 1, 15)) AS BIGINT))
+             AS checksum,
+           count(*) AS n_rows
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent per-group content checksum — the strong form
+    of the reference's row-count sync verification (collect_plugins.py
+    count checks): XOR of a 60-bit digest of each row's canonical
+    serialization.  XOR is commutative/associative, so the aggregate
+    combines map-side in any partition order with no overflow;
+    md5 + hex->int is bit-identical across engines (money is
+    integer-cents, dates fixed-format — no float repr in the digest).
+    Caveat (documented): XOR cancels identical duplicate rows pairwise,
+    which the accompanying count catches."""
+    o = table(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+    )
+    h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+    return o.groupBy("o_orderstatus").agg(
+        F.bit_xor(h).alias("checksum"), F.count("*").alias("n_rows")
+    )
+
+
+@query(
+    "distinct_kmv_estimate",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT CAST(concat('0x',
+               substring(md5(CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT)
+               AS hv
+      FROM lineitem
+    ),
+    k AS (SELECT hv FROM h ORDER BY hv LIMIT 64)
+    SELECT CAST(floor(63.0 * 1152921504606846976.0 / max(hv)) AS BIGINT)
+             AS est_distinct,
+           (SELECT count(*) FROM h) AS exact_distinct
+    FROM k
+    """,
+)
+def distinct_kmv_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch (Bar-Yossef et al.) with
+    a PORTABLE hash, so the estimate is bit-identical across engines —
+    unlike approx_count_distinct, whose HLL registers are
+    engine-private and can't be oracle-checked.  The k=64 smallest
+    60-bit hashes are a TakeOrdered (no global sort materializes);
+    estimator (k-1) * 2^60 / kth_min.  At cluster scale the same plan
+    holds: per-partition top-k then a 64-row driver merge, and the
+    sketch is mergeable by construction (union = min-merge)."""
+    li = table(spark, sf_dir, "lineitem")
+    h = li.select(
+        F.conv(F.substring(F.md5(F.col("l_partkey").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("hv")
+    ).distinct()
+    k = h.orderBy("hv").limit(64)
+    est = k.agg(
+        F.floor(F.lit(63.0) * F.lit(1152921504606846976.0) / F.max("hv"))
+        .cast("long")
+        .alias("est_distinct")
+    )
+    return est.crossJoin(h.agg(F.count("*").alias("exact_distinct")))
+
+
+# --- D6 breadth: TPC-H Q18 shape (HAVING subquery IN join) ---------------
+
+
+@query(
+    "tpch_q18_shape",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice, t.sum_qty
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum(l_quantity) > 250) t
+      ON o.o_orderkey = t.l_orderkey
+    """,
+)
+def tpch_q18_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume orders): orders whose lineitems sum past
+    a quantity threshold, joined back to customer.  The HAVING
+    aggregate runs FIRST and is highly selective, so the subsequent
+    joins move only qualifying orderkeys; quantity sums are exact
+    (small integers in doubles)."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    li = table(spark, sf_dir, "lineitem")
+    t = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        o.join(t, o.o_orderkey == t.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_custkey", "o_orderkey", "o_totalprice", "sum_qty")
+    )

@@ -406,3 +406,89 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m.total_value").alias("total_value"),
         )
     )
+
+
+@query(
+    "scd2_intervals",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id, ts, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events WHERE user_id < 30
+    ),
+    chg AS (
+      SELECT user_id, event_id, ts, event_type
+      FROM s WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id, event_type, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS valid_to,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             AS is_current
+    FROM chg
+    """,
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history build (the warehouse
+    CDC pattern; cdc_latest is its last-row projection): collapse each
+    user's event stream into state-change rows, then derive half-open
+    validity intervals [valid_from, valid_to) via lead(); the open
+    interval is the current state.  Two windows over the SAME
+    (user_id, ts) ordering — one shuffle, Catalyst folds both lead()
+    calls into a single Window node; change detection is a lag()
+    filter, never a self-join."""
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = e.select(
+        "user_id", "event_id", "ts", "event_type",
+        F.lag("event_type").over(w).alias("prev"),
+    ).filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+    w2 = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w2)
+    return chg.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+@query(
+    "stream_topk_windowed",
+    oracle="""
+    SELECT window_start, event_type, n_events, CAST(rnk AS INTEGER) AS rnk
+    FROM (
+      SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+             event_type, count(*) AS n_events,
+             row_number() OVER (
+               PARTITION BY time_bucket(INTERVAL 1 HOUR, ts)
+               ORDER BY count(*) DESC, event_type
+             ) AS rnk
+      FROM events GROUP BY 1, 2
+    ) r WHERE rnk <= 3
+    """,
+)
+def stream_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed top-k (trending-topics shape): per tumbling 1h window,
+    the 3 most frequent event types.  Composes the streaming window
+    helper (same groupBy(window) the readStream path runs) with a
+    window-partitioned rank — counts combine map-side, the rank's
+    partition is one hour's type counts (bounded by the type
+    vocabulary).  DuckDB's time_bucket aligns to 2000-01-01 vs Spark's
+    epoch — identical for divisors of a day (1h is)."""
+    from resotodatalink_spark.streaming.windows import tumbling_counts
+
+    e = table(spark, sf_dir, "events")
+    counts = tumbling_counts(e, "1 hour").select(
+        "window_start", "event_type", "n_events"
+    )
+    w = W.partitionBy("window_start").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select("window_start", "event_type", "n_events", "rnk")
+    )
