@@ -22,6 +22,9 @@ The allowlist is intentional, not historical:
 * hard_negatives — same constant-query-set broadcast as
   ann_cosine_topk, with the label-mismatch predicate riding inside
   the broadcast join (an n x 10 BNLJ, linear in candidates).
+* distinct_kmv_estimate — combines the ONE-ROW KMV estimate with the
+  ONE-ROW exact count via crossJoin; a 1x1 BNLJ is constant work at
+  any scale (funnel_conversion's pattern).
 """
 
 from __future__ import annotations
@@ -40,6 +43,7 @@ CARTESIAN_OK = {
     "kmeans_lloyd",
     "semdedup",
     "hard_negatives",
+    "distinct_kmv_estimate",
 }
 
 
