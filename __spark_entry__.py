@@ -77,6 +77,7 @@ _CHANGED_THIS_ROUND = [
     "table_checksum",
     "distinct_kmv_estimate",
     "tpch_q18_shape",
+    "graph_pagerank",
 ]
 
 _ATTEST_FIRST = _R4_STALE + _CHANGED_THIS_ROUND + [

@@ -123,7 +123,10 @@ def minhash_band_pairs(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
     a = bands.withColumnRenamed(id_col, "doc_a")
     b = bands.withColumnRenamed(id_col, "doc_b")
     return (
-        a.join(b, ["band", "h1", "h2"])
+        # band self-join: both sides are the full 8x-corpus band frame;
+        # a broadcast build side only looks small pre-shuffle (the
+        # round-7 sf10 OOM class) — pin shuffle-hash
+        a.join(b.hint("shuffle_hash"), ["band", "h1", "h2"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
@@ -292,7 +295,8 @@ def simhash_pairs(
         F.col(id_col).alias("doc_b"), F.col("simhash").alias("sb"), "blk", "bv"
     )
     return (
-        a.join(b, ["blk", "bv"])
+        # block self-join: same never-broadcast rule as the band join
+        a.join(b.hint("shuffle_hash"), ["blk", "bv"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", "sa", "sb")
         .distinct()
@@ -380,7 +384,7 @@ def jaccard_pairs(
         pa_ = prefix.select(F.col(id_col).alias("doc_a"), "h", F.col("sz").alias("sza"))
         pb_ = prefix.select(F.col(id_col).alias("doc_b"), "h", F.col("sz").alias("szb"))
         cand = (
-            pa_.join(pb_, "h")
+            pa_.join(pb_.hint("shuffle_hash"), "h")
             .filter((F.col("doc_a") < F.col("doc_b")) & ratio_ok)
             .select("doc_a", "doc_b", "sza", "szb")
             .distinct()
@@ -397,7 +401,12 @@ def jaccard_pairs(
         a = g2.select(F.col(id_col).alias("doc_a"), "h", F.col("sz").alias("sza"))
         b = g2.select(F.col(id_col).alias("doc_b"), "h", F.col("sz").alias("szb"))
         common = (
-            a.join(b, "h")
+            # NEVER broadcast the posting self-join: both sides are the
+            # full corpus shingle frame, which only looks small in the
+            # pre-shuffle estimate — at sf10 in a long-lived JVM AQE
+            # broadcast the build side and OOMed the driver (round-7
+            # full-bench find, the levenshtein round-6 failure's twin).
+            a.join(b.hint("shuffle_hash"), "h")
             .filter((F.col("doc_a") < F.col("doc_b")) & ratio_ok)
             .groupBy("doc_a", "doc_b", "sza", "szb")
             .agg(F.count("*").alias("c"))
@@ -440,7 +449,8 @@ def containment_pairs(
     a = g2.select(F.col(id_col).alias("doc_a"), "h", F.col("sz").alias("sza"))
     b = g2.select(F.col(id_col).alias("doc_b"), "h", F.col("sz").alias("szb"))
     common = (
-        a.join(b, "h")
+        # posting self-join: never broadcast (see jaccard_pairs)
+        a.join(b.hint("shuffle_hash"), "h")
         .filter(
             (F.col("doc_a") != F.col("doc_b"))
             # relative nudge: threshold*sza can round above the exact

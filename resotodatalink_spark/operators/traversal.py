@@ -60,3 +60,62 @@ def reachable(
         )
         return schema_src.limit(0)
     return out.filter(F.col("depth") >= min_depth)
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    quantize: float | None = None,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an edge DataFrame: (node_id, rank)
+    after ``iterations`` synchronous updates from a uniform start,
+    ``rank = (1-d)/n + d * sum(rank_in/outdeg_in)``.
+
+    Scale shape: ONE equi-join + one aggregation per iteration, both
+    keyed on the node id; the out-degree table is computed once; each
+    iteration localCheckpoints so the logical plan stays flat (the
+    same lineage rule as connected_components).  Dangling nodes
+    (no out-links) keep contributing nothing — the slug's graphs have
+    none; a redistribution term would be one extra scalar per round.
+    n is one O(1) driver scalar (bounded-collect pattern).
+
+    ``quantize`` (e.g. 1e12) floors each iteration's ranks onto a
+    fixed-point grid: contribution sums are order-dependent at the
+    ulp level, and over multiple iterations that noise can cross an
+    egress rounding boundary — quantizing per round pins every
+    intermediate to a value ANY engine reproduces exactly (the DuckDB
+    oracle applies the same floor), while perturbing ranks by at most
+    1/quantize per round."""
+    nodes = (
+        edges.select(F.col(src_col).alias("node_id"))
+        .unionByName(edges.select(F.col(dst_col).alias("node_id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    outdeg = edges.groupBy(src_col).agg(F.count("*").alias("outdeg"))
+    e = edges.join(outdeg, src_col).select(
+        F.col(src_col).alias("e_src"), F.col(dst_col).alias("e_dst"), "outdeg"
+    ).localCheckpoint(eager=True)
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node_id", "e_src"), "e_src")
+            .groupBy("e_dst")
+            .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("c"))
+        )
+        new_rank = F.lit(base) + F.lit(damping) * F.coalesce(
+            F.col("c"), F.lit(0.0)
+        )
+        if quantize is not None:
+            new_rank = F.floor(new_rank * F.lit(quantize)) / F.lit(quantize)
+        ranks = (
+            nodes.join(contrib.withColumnRenamed("e_dst", "node_id"), "node_id", "left")
+            .select("node_id", new_rank.alias("rank"))
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -784,3 +784,95 @@ def graph_search_age(spark: SparkSession, sf_dir: str) -> DataFrame:
         'is(order_node) and ctime > "-90d"',
         now=datetime(2000, 1, 1, tzinfo=timezone.utc),
     )
+
+
+@query(
+    "graph_pagerank",
+    oracle="""
+    WITH e AS (
+      SELECT concat('S', CAST(s_suppkey AS VARCHAR)) AS src,
+             concat('N', CAST(s_nationkey AS VARCHAR)) AS dst
+      FROM supplier
+      UNION ALL
+      SELECT concat('N', CAST(n_nationkey AS VARCHAR)),
+             concat('R', CAST(n_regionkey AS VARCHAR))
+      FROM nation
+      UNION ALL
+      SELECT concat('R', CAST(n_regionkey AS VARCHAR)),
+             concat('N', CAST(n_nationkey AS VARCHAR))
+      FROM nation
+    ),
+    nodes AS (SELECT DISTINCT node_id FROM (
+      SELECT src AS node_id FROM e UNION ALL SELECT dst FROM e)),
+    n AS (SELECT count(*) AS n FROM nodes),
+    od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+    r0 AS (SELECT node_id, CAST(1.0 AS DOUBLE) / (SELECT n FROM n) AS rank FROM nodes),
+    r1 AS (
+      SELECT nodes.node_id,
+             floor((CAST(0.15 AS DOUBLE) / (SELECT n FROM n)
+             + CAST(0.85 AS DOUBLE) * coalesce(c.c, CAST(0 AS DOUBLE)))
+               * 1e12) / 1e12 AS rank
+      FROM nodes LEFT JOIN (
+        SELECT e.dst AS node_id, sum(r0.rank / od.outdeg) AS c
+        FROM e JOIN r0 ON r0.node_id = e.src JOIN od ON od.src = e.src
+        GROUP BY e.dst) c ON c.node_id = nodes.node_id
+    ),
+    r2 AS (
+      SELECT nodes.node_id,
+             floor((CAST(0.15 AS DOUBLE) / (SELECT n FROM n)
+             + CAST(0.85 AS DOUBLE) * coalesce(c.c, CAST(0 AS DOUBLE)))
+               * 1e12) / 1e12 AS rank
+      FROM nodes LEFT JOIN (
+        SELECT e.dst AS node_id, sum(r1.rank / od.outdeg) AS c
+        FROM e JOIN r1 ON r1.node_id = e.src JOIN od ON od.src = e.src
+        GROUP BY e.dst) c ON c.node_id = nodes.node_id
+    ),
+    r3 AS (
+      SELECT nodes.node_id,
+             floor((CAST(0.15 AS DOUBLE) / (SELECT n FROM n)
+             + CAST(0.85 AS DOUBLE) * coalesce(c.c, CAST(0 AS DOUBLE)))
+               * 1e12) / 1e12 AS rank
+      FROM nodes LEFT JOIN (
+        SELECT e.dst AS node_id, sum(r2.rank / od.outdeg) AS c
+        FROM e JOIN r2 ON r2.node_id = e.src JOIN od ON od.src = e.src
+        GROUP BY e.dst) c ON c.node_id = nodes.node_id
+    )
+    SELECT node_id, round(rank, 6) AS rank FROM r3
+    """,
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (3 synchronous rounds, d=0.85) over the
+    supplier->nation<->region graph — the iterative-algorithm coverage
+    beyond BFS and connected components; the oracle UNROLLS the same
+    three rounds as chained CTEs, so every intermediate is the same
+    algebra in both engines (rank sums rounded to 6 at egress only).
+    Scale: one equi-join + one aggregation per round (see
+    operators/traversal.pagerank)."""
+    from resotodatalink_spark.operators.traversal import pagerank
+
+    nation = table(spark, sf_dir, "nation")
+    supplier = table(spark, sf_dir, "supplier")
+
+    def node(prefix: str, col: str):
+        return F.concat(F.lit(prefix), F.col(col).cast("string"))
+
+    edges = (
+        supplier.select(
+            node("S", "s_suppkey").alias("src"),
+            node("N", "s_nationkey").alias("dst"),
+        )
+        .unionByName(
+            nation.select(
+                node("N", "n_nationkey").alias("src"),
+                node("R", "n_regionkey").alias("dst"),
+            )
+        )
+        .unionByName(
+            nation.select(
+                node("R", "n_regionkey").alias("src"),
+                node("N", "n_nationkey").alias("dst"),
+            )
+        )
+    )
+    ranks = pagerank(edges, iterations=3, damping=0.85, quantize=1e12)
+    return ranks.select("node_id", F.round("rank", 6).alias("rank"))
