@@ -125,8 +125,8 @@ def minhash_band_pairs(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return (
         # band self-join: both sides are the full 8x-corpus band frame;
         # a broadcast build side only looks small pre-shuffle (the
-        # round-7 sf10 OOM class) — pin shuffle-hash
-        a.join(b.hint("shuffle_hash"), ["band", "h1", "h2"])
+        # round-7 sf10 OOM class) — pin sort-merge (spillable)
+        a.join(b.hint("merge"), ["band", "h1", "h2"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
@@ -295,8 +295,9 @@ def simhash_pairs(
         F.col(id_col).alias("doc_b"), F.col("simhash").alias("sb"), "blk", "bv"
     )
     return (
-        # block self-join: same never-broadcast rule as the band join
-        a.join(b.hint("shuffle_hash"), ["blk", "bv"])
+        # block self-join: same never-broadcast / sort-merge rule as
+        # the band join
+        a.join(b.hint("merge"), ["blk", "bv"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", "sa", "sb")
         .distinct()
@@ -384,7 +385,7 @@ def jaccard_pairs(
         pa_ = prefix.select(F.col(id_col).alias("doc_a"), "h", F.col("sz").alias("sza"))
         pb_ = prefix.select(F.col(id_col).alias("doc_b"), "h", F.col("sz").alias("szb"))
         cand = (
-            pa_.join(pb_.hint("shuffle_hash"), "h")
+            pa_.join(pb_.hint("merge"), "h")
             .filter((F.col("doc_a") < F.col("doc_b")) & ratio_ok)
             .select("doc_a", "doc_b", "sza", "szb")
             .distinct()
@@ -406,7 +407,12 @@ def jaccard_pairs(
             # pre-shuffle estimate — at sf10 in a long-lived JVM AQE
             # broadcast the build side and OOMed the driver (round-7
             # full-bench find, the levenshtein round-6 failure's twin).
-            a.join(b.hint("shuffle_hash"), "h")
+            # Sort-merge, not shuffle-hash: SHJ builds a per-task hash
+            # map of the full build partition, and 32 concurrent sf10
+            # builds GC-thrashed the shared local JVM (second round-7
+            # find); SMJ sorts and spills, the only shape that is safe
+            # at any scale for corpus x corpus.
+            a.join(b.hint("merge"), "h")
             .filter((F.col("doc_a") < F.col("doc_b")) & ratio_ok)
             .groupBy("doc_a", "doc_b", "sza", "szb")
             .agg(F.count("*").alias("c"))
@@ -449,8 +455,9 @@ def containment_pairs(
     a = g2.select(F.col(id_col).alias("doc_a"), "h", F.col("sz").alias("sza"))
     b = g2.select(F.col(id_col).alias("doc_b"), "h", F.col("sz").alias("szb"))
     common = (
-        # posting self-join: never broadcast (see jaccard_pairs)
-        a.join(b.hint("shuffle_hash"), "h")
+        # posting self-join: never broadcast, sort-merge for spill
+        # safety (see jaccard_pairs)
+        a.join(b.hint("merge"), "h")
         .filter(
             (F.col("doc_a") != F.col("doc_b"))
             # relative nudge: threshold*sza can round above the exact
