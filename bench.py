@@ -97,6 +97,17 @@ EXTENDED = [
     "semdedup",
     "hard_negatives",
     "corpus_stats",
+    # round 7
+    "sparse_cosine_pairs",
+    "interval_overlap",
+    "graph_shortest_paths",
+    "graph_pagerank",
+    "table_checksum",
+    "distinct_kmv_estimate",
+    "scd2_intervals",
+    "stream_topk_windowed",
+    "bpe_pair_stats",
+    "tpch_q18_shape",
 ]
 
 
@@ -128,6 +139,9 @@ SF1_SUBSET = [
     "hard_negatives",
     "stream_stateful_totals",
     "dedup_paragraph",
+    # round 7: shingle-indexed sparse similarity (volume behavior needs
+    # real shingle-df histograms)
+    "sparse_cosine_pairs",
 ]
 
 
