@@ -914,25 +914,33 @@ def sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s8"),
     ).distinct()
     cand = (
+        # corpus x corpus self-join: pin sort-merge — AQE broadcast the
+        # build side at sf10 (driver OOM; the operators/dedup.py
+        # join-strategy rule, DESIGN_NOTES "Join-strategy pins")
         sh.select(F.col("doc_id").alias("doc_a"), "s8")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), "s8"), "s8")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "s8").hint("merge"), "s8")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
     )
+    # the weight/norm frames are corpus-sized but read back from a
+    # localCheckpoint (Scan ExistingRDD), whose size estimate fooled
+    # AQE into broadcasting one at sf10 (driver OOM) — pin sort-merge
+    # on every join with a corpus-sized side; shuffling the weight
+    # frame by doc id is the correct plan at any scale anyway.
     wa = w.select(F.col("doc_id").alias("doc_a"), "tok", F.col("w").alias("wa"))
     wb = w.select(F.col("doc_id").alias("doc_b"), "tok", F.col("w").alias("wb"))
     dot = (
-        cand.join(wa, "doc_a")
-        .join(wb, ["doc_b", "tok"])
+        cand.join(wa.hint("merge"), "doc_a")
+        .join(wb.hint("merge"), ["doc_b", "tok"])
         .groupBy("doc_a", "doc_b")
         .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
     )
     na = nrm.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
     nb = nrm.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
     return (
-        dot.join(na, "doc_a")
-        .join(nb, "doc_b")
+        dot.join(na.hint("merge"), "doc_a")
+        .join(nb.hint("merge"), "doc_b")
         .filter(F.col("dot") / (F.col("na") * F.col("nb")) >= F.lit(_SPARSE_TAU))
         .select(
             "doc_a",
