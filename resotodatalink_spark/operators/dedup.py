@@ -164,8 +164,11 @@ def minhash_pairs_with_agreement(
         for i in range(N_MINHASH)
     )
     return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        # sa/sb are the corpus-size checkpointed signature frame; Scan
+        # ExistingRDD size estimates fooled AQE into broadcasting such
+        # frames at sf10 (round-7 find) — pin sort-merge
+        pairs.join(sa.hint("merge"), "doc_a")
+        .join(sb.hint("merge"), "doc_b")
         .select("doc_a", "doc_b", agree.cast("int").alias("n_common"))
     )
 
@@ -393,8 +396,10 @@ def jaccard_pairs(
         fa = g2.select(F.col(id_col).alias("doc_a"), "h")
         fb = g2.select(F.col(id_col).alias("doc_b"), "h")
         common = (
-            cand.join(fa, "doc_a")
-            .join(fb, ["doc_b", "h"])
+            # fa/fb read the corpus-size checkpoint — same sort-merge
+            # pin as the agreement joins
+            cand.join(fa.hint("merge"), "doc_a")
+            .join(fb.hint("merge"), ["doc_b", "h"])
             .groupBy("doc_a", "doc_b", "sza", "szb")
             .agg(F.count("*").alias("c"))
         )
