@@ -78,6 +78,8 @@ _CHANGED_THIS_ROUND = [
     "distinct_kmv_estimate",
     "tpch_q18_shape",
     "graph_pagerank",
+    "agg_filter_clause",
+    "agg_bool_ops",
 ]
 
 _ATTEST_FIRST = _R4_STALE + _CHANGED_THIS_ROUND + [

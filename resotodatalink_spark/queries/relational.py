@@ -1483,3 +1483,62 @@ def tpch_q18_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .select("c_custkey", "o_orderkey", "o_totalprice", "sum_qty")
     )
+
+
+# --- A5 breadth: FILTER-clause conditional aggregation --------------------
+
+
+@query(
+    "agg_filter_clause",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n_all,
+           count(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+             FILTER (WHERE l_discount > 0.05) AS BIGINT) AS cents_discounted,
+           count(*) FILTER (WHERE l_shipdate >= TIMESTAMP '1998-01-01')
+             AS n_recent
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2003 FILTER clause on aggregates — one pass computes every
+    conditional aggregate (Catalyst rewrites each to agg(CASE WHEN),
+    all inside the same two-phase hash aggregate; the naive
+    alternative is one self-join per condition).  Money sums use exact
+    integer cents (the float-discipline rule)."""
+    load_tables(spark, sf_dir, names=("lineitem",))
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               count(*) AS n_all,
+               count(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                 FILTER (WHERE l_discount > 0.05) AS cents_discounted,
+               count(*) FILTER (WHERE l_shipdate >= TIMESTAMP '1998-01-01')
+                 AS n_recent
+        FROM lineitem GROUP BY l_returnflag
+        """
+    )
+
+
+@query(
+    "agg_bool_ops",
+    oracle="""
+    SELECT o_orderstatus,
+           bool_and(o_totalprice > 1000) AS all_over_1k,
+           bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+           max(o_orderpriority) AS max_priority
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_bool_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (bool_and/bool_or — ANSI every/any): short-
+    circuitable per group, map-side combined like any other two-phase
+    aggregate."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+        F.max("o_orderpriority").alias("max_priority"),
+    )
