@@ -108,6 +108,8 @@ EXTENDED = [
     "stream_topk_windowed",
     "bpe_pair_stats",
     "tpch_q18_shape",
+    "agg_filter_clause",
+    "agg_bool_ops",
 ]
 
 
