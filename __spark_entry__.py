@@ -80,6 +80,7 @@ _CHANGED_THIS_ROUND = [
     "graph_pagerank",
     "agg_filter_clause",
     "agg_bool_ops",
+    "regex_extract_all",
 ]
 
 _ATTEST_FIRST = _R4_STALE + _CHANGED_THIS_ROUND + [

@@ -110,6 +110,7 @@ EXTENDED = [
     "tpch_q18_shape",
     "agg_filter_clause",
     "agg_bool_ops",
+    "regex_extract_all",
 ]
 
 

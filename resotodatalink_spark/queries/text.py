@@ -705,3 +705,31 @@ def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rnk", F.row_number().over(w).cast("int")).select(
         "pair", "cnt", "rnk"
     )
+
+
+@query(
+    "regex_extract_all",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract_all(text, '[a-z]+a[a-z]*') AS a_words,
+           CAST(len(regexp_extract_all(text, '[a-z]+a[a-z]*')) AS INTEGER)
+             AS n_a_words,
+           regexp_extract(text, '([a-z]+)e([a-z]*)', 1) AS first_e_stem
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def regex_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern mining over text: ALL matches of a pattern as an array
+    (regexp_extract_all — both engines bind the same RE2-compatible
+    subset) plus a single-group extract.  Regex evaluation stays in
+    codegen on the scan; no explode unless the caller asks for
+    one-row-per-match (udtf_tokenize's shape)."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id",
+        F.regexp_extract_all("text", F.lit("[a-z]+a[a-z]*"), 0).alias("a_words"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+a[a-z]*"), 0))
+        .cast("int")
+        .alias("n_a_words"),
+        F.regexp_extract("text", "([a-z]+)e([a-z]*)", 1).alias("first_e_stem"),
+    )
