@@ -4,6 +4,7 @@ the sf0.01 run)."""
 
 from __future__ import annotations
 
+import duckdb
 import pytest
 
 import tools.check_queries as chk
@@ -19,7 +20,14 @@ def test_query_matches_oracle(name, spark, duck):
     if name not in registry.ORACLES:
         assert len(sdf) >= 0  # rows-only contract; schema must materialize
         return
-    odf = duck.execute(registry.ORACLES[name]).df()
+    try:
+        odf = duck.execute(registry.ORACLES[name]).df()
+    except duckdb.Error:
+        # observed rare transient duckdb errors on this sandbox under
+        # heavy page-cache churn (different slug each occurrence, never
+        # reproducible); one retry — a real oracle failure recurs
+        # deterministically and still fails
+        odf = duck.execute(registry.ORACLES[name]).df()
     assert len(sdf) == len(odf), f"row count {len(sdf)} != {len(odf)}"
     assert sorted(sdf.columns) == sorted(odf.columns)
     cs, co = chk.canon_frame(sdf), chk.canon_frame(odf)
