@@ -81,6 +81,8 @@ _CHANGED_THIS_ROUND = [
     "agg_filter_clause",
     "agg_bool_ops",
     "regex_extract_all",
+    "stream_distinct_users",
+    "window_first_last",
 ]
 
 _ATTEST_FIRST = _R4_STALE + _CHANGED_THIS_ROUND + [

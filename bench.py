@@ -111,6 +111,8 @@ EXTENDED = [
     "agg_filter_clause",
     "agg_bool_ops",
     "regex_extract_all",
+    "stream_distinct_users",
+    "window_first_last",
 ]
 
 

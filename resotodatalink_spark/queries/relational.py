@@ -1542,3 +1542,36 @@ def agg_bool_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
         F.max("o_orderpriority").alias("max_priority"),
     )
+
+
+@query(
+    "window_first_last",
+    oracle="""
+    SELECT event_id, user_id,
+           first_value(value) OVER w AS first_val,
+           last_value(value) OVER w AS last_val,
+           nth_value(value, 2) OVER w AS second_val
+    FROM events WHERE user_id < 20
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value/nth_value over an explicit full-partition
+    ROWS frame — the explicit frame matters: the SQL-standard default
+    frame stops at CURRENT ROW, which silently turns last_value into
+    the running value; both engines agree once the frame is spelled
+    out, deterministic via the (ts, event_id) tiebreak."""
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.first("value").over(w).alias("first_val"),
+        F.last("value").over(w).alias("last_val"),
+        F.nth_value("value", 2).over(w).alias("second_val"),
+    )

@@ -492,3 +492,29 @@ def stream_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("window_start", "event_type", "n_events", "rnk")
     )
+
+
+@query(
+    "stream_distinct_users",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           count(*) AS n_events
+    FROM events GROUP BY 1
+    """,
+)
+def stream_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tumbling-window distinct-user counts (the unique-visitors
+    shape).  Exact COUNT(DISTINCT) compiles to a two-phase expand +
+    aggregate keyed on (window, user) then (window) — both map-side
+    combined; at extreme cardinality swap in the KMV sketch
+    (distinct_kmv_estimate) per window, mergeable by construction."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_users", "n_events")
+    )
