@@ -23,79 +23,10 @@ registry.load_all()
 # attestation (no row in the previous round's CORRECTNESS file).  Slugs
 # with a fresh green row from last round and no changes this round are
 # the ones that may fall past the cap.  All slugs stay registered.
-_R4_STALE = [
-    # Newest driver-green row is CORRECTNESS_r04 (the round-6 judge's
-    # top next-round item): these LEAD the round-7 window
-    # unconditionally so no slug's newest driver row is older than r5
-    # after this round.
-    "cdc_latest",
-    "curation_pipeline",
-    "doc_fingerprint",
-    "frequent_terms",
-    "funnel_conversion",
-    "kmeans_lloyd",
-    "lang_id",
-    "quality_score",
-    "quota_sample",
-    "retention_cohorts",
-    "sample_hash_stratified",
-    "sequence_packing",
-    "stream_dedup",
-    "stream_interval_join",
-    "stream_session_window",
-    "stream_sliding_window",
-    "stream_tumbling_window",
-    "text_chunking",
-    "text_normalize",
-    "tfidf_top_terms",
-    "token_count",
-    "udtf_tokenize",
-    "unigram_logprob",
-]
-
-_CHANGED_THIS_ROUND = [
-    # round 7 edits: dedup_levenshtein now auto-salts hot blocks from
-    # the observed (block, bucket) histogram; semdedup derives k from
-    # count(*) instead of the fixed k=8; stream_stateful_totals
-    # switches to an explicit half-away-from-zero cents rule and a
-    # cleaned-up checkpoint dir.  New round-7 slugs: deep BFS vs a
-    # recursive-CTE oracle, the binned interval overlap join, BPE
-    # pair stats, correlated scalar subquery, lag/lead windows, ntile.
-    "dedup_levenshtein",
-    "semdedup",
-    "stream_stateful_totals",
-    "graph_shortest_paths",
-    "interval_overlap",
-    "bpe_pair_stats",
-    "subquery_scalar_correlated",
-    "window_lag_lead",
-    "ntile_deciles",
-    "graph_search_age",
-    "sparse_cosine_pairs",
-    "scd2_intervals",
-    "stream_topk_windowed",
-    "table_checksum",
-    "distinct_kmv_estimate",
-    "tpch_q18_shape",
-    "graph_pagerank",
-    "agg_filter_clause",
-    "agg_bool_ops",
-    "regex_extract_all",
-    "stream_distinct_users",
-    "window_first_last",
-]
-
-_ATTEST_FIRST = _R4_STALE + _CHANGED_THIS_ROUND + [
-    # Newest green row is CORRECTNESS_r05 — these fill the rest of the
-    # 50-slug window (23 + changed + 39 ranked for 50 slots: the last
-    # ~15 overflow to round 8 with their newest driver row at r5,
-    # within the freshness bound; tools/check_queries.py full runs
-    # keep them locally verified meanwhile).
-    "agg_sum_avg_min_max",
-    "array_ops",
-    "class_rebalance",
-    "date_functions",
-    "dedup_clusters",
+_R5_STALE = [
+    # Newest driver-green row is CORRECTNESS_r05 (the round-7 judge's
+    # next-round item #3): these LEAD the round-8 window unconditionally
+    # so that after r8 no slug's newest driver row is older than r6.
     "dedup_containment",
     "dedup_incremental",
     "dedup_ngram_jaccard",
@@ -130,6 +61,83 @@ _ATTEST_FIRST = _R4_STALE + _CHANGED_THIS_ROUND + [
     "topk_per_group",
     "window_rank",
     "window_running_sum",
+]
+
+_CHANGED_THIS_ROUND = [
+    # round 8 edits: regex_extract_all emits the all-matches array as
+    # an array_join'd scalar (the r7 red row — the driver canonicalizer
+    # cannot sort list-typed columns); bpe_pair_stats guards <2-char
+    # texts against Spark's descending sequence(1,0); graph_search_age
+    # declares ctime datetime-KINDED (duration literals are now gated
+    # on the declared property kind and excluded for ~);
+    # stream_stateful_totals drains with a bounded awaitTermination.
+    # New round-8 slugs: the user-blocked interval overlap (the
+    # intervals family's decade-sweep representative), PMI collocation
+    # mining, dense-spine gap filling, and the bidirectional nearest
+    # as-of join.
+    "regex_extract_all",
+    "bpe_pair_stats",
+    "graph_search_age",
+    "stream_stateful_totals",
+    "interval_overlap_blocked",
+    "ngram_collocations",
+    "timeseries_gapfill",
+    "nearest_event_join",
+]
+
+_ATTEST_FIRST = _R5_STALE + _CHANGED_THIS_ROUND + [
+    # Newest green row is CORRECTNESS_r06 — these fill the remaining
+    # window slots (34 stale + 4 changed + 12 of these = 50); the rest
+    # of the r6 tier rotates through rounds 9-10, within the freshness
+    # bound.  tools/check_queries.py full runs keep every slug locally
+    # verified meanwhile.
+    "ann_cosine_topk",
+    "ann_ivf_cells",
+    "ann_lsh_bucketed",
+    "ann_lsh_multiprobe",
+    "corpus_stats",
+    "dataset_split",
+    "decontamination",
+    "dedup_embedding",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_paragraph",
+    "dedup_simhash",
+    "embedding_centroids",
+    "embedding_quantize",
+    "global_shuffle",
+    "graph_components",
+    "graph_reachability_min2",
+    "graph_search_aggregate",
+    "graph_search_dsl",
+    "graph_search_edge_typed",
+    "graph_search_fulltext",
+    "graph_search_has_key",
+    "graph_search_in_subnet",
+    "graph_search_inbound",
+    "graph_search_nested_with",
+    "graph_search_not",
+    "graph_search_sorted",
+    "graph_search_with",
+    "grouping_sets",
+    "hard_negatives",
+    "join_asof",
+    "join_lateral",
+    "median_stats",
+    "multimodal_decode",
+    "multimodal_frames",
+    "pii_redaction",
+    "pivot_table",
+    "repetition_filter",
+    "salted_groupby",
+    "sessionize_events",
+    "skew_join_salted",
+    "string_agg",
+    "tpch_q10_shape",
+    "tpch_q3_shape",
+    "tpch_q5_shape",
+    "unpivot_stack",
+    "window_range_frame",
 ]
 
 

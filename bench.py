@@ -113,6 +113,11 @@ EXTENDED = [
     "regex_extract_all",
     "stream_distinct_users",
     "window_first_last",
+    # round 8
+    "interval_overlap_blocked",
+    "ngram_collocations",
+    "timeseries_gapfill",
+    "nearest_event_join",
 ]
 
 
@@ -147,6 +152,20 @@ SF1_SUBSET = [
     # round 7: shingle-indexed sparse similarity (volume behavior needs
     # real shingle-df histograms)
     "sparse_cosine_pairs",
+    # round 8 (r7 verdict item 5): sf1 evidence for the r7 newcomers.
+    # interval_overlap and scd2_intervals carry a user_id<K selection
+    # that pins their PAIR/WINDOW volume to copy 0 of the scaled data
+    # (scan volume still grows 10x — they measure pushdown + scan);
+    # interval_overlap_blocked is the unselected, user-blocked variant
+    # that carries the intervals family's true volume evidence.
+    # graph_shortest_paths roots on c_custkey % 100 == 0, which
+    # survives the per-copy key shift, so frontier volume scales.
+    "interval_overlap",
+    "interval_overlap_blocked",
+    "scd2_intervals",
+    "graph_shortest_paths",
+    "graph_pagerank",
+    "bpe_pair_stats",
 ]
 
 
@@ -248,10 +267,19 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), "benchdata", "sf10"
     )
     if os.path.isdir(sf10_dir):
-        sf10_names = [
-            n for n in ("dedup_ngram_jaccard", "dedup_clusters")
-            if n in registry.QUERIES
+        # round 8 additions (r7 verdict item 5): sparse_cosine_pairs
+        # (documents-backed, like the jaccard family) and
+        # interval_overlap_blocked (events-backed — runs only when the
+        # sf10 dir carries events.parquet, tools/make_scaled_data.py
+        # ``benchdata/sf10 100 events``).
+        sf10_candidates = [
+            "dedup_ngram_jaccard",
+            "dedup_clusters",
+            "sparse_cosine_pairs",
         ]
+        if os.path.exists(os.path.join(sf10_dir, "events.parquet")):
+            sf10_candidates.append("interval_overlap_blocked")
+        sf10_names = [n for n in sf10_candidates if n in registry.QUERIES]
         sf10, sf10_rows = _run(spark, sf10_names, sf10_dir)
         out["sf10_queries"] = sf10
         out["sf10_total"] = round(sum(sf10.values()), 3)

@@ -603,7 +603,8 @@ def levenshtein_pairs(
         # O(1) driver scalar (bounded-collect, same pattern as the CC
         # convergence check): when no key is hot, drop back to the
         # unsalted plan so the cold path stays exchange-free.
-        if hist.agg(F.max("_nsalt")).collect()[0][0] <= 1:
+        # max over zero rows is None (empty corpus) — treat as unsalted
+        if (hist.agg(F.max("_nsalt")).collect()[0][0] or 0) <= 1:
             hist = None
     join_keys = list(key_cols)
     a = e.select(

@@ -457,6 +457,12 @@ def _matching_kinds(model: Model, base: str) -> set[str]:
 _DURATION_RE = re.compile(r"^([+-]?\d+)(w|d|h|min|s)$")
 _DURATION_SECONDS = {"w": 604800, "d": 86400, "h": 3600, "min": 60, "s": 1}
 
+# Property kinds for which a duration-shaped string literal is
+# reinterpreted as now+offset (the reference coerces durations only for
+# datetime-kinded properties — resotocore's parse_time_or_delta applies
+# at datetime coercion points, never to plain strings).
+_DATETIME_KINDS = frozenset({"datetime", "date"})
+
 
 def _duration_offset(value: object) -> int | None:
     """Signed seconds for a relative-time literal (``"-3d"``,
@@ -470,7 +476,34 @@ def _duration_offset(value: object) -> int | None:
     return int(m.group(1)) * _DURATION_SECONDS[m.group(2)]
 
 
-def _predicate_column(pred: Predicate, now: "datetime | None" = None) -> Column:
+def _datetime_property_names(model: "Model | None") -> frozenset[str]:
+    """Names of properties declared datetime-like ANYWHERE in the model
+    (top-level or inside complex kinds — a dotted search path addresses
+    its leaf property, so the leaf name is what gates the duration
+    reinterpretation)."""
+    if model is None:
+        return frozenset()
+    names = set()
+    for k in model.kinds.values():
+        for p in k.properties or []:
+            if p.kind in _DATETIME_KINDS:
+                names.add(p.name)
+    return frozenset(names)
+
+
+def _is_datetime_path(path: str, datetime_names: frozenset[str]) -> bool:
+    if path.startswith("reported."):
+        path = path[len("reported."):]
+    if path in ("id", "kind"):
+        return False
+    return path.rsplit(".", 1)[-1] in datetime_names
+
+
+def _predicate_column(
+    pred: Predicate,
+    now: "datetime | None" = None,
+    datetime_names: frozenset[str] = frozenset(),
+) -> Column:
     path = pred.path
     if path.startswith("reported."):
         path = path[len("reported."):]
@@ -489,11 +522,21 @@ def _predicate_column(pred: Predicate, now: "datetime | None" = None) -> Column:
     elif isinstance(pred.value, (int, float)):
         col = raw.cast("double")
         lit = F.lit(float(pred.value))
-    elif (offset := _duration_offset(pred.value)) is not None:
+    elif (
+        pred.op != "~"
+        and _is_datetime_path(pred.path, datetime_names)
+        and (offset := _duration_offset(pred.value)) is not None
+    ):
         # time-relative literal: "-3d" means now - 3 days; the path's
         # string value is compared as a timestamp against the resolved
         # cutoff.  ``now`` is injected by the caller for deterministic
-        # replays (and the oracle); default is the wall clock.
+        # replays (and the oracle); default is the wall clock.  Gated
+        # on the property's DECLARED kind being datetime-like (round-7
+        # advisor finding: without the gate, ``name == "45s"`` on a
+        # string-kinded property silently became a timestamp
+        # comparison, nulling plain strings — the reference coerces
+        # durations only at datetime coercion points) and never for
+        # ``~``, whose operand is always a regex.
         if now is None:
             from datetime import datetime, timedelta, timezone
 
@@ -598,7 +641,7 @@ def _filter_column(
         pat = r"\b" + re.escape(node.term.lower()) + r"\b"
         return F.lower(F.col("reported")).rlike(pat)
     if isinstance(node, Predicate):
-        return _predicate_column(node, now)
+        return _predicate_column(node, now, _datetime_property_names(model))
     if isinstance(node, FnPredicate):
         return _fn_predicate_column(node)
     if isinstance(node, BoolOp):

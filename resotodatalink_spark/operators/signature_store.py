@@ -144,7 +144,16 @@ def stream_ingest(
     between the store swap and the checkpoint commit cannot duplicate
     twin rows in ``pairs_dir``.  ``maxFilesPerTrigger=1`` makes each
     spooled file one generation — how the test replays a
-    multi-generation history deterministically."""
+    multi-generation history deterministically.
+
+    UPGRADE NOTE (layout change, round 7): ``pairs_dir`` switched from
+    a flat append layout to ``pairs_dir/batch_id=N/`` partitions.
+    Readers now see an extra ``batch_id`` provenance column from
+    partition discovery (``.drop("batch_id")`` to get the old shape),
+    and any pre-existing FLAT pairs files from an earlier deployment
+    must be migrated into a ``batch_id=-1`` subdirectory (or cleared
+    with the checkpoint) before resuming — mixed flat + partitioned
+    layouts under one root fail partition discovery."""
     schema = spark.read.parquet(src_dir).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:

@@ -770,9 +770,17 @@ def graph_search_age(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = Model(
         {
             "string": Kind("string"),
+            "datetime": Kind("datetime"),
             "order_node": Kind(
                 "order_node",
-                properties=[Property("name", "string"), Property("ctime", "string")],
+                # ctime is datetime-KINDED: the duration-literal
+                # reinterpretation is gated on the declared property
+                # kind (round-7 advisor finding), exactly as the
+                # reference coerces durations only for datetime fields.
+                properties=[
+                    Property("name", "string"),
+                    Property("ctime", "datetime"),
+                ],
                 bases=[],
                 aggregate_root=True,
             ),

@@ -1366,6 +1366,55 @@ def interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "interval_overlap_blocked",
+    oracle="""
+    WITH iv AS (
+      SELECT event_id, user_id,
+             epoch_us(ts) AS s,
+             epoch_us(ts)
+               + (CAST(floor(abs(value)) AS BIGINT) % 30 + 1) * 60000000 AS e
+      FROM events
+    )
+    SELECT a.event_id AS id_a, b.event_id AS id_b,
+           least(a.e, b.e) - greatest(a.s, b.s) AS overlap_us
+    FROM iv a JOIN iv b
+      ON a.user_id = b.user_id
+     AND a.event_id < b.event_id AND a.s < b.e AND b.s < a.e
+    """,
+)
+def interval_overlap_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity interval overlap (sessionization / diarization
+    shape): same binned equi-join as ``interval_overlap`` but BLOCKED
+    on user_id, over the FULL events table — the production variant
+    where pairs only form within an entity, so candidate volume (and
+    true pair count) scales linearly with corpus volume.  This is the
+    decade-sweep representative for the intervals family: the
+    make_scaled_data copies shift user_id, so rows(sf10)/rows(sf1)
+    must land at exactly 10.0 when the blocked join is volume-linear
+    (and would explode quadratically if blocking ever degenerated).
+    Scale shape: the join key is (user_id, time-bucket) — skew bounded
+    by per-user event rates; no global bucket hotspots."""
+    from resotodatalink_spark.operators.intervals import overlap_self_join
+
+    ev = table(spark, sf_dir, "events")
+    micros = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'2024-01-01 00:00:00', ts)"
+    )
+    iv = ev.select(
+        F.col("event_id").alias("id"),
+        "user_id",
+        micros.alias("s"),
+        (
+            micros
+            + (F.floor(F.abs(F.col("value"))).cast("long") % 30 + 1) * 60_000_000
+        ).alias("e"),
+    )
+    return overlap_self_join(
+        iv, bucket_width=3_600_000_000, block_cols=("user_id",)
+    ).select(F.col("id_a"), F.col("id_b"), F.col("overlap").alias("overlap_us"))
+
+
 # --- A4/K-family breadth: content checksum + sketch ----------------------
 
 

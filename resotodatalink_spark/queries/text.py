@@ -691,12 +691,19 @@ def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     20 survivors get ranked (global window over a provably tiny
     frame)."""
     d = table(spark, sf_dir, "documents")
+    # Guard texts shorter than 2 chars: Spark's sequence(1, 0) is
+    # DESCENDING ([1, 0]), so an unguarded 1-char text would emit two
+    # bogus pairs (and an empty text three) where the oracle's
+    # range(1, length) emits none — same guard as sparse_cosine_pairs.
     pairs = d.select(
         F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.length("text") - 1),
-                lambda i: F.col("text").substr(i, F.lit(2)),
-            )
+            F.when(
+                F.length("text") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.length("text") - 1),
+                    lambda i: F.col("text").substr(i, F.lit(2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
         ).alias("pair")
     )
     counts = pairs.groupBy("pair").agg(F.count("*").alias("cnt"))
@@ -708,10 +715,101 @@ def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ngram_collocations",
+    oracle="""
+    WITH toks AS (
+      SELECT string_split(text, ' ') AS t FROM documents
+    ),
+    tok AS (SELECT unnest(t) AS tok FROM toks),
+    bg AS (
+      SELECT unnest(list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i+1])) AS bigram
+      FROM toks
+    ),
+    n1 AS (SELECT tok, count(*) AS n_w FROM tok GROUP BY tok),
+    n2 AS (
+      SELECT bigram, count(*) AS n_ab FROM bg GROUP BY bigram
+      HAVING count(*) >= 5
+    ),
+    tot AS (
+      SELECT (SELECT count(*) FROM tok) AS t_total,
+             (SELECT count(*) FROM bg) AS b_total
+    )
+    SELECT bigram, CAST(n_ab AS INTEGER) AS n_ab,
+           round(ln((CAST(n_ab AS DOUBLE) * t_total * t_total)
+                    / (CAST(b_total AS DOUBLE) * a.n_w * b.n_w)), 6) AS pmi
+    FROM n2
+    JOIN n1 a ON a.tok = split_part(bigram, ' ', 1)
+    JOIN n1 b ON b.tok = split_part(bigram, ' ', 2)
+    CROSS JOIN tot
+    ORDER BY pmi DESC, bigram LIMIT 20
+    """,
+)
+def ngram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-20 adjacent-token bigrams by pointwise
+    mutual information (min count 5) — the phrase-detection pass a
+    tokenizer-training pipeline runs before BPE merges.
+
+    Scale shape: bigram generation is codegen'd zip_with over the
+    token split (no Python, no posexplode self-join); both count
+    aggregations are map-side combined over VOCABULARY-bounded key
+    spaces; the min-count filter shrinks the survivor set to the heavy
+    hitters BEFORE the unigram joins, so the big vocab frame joins
+    against a broadcast of the (bounded) survivors; the one-row totals
+    frame rides in as a 1xN broadcast (allowlisted BNLJ, the
+    unigram_logprob pattern).  PMI sorts on the ROUNDED value with a
+    bigram tiebreak so the top-20 boundary is deterministic in both
+    engines."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    bigram_arr = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = d.select(F.explode(bigram_arr).alias("bigram"))
+    tok = d.select(F.explode(toks).alias("tok"))
+    n1 = tok.groupBy("tok").agg(F.count("*").alias("n_w"))
+    n2 = bg.groupBy("bigram").agg(F.count("*").alias("n_ab"))
+    surv = n2.filter(F.col("n_ab") >= 5).select(
+        "bigram",
+        "n_ab",
+        F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)).alias("w2"),
+    )
+    totals = tok.agg(F.count("*").alias("t_total")).crossJoin(
+        bg.agg(F.count("*").alias("b_total"))
+    )
+    n1a = n1.select(F.col("tok").alias("w1"), F.col("n_w").alias("n_a"))
+    n1b = n1.select(F.col("tok").alias("w2"), F.col("n_w").alias("n_b"))
+    # both joins broadcast the SURVIVOR-bounded side into the big vocab
+    # frame — never the other way around
+    j = n1a.join(F.broadcast(surv), "w1")
+    j = n1b.join(F.broadcast(j), "w2").crossJoin(F.broadcast(totals))
+    pmi = F.round(
+        F.log(
+            (F.col("n_ab").cast("double") * F.col("t_total") * F.col("t_total"))
+            / (F.col("b_total").cast("double") * F.col("n_a") * F.col("n_b"))
+        ),
+        6,
+    )
+    return (
+        j.select("bigram", F.col("n_ab").cast("int").alias("n_ab"), pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+@query(
     "regex_extract_all",
     oracle="""
     SELECT doc_id,
-           regexp_extract_all(text, '[a-z]+a[a-z]*') AS a_words,
+           array_to_string(regexp_extract_all(text, '[a-z]+a[a-z]*'), ' ')
+             AS a_words,
            CAST(len(regexp_extract_all(text, '[a-z]+a[a-z]*')) AS INTEGER)
              AS n_a_words,
            regexp_extract(text, '([a-z]+)e([a-z]*)', 1) AS first_e_stem
@@ -719,17 +817,23 @@ def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def regex_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pattern mining over text: ALL matches of a pattern as an array
+    """Pattern mining over text: ALL matches of a pattern
     (regexp_extract_all — both engines bind the same RE2-compatible
     subset) plus a single-group extract.  Regex evaluation stays in
     codegen on the scan; no explode unless the caller asks for
-    one-row-per-match (udtf_tokenize's shape)."""
+    one-row-per-match (udtf_tokenize's shape).
+
+    The all-matches array is emitted as a space-joined scalar string
+    (``array_join``) rather than a raw ``array<string>`` column: the
+    driver's attestation harness canonicalizes result frames with a
+    pandas sort that cannot factorize Python lists (the round-7 red
+    row), and a delimiter-joined string carries the identical
+    information for an order-preserving match list."""
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    matches = F.regexp_extract_all("text", F.lit("[a-z]+a[a-z]*"), 0)
     return d.select(
         "doc_id",
-        F.regexp_extract_all("text", F.lit("[a-z]+a[a-z]*"), 0).alias("a_words"),
-        F.size(F.regexp_extract_all("text", F.lit("[a-z]+a[a-z]*"), 0))
-        .cast("int")
-        .alias("n_a_words"),
+        F.array_join(matches, " ").alias("a_words"),
+        F.size(matches).cast("int").alias("n_a_words"),
         F.regexp_extract("text", "([a-z]+)e([a-z]*)", 1).alias("first_e_stem"),
     )

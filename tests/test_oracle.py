@@ -14,9 +14,31 @@ from tests.conftest import SF_DIR
 registry.load_all()
 
 
+def test_harness_rejects_list_typed_frames():
+    """The driver's canonicalizer cannot sort list-valued columns (the
+    round-7 ``regex_extract_all`` red row); the local harness must flag
+    such frames so they can never pass locally and fail the driver."""
+    import pandas as pd
+
+    ok = pd.DataFrame({"a": [1, 2], "b": ["x", "y"]})
+    assert chk.complex_columns(ok) == []
+    bad = pd.DataFrame({"a": [1, 2], "arr": [["x"], ["y", "z"]]})
+    assert chk.complex_columns(bad) == ["arr"]
+    import numpy as np
+
+    nparr = pd.DataFrame({"v": [np.array([1.0, 2.0]), np.array([3.0])]})
+    assert chk.complex_columns(nparr) == ["v"]
+    mapcol = pd.DataFrame({"m": [{"k": 1}, {"k": 2}]})
+    assert chk.complex_columns(mapcol) == ["m"]
+
+
 @pytest.mark.parametrize("name", sorted(registry.QUERIES))
 def test_query_matches_oracle(name, spark, duck):
     sdf = registry.QUERIES[name](spark, SF_DIR).toPandas()
+    assert chk.complex_columns(sdf) == [], (
+        "driver-uncanonicalizable (list/map-typed) output columns — "
+        "emit array_join/to_json scalars instead"
+    )
     if name not in registry.ORACLES:
         assert len(sdf) >= 0  # rows-only contract; schema must materialize
         return

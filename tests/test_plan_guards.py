@@ -25,6 +25,12 @@ The allowlist is intentional, not historical:
 * distinct_kmv_estimate — combines the ONE-ROW KMV estimate with the
   ONE-ROW exact count via crossJoin; a 1x1 BNLJ is constant work at
   any scale (funnel_conversion's pattern).
+* ngram_collocations — attaches the ONE-ROW token/bigram totals to
+  the min-count-bounded survivor set (unigram_logprob's pattern); the
+  vocab joins themselves broadcast the survivors, never the vocab.
+* timeseries_gapfill — the dense spine is calendar-bounded hours x
+  vocabulary-bounded event types: its cross join is corpus-
+  INDEPENDENT constant work by construction.
 """
 
 from __future__ import annotations
@@ -44,6 +50,8 @@ CARTESIAN_OK = {
     "semdedup",
     "hard_negatives",
     "distinct_kmv_estimate",
+    "ngram_collocations",
+    "timeseries_gapfill",
 }
 
 

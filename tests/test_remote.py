@@ -16,6 +16,7 @@ from resotodatalink_spark.sources.remote import (
     stream_graph_dir,
     stream_graph_socket,
 )
+from tests.conftest import drain_all_available
 from tests.fixtures import example_docs, example_model
 
 
@@ -66,7 +67,7 @@ def test_remote_roundtrip_socket_stream(spark, tmp_path):
         spark, "127.0.0.1", port, str(tmp_path / "ckpt"), str(tmp_path / "spool")
     )
     try:
-        q.processAllAvailable()
+        drain_all_available(q)
     finally:
         done.set()
         q.stop()

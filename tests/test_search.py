@@ -410,6 +410,36 @@ def test_duration_literal_parsing():
     assert _duration_offset(3) is None
 
 
+def test_duration_literal_gated_on_property_kind(spark):
+    """Round-7 advisor finding: a duration-shaped literal on a
+    STRING-kinded property must compare as a plain string (the
+    reference coerces durations only for datetime-kinded properties),
+    and ``~`` operands are always regexes, never durations."""
+    docs = [
+        {
+            "type": "node",
+            "id": f"n-{i}",
+            "reported": {
+                "kind": "some_volume", "id": f"n-{i}", "name": name,
+                "alias": "x", "description": "d", "capacity": 1,
+            },
+            "ancestors": None,
+        }
+        for i, name in enumerate(["45s", "2h", "prod"])
+    ]
+    src = GraphSource.from_docs(spark, docs)
+    model = example_model()
+    # name is string-kinded: == "45s" is literal string equality
+    got = {r["id"] for r in execute_search(src, model, 'name == "45s"').collect()}
+    assert got == {"n-0"}
+    # ~ is regex even when the pattern is duration-shaped
+    got = {r["id"] for r in execute_search(src, model, 'name ~ "2h"').collect()}
+    assert got == {"n-1"}
+    # ordering ops on a string-kinded property stay lexicographic
+    got = {r["id"] for r in execute_search(src, model, 'name > "45s"').collect()}
+    assert got == {"n-2"}  # "prod" > "45s" lexicographically; "2h" < "45s"
+
+
 def test_time_relative_predicate_execution(spark):
     from datetime import datetime, timezone
 
@@ -431,6 +461,13 @@ def test_time_relative_predicate_execution(spark):
         )
     src = GraphSource.from_docs(spark, docs)
     model = example_model()
+    # ctime must be DECLARED datetime-kinded for the duration literal
+    # to reinterpret (the gate added after the round-7 advisor finding;
+    # the reference's base resource kind declares ctime: datetime).
+    from resotodatalink_spark.model.kinds import Kind, Property
+
+    model.kinds["datetime"] = Kind("datetime")
+    model.kinds["some_volume"].properties.append(Property("ctime", "datetime"))
     now = datetime(2024, 1, 1, tzinfo=timezone.utc)
     got = {
         r["id"]

@@ -16,7 +16,7 @@ from resotodatalink_spark.streaming.batch_stream import (
     stream_sync_to_tables,
 )
 from resotodatalink_spark.streaming.windows import session_counts, tumbling_counts
-from tests.conftest import SF_DIR
+from tests.conftest import SF_DIR, drain_available_now
 
 
 def _run_to_memory(spark, stream_df, name, checkpoint, mode="complete"):
@@ -28,7 +28,7 @@ def _run_to_memory(spark, stream_df, name, checkpoint, mode="complete"):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    drain_available_now(q)
     return spark.table(name)
 
 
@@ -113,7 +113,7 @@ def test_stateful_running_totals(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    drain_available_now(q)
     snaps = spark.table("t_stateful").toPandas()
     # multiple micro-batches -> multiple snapshots for at least one user
     assert len(snaps) > snaps["user_id"].nunique()
@@ -189,7 +189,7 @@ def test_stream_stream_interval_join(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    drain_available_now(q)
     got = spark.table("t_ssjoin")
     ev_b = table(spark, SF_DIR, "events")
     clicks_b, errors_b = sides(ev_b)
@@ -226,7 +226,7 @@ def test_stream_drop_duplicates_within_watermark(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    drain_available_now(q)
     got = spark.table("t_dedup_stream")
     assert got.count() == ev.count()
     assert got.select("event_id").distinct().count() == ev.count()
@@ -301,7 +301,7 @@ def test_multibatch_tumbling_update_snapshots(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    drain_available_now(q)
     assert _n_data_batches(q) >= 2, "expected multiple micro-batches"
     snaps = spark.table("t_mb_tumble").toPandas()
     last = snaps.groupby(["window_start", "event_type"]).last().reset_index()
@@ -328,7 +328,7 @@ def test_multibatch_session_complete(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    drain_available_now(q)
     assert _n_data_batches(q) >= 2
     got = spark.table("t_mb_session").collect()
     want = session_counts(batch, "6 hours").collect()
@@ -375,7 +375,7 @@ def test_multibatch_interval_join_exact(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    drain_available_now(q)
     assert _n_data_batches(q) >= 2
     got = spark.table("t_mb_join")
     clicks_b, errors_b = sides(batch)
@@ -428,7 +428,7 @@ def test_tws_running_type_profiles(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    drain_available_now(q)
     out = spark.table("t_tws").toPandas()
     truth = (
         table(spark, SF_DIR, "events")

@@ -26,6 +26,28 @@ from resotodatalink_spark.session import get_spark  # noqa: E402
 from resotodatalink_spark.sources.tables import TABLES  # noqa: E402
 
 
+def complex_columns(df: pd.DataFrame) -> list[str]:
+    """Columns holding list/dict/ndarray values — the driver's
+    attestation canonicalizer sorts frames with pandas ``sort_values``,
+    which cannot factorize these (round-7 red row on
+    ``regex_extract_all``).  The local gate now REJECTS them outright
+    so an array-typed slug can never pass locally and fail the driver."""
+    bad = []
+    for c in df.columns:
+        col = df[c]
+        if len(col) == 0:
+            continue
+        sample = col.iloc[: min(len(col), 50)]
+        if any(
+            isinstance(v, (list, tuple, dict, set))
+            or type(v).__module__ == "numpy"
+            and getattr(v, "ndim", 0) > 0
+            for v in sample
+        ):
+            bad.append(c)
+    return bad
+
+
 def canon_value(v) -> str:
     if v is None:
         return "NULL"
@@ -78,6 +100,14 @@ def main() -> int:
             failures.append(name)
             continue
         if name not in oracles:
+            cc = complex_columns(sdf)
+            if cc:
+                print(
+                    f"FAIL {name}: rows-only result has driver-"
+                    f"uncanonicalizable (list/map-typed) columns: {cc}"
+                )
+                failures.append(name)
+                continue
             print(f"ok   {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
             if len(sdf) == 0:
                 print(f"WARN {name}: zero rows")
@@ -101,6 +131,14 @@ def main() -> int:
             failures.append(name)
             continue
         problems = []
+        for side, frame in (("spark", sdf), ("duckdb", odf)):
+            cc = complex_columns(frame)
+            if cc:
+                problems.append(
+                    f"{side} result has driver-uncanonicalizable "
+                    f"(list/map-typed) columns: {cc} — emit array_join/"
+                    f"to_json scalars instead"
+                )
         if len(sdf) != len(odf):
             problems.append(f"row count spark={len(sdf)} duckdb={len(odf)}")
         if sorted(sdf.columns) != sorted(odf.columns):
