@@ -83,6 +83,8 @@ _CHANGED_THIS_ROUND = [
     "ngram_collocations",
     "timeseries_gapfill",
     "nearest_event_join",
+    "token_entropy_by_source",
+    "anomaly_zscore_hours",
 ]
 
 _ATTEST_FIRST = _R5_STALE + _CHANGED_THIS_ROUND + [

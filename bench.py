@@ -118,6 +118,8 @@ EXTENDED = [
     "ngram_collocations",
     "timeseries_gapfill",
     "nearest_event_join",
+    "token_entropy_by_source",
+    "anomaly_zscore_hours",
 ]
 
 

@@ -676,3 +676,61 @@ def nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(pick_back, bd).otherwise(fd).cast("bigint").alias("diff_us"),
         )
     )
+
+
+@query(
+    "anomaly_zscore_hours",
+    oracle="""
+    WITH b AS (
+      SELECT date_trunc('hour', min(ts)) AS h0,
+             date_trunc('hour', max(ts)) AS h1
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM b
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    counts AS (
+      SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    dense AS (
+      SELECT s.hour, t.event_type, CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+      FROM spine s CROSS JOIN types t
+      LEFT JOIN counts c ON c.hour = s.hour AND c.event_type = t.event_type
+    ),
+    scored AS (
+      SELECT hour, event_type, n_events,
+             round((n_events - avg(n_events) OVER (PARTITION BY event_type))
+                   / stddev_pop(n_events) OVER (PARTITION BY event_type),
+                   6) AS z
+      FROM dense
+    )
+    SELECT hour, event_type, n_events, z
+    FROM scored WHERE abs(z) >= 2.0
+    """,
+)
+def anomaly_zscore_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection over the DENSE hourly series: z-score
+    of each (hour, type) count against that type's hourly mean/stddev,
+    keeping |z| >= 2 — the alerting pass that runs downstream of
+    timeseries_gapfill (on the sparse series a silent hour is
+    invisible, which is exactly the outage you want flagged).
+
+    Scale shape: composes the gapfill slug's plan (calendar x
+    vocabulary bounded), then one window partitioned by event_type
+    over the BOUNDED dense frame — hours x types rows, corpus-
+    independent; the corpus-sized work remains the single counting
+    aggregate inside the gapfill."""
+    dense = timeseries_gapfill(spark, sf_dir)
+    wt = W.partitionBy("event_type")
+    z = F.round(
+        (F.col("n_events") - F.avg("n_events").over(wt))
+        / F.stddev_pop("n_events").over(wt),
+        6,
+    )
+    return (
+        dense.withColumn("z", z)
+        .filter(F.abs(F.col("z")) >= 2.0)
+        .select("hour", "event_type", "n_events", "z")
+    )

@@ -837,3 +837,46 @@ def regex_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(matches).cast("int").alias("n_a_words"),
         F.regexp_extract("text", "([a-z]+)e([a-z]*)", 1).alias("first_e_stem"),
     )
+
+
+@query(
+    "token_entropy_by_source",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    counts AS (
+      SELECT source, tok, count(*) AS n FROM tok GROUP BY source, tok
+    )
+    SELECT source,
+           CAST(sum(n) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS vocab,
+           round(ln(CAST(sum(n) AS DOUBLE))
+                 - sum(n * ln(CAST(n AS DOUBLE))) / sum(n), 6) AS entropy
+    FROM counts GROUP BY source
+    """,
+)
+def token_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon token entropy per source (nats) — the information-
+    theoretic corpus diagnostic a data-mixture designer reads next to
+    corpus_stats: low entropy flags template/boilerplate-dominated
+    sources, high entropy flags noise.  Uses the single-pass identity
+    H = ln(T) - sum(n ln n)/T so the per-source probabilities never
+    materialize.
+
+    Scale shape: two map-side-combined aggregations — (source, token)
+    counts over a vocabulary-bounded key space, then a per-source
+    rollup over sources (bounded) — all codegen, no Python, no joins."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+    counts = tok.groupBy("source", "tok").agg(F.count("*").alias("n"))
+    t = F.sum("n")
+    return counts.groupBy("source").agg(
+        t.cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("vocab"),
+        F.round(
+            F.log(t.cast("double"))
+            - F.sum(F.col("n") * F.log(F.col("n").cast("double"))) / t,
+            6,
+        ).alias("entropy"),
+    )

@@ -31,6 +31,9 @@ The allowlist is intentional, not historical:
 * timeseries_gapfill — the dense spine is calendar-bounded hours x
   vocabulary-bounded event types: its cross join is corpus-
   INDEPENDENT constant work by construction.
+* anomaly_zscore_hours — composes timeseries_gapfill's plan (same
+  bounded spine cross join) and adds only a window over the bounded
+  dense frame.
 """
 
 from __future__ import annotations
@@ -52,6 +55,7 @@ CARTESIAN_OK = {
     "distinct_kmv_estimate",
     "ngram_collocations",
     "timeseries_gapfill",
+    "anomaly_zscore_hours",
 }
 
 
