@@ -60,3 +60,20 @@ def test_query_matches_oracle(name, spark, duck):
             f"spark={cs.loc[i].to_dict()}\nduck ={co.loc[i].to_dict()}" for i in bad
         )
         pytest.fail(f"{int(neq.sum())} differing rows, e.g.\n{detail}")
+
+
+def test_attest_window_consistency():
+    """The driver attests the FIRST 50 queries() entries: every name in
+    the ordering list must be a registered slug (a typo would silently
+    burn a window slot), with no duplicates, and the dict must contain
+    every registered slug exactly once."""
+    import __spark_entry__ as entry
+
+    names = list(entry.queries())
+    assert sorted(names) == sorted(registry.QUERIES)
+    af = entry._ATTEST_FIRST
+    assert len(af) == len(set(af)), "duplicate slug in _ATTEST_FIRST"
+    unknown = set(af) - set(registry.QUERIES)
+    assert not unknown, f"unknown slugs in _ATTEST_FIRST: {unknown}"
+    # changed/new slugs must sit inside the 50-slot window
+    assert set(entry._CHANGED_THIS_ROUND) <= set(names[:50])

@@ -444,3 +444,58 @@ def test_tws_running_type_profiles(spark, tmp_path):
     assert len(m) == len(truth)
     assert (m.n_events_s == m.n_events_b).all()
     assert (m.n_types_s == m.n_types_b).all()
+
+
+def test_nearest_event_join_tie_rules(spark, tmp_path):
+    """Edge cases the parquet test data never exercises: equidistant
+    backward/forward ties resolve to the EARLIER purchase, duplicate
+    same-(user, ts) purchases canonicalize to min event_id, a
+    same-instant purchase is distance 0, and purchase-less users drop."""
+    import datetime as dt
+
+    from resotodatalink_spark.queries.streaming import nearest_event_join
+
+    def ev(eid, h, m, uid, typ):
+        return (
+            eid,
+            dt.datetime(2024, 1, 1, h, m, 0),
+            uid,
+            typ,
+            1.0,
+            "{}",
+        )
+
+    rows = [
+        # user 1: click 10:00 equidistant between purchases 09:00/11:00
+        ev(100, 10, 0, 1, "click"),
+        ev(101, 9, 0, 1, "purchase"),
+        ev(102, 11, 0, 1, "purchase"),
+        # user 2: two purchases at the SAME instant; click later
+        ev(200, 10, 30, 2, "click"),
+        ev(202, 10, 0, 2, "purchase"),
+        ev(201, 10, 0, 2, "purchase"),
+        # user 3: no purchase at all
+        ev(300, 10, 0, 3, "click"),
+        # user 4: purchase at exactly the click instant
+        ev(400, 10, 0, 4, "click"),
+        ev(401, 10, 0, 4, "purchase"),
+        # user 5: asymmetric distances, backward nearer
+        ev(500, 10, 0, 5, "click"),
+        ev(501, 9, 59, 5, "purchase"),
+        ev(502, 10, 2, 5, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id: long, ts: timestamp, user_id: long, "
+              "event_type: string, value: double, props: string"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r["event_id"]: (r["nearest_event_id"], r["diff_us"])
+        for r in nearest_event_join(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        100: (101, 3600 * 1_000_000),  # tie -> earlier purchase
+        200: (201, 1800 * 1_000_000),  # same-ts purchases -> min event_id
+        400: (401, 0),                 # same-instant purchase
+        500: (501, 60 * 1_000_000),    # backward nearer
+    }
