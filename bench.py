@@ -293,7 +293,12 @@ def main() -> None:
                 if sf1_rows.get(n)
             }
 
-    print(json.dumps(out))
+    # the ONE-JSON-line contract: flush anything buffered first so the
+    # line cannot interleave with stray JVM writes to fd 1 (JVM logs
+    # are additionally routed to stderr in session.py)
+    sys.stderr.flush()
+    sys.stdout.flush()
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

@@ -53,6 +53,15 @@ def get_spark(app_name: str = "resotodatalink-spark", cpus: int | None = None) -
         # 3.4x on a 1M-row cosine scan; normal stages keep WSCG.
         .config("spark.sql.codegen.hugeMethodLimit", "8000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # JVM unified logging defaults to STDOUT; a GC warning landing
+        # on fd 1 mid-bench contaminated bench.py's one-JSON-line
+        # contract (observed: "[gc,alloc] ... Retried waiting for
+        # GCLocker" interleaved before the JSON).  Route ALL JVM log
+        # output to stderr so stdout stays parseable.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Xlog:all=warning:stderr:uptime,level,tags",
+        )
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()
