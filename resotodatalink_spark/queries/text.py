@@ -753,13 +753,19 @@ def ngram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: bigram generation is codegen'd zip_with over the
     token split (no Python, no posexplode self-join); both count
     aggregations are map-side combined over VOCABULARY-bounded key
-    spaces; the min-count filter shrinks the survivor set to the heavy
-    hitters BEFORE the unigram joins, so the big vocab frame joins
-    against a broadcast of the (bounded) survivors; the one-row totals
-    frame rides in as a 1xN broadcast (allowlisted BNLJ, the
-    unigram_logprob pattern).  PMI sorts on the ROUNDED value with a
-    bigram tiebreak so the top-20 boundary is deterministic in both
-    engines."""
+    spaces and localCheckpointed (lazily) because each is consumed
+    more than once — Catalyst cannot share a subtree across
+    self-references, and without the checkpoint the naive plan scans
+    the CORPUS five times (token counts twice for the two word joins,
+    bigram counts, and one full re-scan per total).  The corpus-total
+    scalars derive from the checkpointed vocab frames (sum of counts),
+    so exactly TWO corpus scans remain.  The min-count filter shrinks
+    the survivor set to the heavy hitters BEFORE the unigram joins, so
+    the big vocab frame joins against a broadcast of the (bounded)
+    survivors; the one-row totals frame rides in as a 1xN broadcast
+    (allowlisted BNLJ, the unigram_logprob pattern).  PMI sorts on the
+    ROUNDED value with a bigram tiebreak so the top-20 boundary is
+    deterministic in both engines."""
     d = table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
@@ -773,16 +779,24 @@ def ngram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.array().cast("array<string>"))
     bg = d.select(F.explode(bigram_arr).alias("bigram"))
     tok = d.select(F.explode(toks).alias("tok"))
-    n1 = tok.groupBy("tok").agg(F.count("*").alias("n_w"))
-    n2 = bg.groupBy("bigram").agg(F.count("*").alias("n_ab"))
+    n1 = (
+        tok.groupBy("tok")
+        .agg(F.count("*").alias("n_w"))
+        .localCheckpoint(eager=False)
+    )
+    n2 = (
+        bg.groupBy("bigram")
+        .agg(F.count("*").alias("n_ab"))
+        .localCheckpoint(eager=False)
+    )
     surv = n2.filter(F.col("n_ab") >= 5).select(
         "bigram",
         "n_ab",
         F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1"),
         F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)).alias("w2"),
     )
-    totals = tok.agg(F.count("*").alias("t_total")).crossJoin(
-        bg.agg(F.count("*").alias("b_total"))
+    totals = n1.agg(F.sum("n_w").alias("t_total")).crossJoin(
+        n2.agg(F.sum("n_ab").alias("b_total"))
     )
     n1a = n1.select(F.col("tok").alias("w1"), F.col("n_w").alias("n_a"))
     n1b = n1.select(F.col("tok").alias("w2"), F.col("n_w").alias("n_b"))
