@@ -168,6 +168,12 @@ SF1_SUBSET = [
     "graph_shortest_paths",
     "graph_pagerank",
     "bpe_pair_stats",
+    # round-8 newcomers: sf1 evidence lands the same round they ship
+    "ngram_collocations",
+    "timeseries_gapfill",
+    "nearest_event_join",
+    "token_entropy_by_source",
+    "anomaly_zscore_hours",
 ]
 
 
