@@ -85,6 +85,9 @@ _CHANGED_THIS_ROUND = [
     "nearest_event_join",
     "token_entropy_by_source",
     "anomaly_zscore_hours",
+    "lang_confusion_matrix",
+    "mutual_information",
+    "minhash_estimate_vs_exact",
 ]
 
 _ATTEST_FIRST = _R5_STALE + _CHANGED_THIS_ROUND + [

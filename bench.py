@@ -120,6 +120,9 @@ EXTENDED = [
     "nearest_event_join",
     "token_entropy_by_source",
     "anomaly_zscore_hours",
+    "lang_confusion_matrix",
+    "mutual_information",
+    "minhash_estimate_vs_exact",
 ]
 
 

@@ -418,3 +418,88 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scale (round-6 verdict's 100-TB risk item)."""
     d = table(spark, sf_dir, "documents")
     return D.levenshtein_pairs(d, max_distance=15, salt="auto")
+
+
+@query(
+    "minhash_estimate_vs_exact",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    hs AS (SELECT DISTINCT doc_id, h FROM __hashes),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM hs GROUP BY doc_id),
+    sig AS (SELECT doc_id, {_MINS} FROM __hashes GROUP BY doc_id),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST({_AGREE} AS INTEGER) AS n_common
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({_BAND_COND})
+    ),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_shared
+      FROM cand c
+      JOIN hs x ON x.doc_id = c.doc_a
+      JOIN hs y ON y.doc_id = c.doc_b AND y.h = x.h
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT c.doc_a, c.doc_b, c.n_common,
+           CAST(coalesce(i.n_shared, 0) AS INTEGER) AS n_shared,
+           round(c.n_common / 16.0, 6) AS jaccard_est,
+           round(coalesce(i.n_shared, 0) * 1.0
+                 / (sa.sz + sb.sz - coalesce(i.n_shared, 0)), 6) AS jaccard_exact,
+           round(abs(c.n_common / 16.0
+                     - coalesce(i.n_shared, 0) * 1.0
+                       / (sa.sz + sb.sz - coalesce(i.n_shared, 0))), 6) AS abs_err
+    FROM cand c
+    LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
+    """,
+)
+def minhash_estimate_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality audit: for every MinHash-LSH candidate pair, the
+    signature-agreement Jaccard ESTIMATE (n_common/16) next to the
+    EXACT shingle-set Jaccard and their absolute error — the
+    calibration table a dedup platform publishes before anyone trusts
+    a 16-permutation sketch at a new threshold.
+
+    Scale shape: candidates come from the band equi-join (never n^2);
+    the exact side re-joins the candidate pairs against the distinct
+    shingle frame doc-keyed on BOTH ends (the jaccard_pairs verify
+    shape, merge-hinted because both shingle sides are corpus-sized);
+    intersection and sizes are map-side-combined counts.  Estimate,
+    exact, and error are single IEEE ops on exact integers — bit-equal
+    across engines before the cosmetic round."""
+    from resotodatalink_spark.operators.dedup import shingle_hashes
+
+    d = table(spark, sf_dir, "documents")
+    cand = D.minhash_pairs_with_agreement(d)
+    g = shingle_hashes(d).distinct()
+    sizes = g.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    ga = g.select(F.col("doc_id").alias("doc_a"), "h")
+    gb = g.select(F.col("doc_id").alias("doc_b"), "h")
+    inter = (
+        cand.select("doc_a", "doc_b")
+        .join(ga.hint("merge"), "doc_a")
+        .join(gb.hint("merge"), ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    j = (
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .withColumn("n_shared", F.coalesce(F.col("n_shared"), F.lit(0)))
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+    )
+    est = F.col("n_common") / 16.0
+    exact = F.col("n_shared") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("n_shared")
+    )
+    return j.select(
+        "doc_a",
+        "doc_b",
+        "n_common",
+        F.col("n_shared").cast("int").alias("n_shared"),
+        F.round(est, 6).alias("jaccard_est"),
+        F.round(exact, 6).alias("jaccard_exact"),
+        F.round(F.abs(est - exact), 6).alias("abs_err"),
+    )

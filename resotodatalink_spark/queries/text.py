@@ -894,3 +894,102 @@ def token_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("entropy"),
     )
+
+
+@query(
+    "lang_confusion_matrix",
+    oracle=f"""
+    WITH scored AS (
+      SELECT lang,
+             CAST({_score('duck', 'en')} AS INTEGER) AS s_en,
+             CAST({_score('duck', 'de')} AS INTEGER) AS s_de,
+             CAST({_score('duck', 'fr')} AS INTEGER) AS s_fr,
+             CAST({_score('duck', 'es')} AS INTEGER) AS s_es
+      FROM documents
+    ),
+    pred AS (
+      SELECT lang, {_pred_case()} AS pred_lang FROM scored
+    ),
+    joint AS (
+      SELECT lang, pred_lang, count(*) AS n FROM pred GROUP BY lang, pred_lang
+    )
+    SELECT lang, pred_lang, CAST(n AS BIGINT) AS n,
+           round(n * 1.0 / sum(n) OVER (PARTITION BY lang), 6) AS recall_share
+    FROM joint
+    """,
+)
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation shape: confusion matrix of the stopword
+    language-ID against the labeled ``lang`` column, with per-true-lang
+    recall shares — the eval table every heuristic-labeling pipeline
+    publishes next to its labels.
+
+    Scale shape: prediction is the same codegen CASE as lang_id (no
+    join back — label and features live on the same row, one scan);
+    the matrix aggregate is map-side combined over a (langs x langs)
+    bounded key space, and the recall window runs over that bounded
+    frame, never the corpus."""
+    d = table(spark, sf_dir, "documents")
+    scored = d.select(
+        "lang",
+        *[
+            F.expr(_score("spark", lang)).cast("int").alias(f"s_{lang}")
+            for lang in STOPWORDS
+        ],
+    )
+    pred = scored.select("lang", F.expr(_pred_case()).alias("pred_lang"))
+    joint = pred.groupBy("lang", "pred_lang").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    wl = W.partitionBy("lang")
+    return joint.select(
+        "lang",
+        "pred_lang",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wl), 6).alias("recall_share"),
+    )
+
+
+@query(
+    "mutual_information",
+    oracle="""
+    WITH joint AS (
+      SELECT lang, source, count(*) AS n FROM documents GROUP BY lang, source
+    )
+    SELECT lang, source, CAST(n AS BIGINT) AS n,
+           round((n * 1.0 / sum(n) OVER ())
+                 * ln((CAST(n AS DOUBLE) * sum(n) OVER ())
+                      / (CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE)
+                         * sum(n) OVER (PARTITION BY source))), 6)
+             AS mi_contrib
+    FROM joint
+    """,
+)
+def mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual-information decomposition of the lang x source
+    association (sums to the corpus MI) — the dataset-diagnostics
+    table that flags a source feeding one language only (leakage /
+    sampling-bias signal) before a mixture is trained on.
+
+    Scale shape: ONE corpus-sized map-side-combined count over the
+    (langs x sources) bounded key space; all three marginal windows
+    run over that bounded aggregate frame (class_rebalance's
+    unpartitioned-window-over-aggregate precedent), so the corpus is
+    scanned exactly once."""
+    d = table(spark, sf_dir, "documents")
+    joint = d.groupBy("lang", "source").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    w_all = W.partitionBy()
+    w_l = W.partitionBy("lang")
+    w_s = W.partitionBy("source")
+    t = F.sum("n").over(w_all)
+    mi = F.round(
+        (F.col("n") / t)
+        * F.log(
+            (F.col("n").cast("double") * t)
+            / (F.sum("n").over(w_l).cast("double") * F.sum("n").over(w_s))
+        ),
+        6,
+    )
+    return joint.select("lang", "source", "n", mi.alias("mi_contrib"))
