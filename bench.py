@@ -157,6 +157,9 @@ SF1_SUBSET = [
     # round 7: shingle-indexed sparse similarity (volume behavior needs
     # real shingle-df histograms)
     "sparse_cosine_pairs",
+    # round 8: the sketch-calibration audit pays per-candidate verify
+    # joins — the volume knee only shows at real pair counts
+    "minhash_estimate_vs_exact",
     # round 8 (r7 verdict item 5): sf1 evidence for the r7 newcomers.
     # interval_overlap and scd2_intervals carry a user_id<K selection
     # that pins their PAIR/WINDOW volume to copy 0 of the scaled data
