@@ -77,3 +77,16 @@ def test_attest_window_consistency():
     assert not unknown, f"unknown slugs in _ATTEST_FIRST: {unknown}"
     # changed/new slugs must sit inside the 50-slot window
     assert set(entry._CHANGED_THIS_ROUND) <= set(names[:50])
+
+
+def test_bench_names_registered():
+    """Every slug bench.py times must exist in the registry — a typo'd
+    name would silently drop a section entry (the _run loop indexes
+    registry.QUERIES directly)."""
+    import bench
+
+    for group in (bench.HEADLINE, bench.EXTENDED, bench.SF1_SUBSET):
+        unknown = set(group) - set(registry.QUERIES)
+        assert not unknown, f"bench names not in registry: {unknown}"
+        assert len(group) == len(set(group)), "duplicate bench entry"
+    assert not set(bench.HEADLINE) & set(bench.EXTENDED)
