@@ -73,8 +73,11 @@ _CHANGED_THIS_ROUND = [
     # stream_stateful_totals drains with a bounded awaitTermination.
     # New round-8 slugs: the user-blocked interval overlap (the
     # intervals family's decade-sweep representative), PMI collocation
-    # mining, dense-spine gap filling, and the bidirectional nearest
-    # as-of join.
+    # mining, dense-spine gap filling, the bidirectional nearest as-of
+    # join, per-source token entropy, hourly volume anomalies, the
+    # lang-ID confusion matrix, lang x source mutual information, the
+    # MinHash estimate-vs-exact calibration audit, and the REAL PPM
+    # codec path.
     "regex_extract_all",
     "bpe_pair_stats",
     "graph_search_age",
@@ -88,14 +91,15 @@ _CHANGED_THIS_ROUND = [
     "lang_confusion_matrix",
     "mutual_information",
     "minhash_estimate_vs_exact",
+    "multimodal_ppm_stats",
 ]
 
 _ATTEST_FIRST = _R5_STALE + _CHANGED_THIS_ROUND + [
     # Newest green row is CORRECTNESS_r06 — these fill the remaining
-    # window slots (34 stale + 4 changed + 12 of these = 50); the rest
-    # of the r6 tier rotates through rounds 9-10, within the freshness
-    # bound.  tools/check_queries.py full runs keep every slug locally
-    # verified meanwhile.
+    # window slots (34 stale + 14 changed/new + 2 of these = 50); the
+    # rest of the r6 tier rotates through rounds 9-10, within the
+    # freshness bound.  tools/check_queries.py full runs keep every
+    # slug locally verified meanwhile.
     "ann_cosine_topk",
     "ann_ivf_cells",
     "ann_lsh_bucketed",

@@ -123,6 +123,7 @@ EXTENDED = [
     "lang_confusion_matrix",
     "mutual_information",
     "minhash_estimate_vs_exact",
+    "multimodal_ppm_stats",
 ]
 
 

@@ -196,3 +196,87 @@ def sample_frames(df: DataFrame, every_n: int = 4) -> DataFrame:
             )
 
     return df.mapInPandas(frames, schema=FRAME_SCHEMA)
+
+
+PPM_SCHEMA = (
+    "doc_id long, width int, height int, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def attach_ppm_payload(df: DataFrame, width: int = 8) -> DataFrame:
+    """Synthesize a REAL binary-P6 image column from each doc's text
+    bytes (pixels = utf-8 bytes, zero-padded to a full raster) — gives
+    the real-codec path genuine image payloads without any media
+    library.  Codegen-only: header concat + rpad in Spark SQL."""
+    n_px_bytes = F.ceil(F.length(F.col("text")) / (3 * width)).cast("int") * (
+        3 * width
+    )
+    height = (n_px_bytes / (3 * width)).cast("int")
+    header = F.concat(
+        F.lit("P6\n"),
+        F.lit(str(width)),
+        F.lit(" "),
+        height.cast("string"),
+        F.lit("\n255\n"),
+    )
+    return df.select(
+        "doc_id",
+        F.concat(
+            F.encode(header, "utf-8"),
+            F.encode(F.rpad(F.col("text"), n_px_bytes, "\x00"), "utf-8"),
+        ).alias("payload"),
+    )
+
+
+def decode_ppm(df: DataFrame) -> DataFrame:
+    """REAL codec path (not a stub): parse binary PPM (P6) payloads and
+    compute per-channel pixel means — pure stdlib + numpy, so it runs
+    in this container, and the same mapInPandas contract as
+    decode_media (Arrow batches, executor-side, self-contained
+    closure).  Demonstrates that swapping the stub for a real decoder
+    is exactly the one-function change the stub docstring claims.
+
+    Malformed payloads (bad magic, truncated raster) yield a null-
+    dimension row rather than failing the batch — the posture a media
+    pipeline needs when one corrupt object must not kill a 100 TB job.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        def parse(payload: bytes):
+            try:
+                if not payload.startswith(b"P6"):
+                    return None
+                # header: magic, dims, maxval — whitespace-separated
+                parts = payload.split(b"\n", 3)
+                w, h = (int(x) for x in parts[1].split())
+                maxval = int(parts[2])
+                raster = parts[3][: w * h * 3]
+                if maxval != 255 or len(raster) < w * h * 3:
+                    return None
+                px = _np.frombuffer(raster, dtype=_np.uint8).reshape(-1, 3)
+                means = px.mean(axis=0)
+                return w, h, float(means[0]), float(means[1]), float(means[2])
+            except (ValueError, IndexError):
+                return None
+
+        for pdf in batches:
+            out = {
+                "doc_id": pdf["doc_id"], "width": [], "height": [],
+                "mean_r": [], "mean_g": [], "mean_b": [],
+            }
+            for payload in pdf["payload"]:
+                p = parse(payload)
+                if p is None:
+                    p = (None, None, None, None, None)
+                out["width"].append(p[0])
+                out["height"].append(p[1])
+                out["mean_r"].append(p[2])
+                out["mean_g"].append(p[3])
+                out["mean_b"].append(p[4])
+            yield _pd.DataFrame(out)
+
+    return df.mapInPandas(decode, schema=PPM_SCHEMA)

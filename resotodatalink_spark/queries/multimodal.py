@@ -7,11 +7,15 @@ ANSI SQL expresses exactly — ``generate_series`` reproduces even the
 1->N frame fan-out.  The corpus is pure ASCII (verified per-SF), so
 byte indexing and character indexing coincide and the oracles are
 bit-for-bit, proving the Arrow plumbing rather than just counting
-rows.  A real codec would drop the oracle back to rows-only."""
+rows.  Round 8 adds a REAL codec
+(multimodal_ppm_stats: binary PPM/P6 parsed with numpy) whose oracle
+is the same byte arithmetic — uint8 sums are exact in float64, so
+even the real decode is value-hash-verified."""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from resotodatalink_spark.operators.multimodal import attach_payload, decode_media
 from resotodatalink_spark.registry import query
@@ -136,3 +140,55 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = attach_payload(table(spark, sf_dir, "documents"))
     return sample_frames(d, every_n=4)
+
+
+@query(
+    "multimodal_ppm_stats",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id,
+             rpad(text,
+                  CAST(ceil(length(text) / 24.0) * 24 AS INTEGER),
+                  chr(0)) AS p
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           8 AS width,
+           CAST(length(p) / 24 AS INTEGER) AS height,
+           round(list_aggregate(list_transform(
+                   list_filter(range(1, length(p) + 1), i -> i % 3 = 1),
+                   i -> ascii(substring(p, i, 1))), 'avg'), 6) AS mean_r,
+           round(list_aggregate(list_transform(
+                   list_filter(range(1, length(p) + 1), i -> i % 3 = 2),
+                   i -> ascii(substring(p, i, 1))), 'avg'), 6) AS mean_g,
+           round(list_aggregate(list_transform(
+                   list_filter(range(1, length(p) + 1), i -> i % 3 = 0),
+                   i -> ascii(substring(p, i, 1))), 'avg'), 6) AS mean_b
+    FROM px
+    """,
+)
+def multimodal_ppm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL (non-stub) codec path, value-hash-verified: synthesize
+    binary PPM/P6 payloads from each doc's bytes (codegen header +
+    rpad), decode them with the numpy P6 parser inside mapInPandas
+    (operators/multimodal.decode_ppm), and emit image dims +
+    per-channel pixel means.  The oracle recomputes the means as pure
+    byte arithmetic over the same characters — uint8 sums are exact in
+    float64, so the Python decode is checked to the bit before the
+    cosmetic round.  Proves the stub-to-real swap claim: same
+    mapInPandas contract, one function changed."""
+    from resotodatalink_spark.operators.multimodal import (
+        attach_ppm_payload,
+        decode_ppm,
+    )
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    out = decode_ppm(attach_ppm_payload(d))
+    return out.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )

@@ -71,3 +71,41 @@ def test_sample_frames_fanout(spark):
     )
     assert len(out) == expected
     assert all(r.frame_idx % 4 == 0 for r in out)
+
+
+def test_ppm_real_codec_roundtrip(spark):
+    """The REAL (non-stub) codec path: synthesize P6 payloads, decode
+    with the numpy parser, and check dims + channel means exactly."""
+    from resotodatalink_spark.operators.multimodal import (
+        attach_ppm_payload,
+        decode_ppm,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "abcdefghijklmnopqrstuvwx"), (2, "zz")], "doc_id: long, text: string"
+    )
+    got = {r["doc_id"]: r for r in decode_ppm(attach_ppm_payload(df)).collect()}
+    # doc 1: 24 bytes = exactly one 8x1 row of RGB pixels
+    r1 = got[1]
+    assert (r1["width"], r1["height"]) == (8, 1)
+    px = [ord(c) for c in "abcdefghijklmnopqrstuvwx"]
+    assert r1["mean_r"] == sum(px[0::3]) / 8
+    assert r1["mean_g"] == sum(px[1::3]) / 8
+    assert r1["mean_b"] == sum(px[2::3]) / 8
+    # doc 2: 2 bytes zero-padded to one full 8-pixel row
+    r2 = got[2]
+    assert (r2["width"], r2["height"]) == (8, 1)
+    assert r2["mean_r"] == (ord("z") + 0 + 0) / 8  # 'z', then pad zeros
+
+
+def test_ppm_decoder_tolerates_corrupt_payloads(spark):
+    """A corrupt object yields a null row, never a failed batch."""
+    from resotodatalink_spark.operators.multimodal import decode_ppm
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"NOTAPPM")), (2, bytearray(b"P6\n8 9\n255\nshort"))],
+        "doc_id: long, payload: binary",
+    )
+    rows = {r["doc_id"]: r for r in decode_ppm(df).collect()}
+    assert rows[1]["width"] is None
+    assert rows[2]["width"] is None  # truncated raster
