@@ -76,8 +76,8 @@ _CHANGED_THIS_ROUND = [
     # mining, dense-spine gap filling, the bidirectional nearest as-of
     # join, per-source token entropy, hourly volume anomalies, the
     # lang-ID confusion matrix, lang x source mutual information, the
-    # MinHash estimate-vs-exact calibration audit, and the REAL PPM
-    # codec path.
+    # MinHash estimate-vs-exact calibration audit, the REAL PPM
+    # codec path, and the ANN recall@k audit.
     "regex_extract_all",
     "bpe_pair_stats",
     "graph_search_age",
@@ -92,11 +92,12 @@ _CHANGED_THIS_ROUND = [
     "mutual_information",
     "minhash_estimate_vs_exact",
     "multimodal_ppm_stats",
+    "ann_recall_at_k",
 ]
 
 _ATTEST_FIRST = _R5_STALE + _CHANGED_THIS_ROUND + [
     # Newest green row is CORRECTNESS_r06 — these fill the remaining
-    # window slots (34 stale + 14 changed/new + 2 of these = 50); the
+    # window slots (34 stale + 15 changed/new + 1 of these = 50); the
     # rest of the r6 tier rotates through rounds 9-10, within the
     # freshness bound.  tools/check_queries.py full runs keep every
     # slug locally verified meanwhile.

@@ -124,6 +124,7 @@ EXTENDED = [
     "mutual_information",
     "minhash_estimate_vs_exact",
     "multimodal_ppm_stats",
+    "ann_recall_at_k",
 ]
 
 

@@ -948,3 +948,85 @@ def sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cosine"),
         )
     )
+
+
+@query(
+    "ann_recall_at_k",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_N_QUERIES}),
+    c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= {_N_QUERIES}),
+    sims AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {V.cosine_duck('q.embedding', 'c.embedding')} AS cosine
+      FROM q, c
+    ),
+    top5 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM sims
+      ) r WHERE rank <= {_TOPK}
+    ),
+    b AS (
+      SELECT vec_id, {V.lsh_bucket_duck('embedding')} AS bucket FROM embeddings
+    ),
+    cand AS (
+      SELECT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+      FROM (SELECT * FROM b WHERE vec_id < {_N_QUERIES}) qb
+      JOIN (SELECT * FROM b WHERE vec_id >= {_N_QUERIES}) cb
+        ON qb.bucket = cb.bucket
+    ),
+    hits AS (
+      SELECT t.query_id, count(*) AS n
+      FROM top5 t JOIN cand x
+        ON x.query_id = t.query_id AND x.neighbor_id = t.neighbor_id
+      GROUP BY t.query_id
+    )
+    SELECT qs.query_id,
+           CAST(coalesce(h.n, 0) AS INTEGER) AS n_hit,
+           round(coalesce(h.n, 0) / {_TOPK}.0, 6) AS recall_at_5
+    FROM (SELECT DISTINCT query_id FROM top5) qs
+    LEFT JOIN hits h ON h.query_id = qs.query_id
+    """,
+)
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN-index calibration audit: per query, recall@5 of the LSH
+    bucket's candidate set against the EXACT top-5 — the number an ANN
+    deployment publishes before anyone trades exactness for the bucket
+    join (the similarity-family sibling of minhash_estimate_vs_exact).
+
+    Scale shape: the exact baseline is ann_cosine_topk's allowlisted
+    constant-query-set broadcast (an eval op runs on a SAMPLE of
+    queries by construction — the audit cost is queries x corpus, with
+    queries fixed); the candidate side is the same bucket equi-join
+    the production index uses; the recall join keys on
+    (query, neighbor), both frames bounded by queries x k and
+    queries x bucket size."""
+    exact = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    e = _spread(table(spark, sf_dir, "embeddings"), "vec_id")
+    b = e.select(
+        "vec_id", V.lsh_bucket_spark("embedding").alias("bucket")
+    ).localCheckpoint(eager=False)
+    qb = b.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "bucket"
+    )
+    cb = b.filter(F.col("vec_id") >= _N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), "bucket"
+    )
+    cand = cb.join(F.broadcast(qb), "bucket").select("query_id", "neighbor_id")
+    hits = (
+        exact.join(cand, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n"))
+    )
+    queries_frame = exact.select("query_id").distinct()
+    return (
+        queries_frame.join(hits, "query_id", "left")
+        .withColumn("n_hit", F.coalesce(F.col("n"), F.lit(0)).cast("int"))
+        .select(
+            "query_id",
+            "n_hit",
+            F.round(F.col("n_hit") / float(_TOPK), 6).alias("recall_at_5"),
+        )
+    )

@@ -34,6 +34,9 @@ The allowlist is intentional, not historical:
 * anomaly_zscore_hours — composes timeseries_gapfill's plan (same
   bounded spine cross join) and adds only a window over the bounded
   dense frame.
+* ann_recall_at_k — the recall audit's exact baseline IS
+  ann_cosine_topk's allowlisted constant-query-set broadcast; an eval
+  op runs on a fixed query sample by construction.
 """
 
 from __future__ import annotations
@@ -56,6 +59,7 @@ CARTESIAN_OK = {
     "ngram_collocations",
     "timeseries_gapfill",
     "anomaly_zscore_hours",
+    "ann_recall_at_k",
 }
 
 
