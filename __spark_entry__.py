@@ -77,7 +77,10 @@ _CHANGED_THIS_ROUND = [
     # join, per-source token entropy, hourly volume anomalies, the
     # lang-ID confusion matrix, lang x source mutual information, the
     # MinHash estimate-vs-exact calibration audit, the REAL PPM
-    # codec path, and the ANN recall@k audit.
+    # codec path, the ANN recall@k audit, exact duplicated-span
+    # detection (positioned 5-gram posting list), cross-table blocked
+    # record linkage, winnowing fingerprint selection, and the vocab
+    # coverage curve.
     "regex_extract_all",
     "bpe_pair_stats",
     "graph_search_age",
@@ -86,13 +89,22 @@ _CHANGED_THIS_ROUND = [
     "ngram_collocations",
     "timeseries_gapfill",
     "nearest_event_join",
-    "token_entropy_by_source",
     "anomaly_zscore_hours",
-    "lang_confusion_matrix",
-    "mutual_information",
     "minhash_estimate_vs_exact",
     "multimodal_ppm_stats",
     "ann_recall_at_k",
+    "dup_span_detect",
+    "record_linkage_blocked",
+    "winnow_fingerprints",
+    "vocab_coverage",
+    # 34 stale + 16 above fill the 50-slot window exactly.  The three
+    # new single-scan diagnostics below are the DELIBERATE spill to the
+    # r9 window (simplest plans of the new batch — one scan, bounded
+    # aggregate, no joins; all locally value-hash-green at sf0.01 and
+    # sf0.1): they rank 51-53 and lead the r9 rotation.
+    "token_entropy_by_source",
+    "lang_confusion_matrix",
+    "mutual_information",
 ]
 
 _ATTEST_FIRST = _R5_STALE + _CHANGED_THIS_ROUND + [

@@ -125,6 +125,10 @@ EXTENDED = [
     "minhash_estimate_vs_exact",
     "multimodal_ppm_stats",
     "ann_recall_at_k",
+    "dup_span_detect",
+    "record_linkage_blocked",
+    "winnow_fingerprints",
+    "vocab_coverage",
 ]
 
 

@@ -149,3 +149,32 @@ def duck_shingle_cte(table: str, id_col: str, text_col: str, n: int = 3) -> str:
       SELECT {id_col}, {str_hash_sql(sh)} AS h FROM __grams
     )
     """
+
+
+def duck_shingle_pos_cte(
+    table: str, id_col: str, text_col: str, n: int = 3
+) -> str:
+    """DuckDB CTE body producing ``__hashes(id, pos, span, h)`` —
+    POSITIONED word n-grams with the gram text kept.  Unlike
+    :func:`duck_shingle_cte` there is no 1-shingle floor: documents
+    shorter than ``n`` tokens contribute no rows (position semantics
+    would be meaningless for a padded partial gram)."""
+    return f"""
+    __toks AS (
+      SELECT {id_col}, string_split({text_col}, ' ') AS t FROM {table}
+    ),
+    __grams AS (
+      SELECT {id_col},
+             unnest(generate_series(1, len(t) - {n - 1}))::BIGINT AS pos,
+             t
+      FROM __toks WHERE len(t) >= {n}
+    ),
+    __spans AS (
+      SELECT {id_col}, pos,
+             array_to_string(list_slice(t, pos, pos + {n - 1}), ' ') AS span
+      FROM __grams
+    ),
+    __hashes AS (
+      SELECT {id_col}, pos, span, {str_hash_sql('span')} AS h FROM __spans
+    )
+    """

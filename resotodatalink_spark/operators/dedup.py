@@ -79,6 +79,33 @@ def shingle_hashes(
     return sh.select(F.col(id_col), F.expr(str_hash_sql("__sh")).alias("h"))
 
 
+def shingle_hashes_pos(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, pos, span, h): positioned word n-grams with the gram text
+    kept (span dedup / winnowing need positions; the span column prunes
+    away for callers that only read h).  No 1-shingle floor: documents
+    shorter than ``n`` tokens contribute no rows — a padded partial gram
+    has no meaningful position.  Same staged explode-then-project shape
+    as :func:`shingle_hashes` (codegen + CSE, no lambda interpretation)."""
+    from resotodatalink_spark.functions.hashing import str_hash_sql
+
+    toks = docs.select(F.col(id_col), F.split(text_col, " ").alias("__toks"))
+    pos = toks.filter(F.size("__toks") >= n).select(
+        F.col(id_col),
+        "__toks",
+        F.explode(F.expr(f"sequence(1, size(__toks) - {n - 1})")).alias("pos"),
+    )
+    sp = pos.select(
+        F.col(id_col),
+        "pos",
+        F.expr(f"array_join(slice(__toks, pos, {n}), ' ')").alias("span"),
+    )
+    return sp.select(
+        F.col(id_col), "pos", "span", F.expr(str_hash_sql("span")).alias("h")
+    )
+
+
 def minhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:

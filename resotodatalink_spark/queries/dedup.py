@@ -503,3 +503,114 @@ def minhash_estimate_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(exact, 6).alias("jaccard_exact"),
         F.round(F.abs(est - exact), 6).alias("abs_err"),
     )
+
+
+@query(
+    "dup_span_detect",
+    oracle=f"""
+    WITH {H.duck_shingle_pos_cte("documents", "doc_id", "text", 5)}
+    SELECT h,
+           CAST(count(DISTINCT doc_id) AS INTEGER) AS n_docs,
+           CAST(count(*) AS INTEGER) AS n_occ,
+           min(span) AS span,
+           min(doc_id) AS first_doc
+    FROM __hashes
+    GROUP BY h
+    HAVING count(DISTINCT doc_id) >= 2
+    ORDER BY n_docs DESC, n_occ DESC, h
+    LIMIT 20
+    """,
+)
+def dup_span_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span detection: the top word-5-gram spans that
+    repeat ACROSS documents (the exact-substring dedup signal of Lee et
+    al., "Deduplicating Training Data Makes Language Models Better" —
+    their suffix-array pass finds repeated spans; the distributed
+    formulation is a positioned n-gram posting list, which finds every
+    repeat of length >= n as a run of duplicated n-grams).
+
+    Scale shape: ONE map-side-combined groupBy on the span hash — no
+    join anywhere, so the only shuffle is the posting aggregation, and
+    the HAVING >= 2 docs prunes the (dominant) unique-span mass before
+    the top-k.  The span text rides along as min(span): equal for every
+    occurrence of the same gram, so the aggregate stays combinable.
+    At 100 TB the same plan holds; the global top-20 is a TakeOrdered
+    over per-partition top-20s, never a full sort."""
+    from resotodatalink_spark.operators.dedup import shingle_hashes_pos
+
+    d = table(spark, sf_dir, "documents")
+    g = shingle_hashes_pos(d, n=5)
+    agg = g.groupBy("h").agg(
+        F.countDistinct("doc_id").cast("int").alias("n_docs"),
+        F.count("*").cast("int").alias("n_occ"),
+        F.min("span").alias("span"),
+        F.min("doc_id").alias("first_doc"),
+    )
+    return (
+        agg.filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), F.desc("n_occ"), "h")
+        .limit(20)
+    )
+
+
+@query(
+    "record_linkage_blocked",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey, c_name,
+             CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT) % 100
+               AS blk
+      FROM customer
+    ),
+    s AS (
+      SELECT s_suppkey, s_name,
+             CAST(regexp_extract(s_name, '([0-9]+)$', 1) AS BIGINT) % 100
+               AS blk
+      FROM supplier
+    )
+    SELECT c.c_custkey, s.s_suppkey, c.c_name, s.s_name,
+           CAST(levenshtein(c.c_name, s.s_name) AS INTEGER) AS lev
+    FROM c JOIN s ON c.blk = s.blk
+    WHERE levenshtein(c.c_name, s.s_name) <= 6
+    """,
+)
+def record_linkage_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-TABLE record linkage (entity resolution), the two-dataset
+    sibling of self-dedup: link customer records to supplier records
+    whose names are within edit distance 6 (the constant 5-letter
+    Customer/Supplier prefix substitution plus at most one digit edit),
+    blocking on the trailing-number % 100 so the verify join is an
+    equi-join on a bounded block key — never a cross product.
+
+    Scale shape: blocks bound candidate volume (each probe row meets
+    only its block's build rows); the build side here is the 100x
+    smaller supplier table, explicitly broadcast — at 100 TB with two
+    large tables the same plan degrades gracefully to a sort-merge on
+    blk.  levenshtein runs codegen-side in both engines (identical
+    Wagner-Fischer semantics)."""
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        (F.regexp_extract("c_name", "([0-9]+)$", 1).cast("bigint") % 100).alias(
+            "blk"
+        ),
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_name",
+        (F.regexp_extract("s_name", "([0-9]+)$", 1).cast("bigint") % 100).alias(
+            "blk"
+        ),
+    )
+    lev = F.levenshtein("c_name", "s_name")
+    return (
+        c.join(F.broadcast(s), "blk")
+        .filter(lev <= 6)
+        .select(
+            "c_custkey",
+            "s_suppkey",
+            "c_name",
+            "s_name",
+            lev.cast("int").alias("lev"),
+        )
+    )

@@ -993,3 +993,146 @@ def mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     return joint.select("lang", "source", "n", mi.alias("mi_contrib"))
+
+
+@query(
+    "winnow_fingerprints",
+    oracle=f"""
+    WITH {H.duck_shingle_pos_cte("documents", "doc_id", "text", 3)},
+    __keyed AS (
+      SELECT doc_id, pos,
+             h * 1048576 + (1048575 - pos) AS key,
+             count(*) OVER (PARTITION BY doc_id) AS n_grams
+      FROM __hashes
+    ),
+    __win AS (
+      SELECT doc_id, n_grams, pos,
+             min(key) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING
+             ) AS sel
+      FROM __keyed
+    ),
+    __sel AS (
+      SELECT DISTINCT doc_id, n_grams, sel
+      FROM __win WHERE pos <= n_grams - 3
+    )
+    SELECT doc_id,
+           CAST(n_grams AS INTEGER) AS n_grams,
+           CAST(count(*) AS INTEGER) AS n_fps,
+           round(count(*) * 1.0 / n_grams, 6) AS density
+    FROM __sel GROUP BY doc_id, n_grams
+    """,
+)
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): over each window of w=4
+    consecutive word-3-gram hashes pick the minimum (rightmost on
+    ties); the distinct picks are the document's fingerprints, with
+    the guarantee density in [1/w, 2/(w+1)] for random hashes.
+    doc_fingerprint keeps global min/max/mix; this is the positional
+    selection a plagiarism/overlap index actually stores.
+
+    Cross-engine trick: the (h, rightmost-pos) tie-break is encoded in
+    ONE bigint — key = h * 2^20 + (2^20-1 - pos) — so both engines run
+    a plain min() window (Spark's struct-min has no DuckDB window
+    equivalent).  pos < 2^20 holds for any document this engine chunks
+    (text_chunking caps segments long before a million grams).
+
+    Scale shape: one shuffle on doc_id feeds BOTH windows (count and
+    the frame min share the sort); the frame is per-document, so the
+    state is w rows — no corpus-sized window anywhere."""
+    from resotodatalink_spark.operators.dedup import shingle_hashes_pos
+
+    d = table(spark, sf_dir, "documents")
+    g = shingle_hashes_pos(d, n=3)
+    keyed = g.select(
+        "doc_id",
+        "pos",
+        (F.col("h") * 1048576 + (1048575 - F.col("pos"))).alias("key"),
+    ).withColumn("n_grams", F.count("*").over(W.partitionBy("doc_id")))
+    win = keyed.withColumn(
+        "sel",
+        F.min("key").over(
+            W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+        ),
+    )
+    sel = (
+        win.filter(F.col("pos") <= F.col("n_grams") - 3)
+        .select("doc_id", "n_grams", "sel")
+        .distinct()
+    )
+    return sel.groupBy("doc_id", "n_grams").agg(
+        F.count("*").cast("int").alias("n_fps"),
+        F.round(F.count("*") / F.col("n_grams"), 6).alias("density"),
+    ).select(
+        "doc_id",
+        F.col("n_grams").cast("int").alias("n_grams"),
+        "n_fps",
+        "density",
+    )
+
+
+@query(
+    "vocab_coverage",
+    oracle="""
+    WITH counts AS (
+      SELECT tok, count(*) AS cnt
+      FROM (
+        SELECT unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents
+      ) WHERE tok <> ''
+      GROUP BY tok
+    ),
+    ranked AS (
+      SELECT tok, cnt,
+             row_number() OVER (ORDER BY cnt DESC, tok) AS rnk,
+             sum(cnt) OVER (
+               ORDER BY cnt DESC, tok
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum,
+             sum(cnt) OVER () AS total
+      FROM counts
+    )
+    SELECT CAST(rnk AS INTEGER) AS vocab_size,
+           round(cum * 1.0 / total, 6) AS coverage,
+           tok AS boundary_token,
+           CAST(cnt AS INTEGER) AS boundary_count
+    FROM ranked WHERE rnk IN (3, 10, 30)
+    """,
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-budget planning: what share of the corpus token mass a
+    top-N word vocabulary covers, at N = 3 / 10 / 30 (the coverage
+    curve every vocab/BPE sizing decision reads first; checkpoints sized to the synthetic corpus's ~31-word vocabulary).  Deterministic
+    rank ties break on the token string.
+
+    Scale shape: the corpus-sized work is ONE map-side-combined token
+    count; the ranking/cumsum windows run over the VOCABULARY frame
+    (bounded by distinct tokens, not corpus rows).  The unpartitioned
+    windows are justified the same way as class_rebalance's: the frame
+    is the count table.  At 100 TB with a pathological vocabulary you
+    would two-stage the cumsum (per-bucket partials + prefix of bucket
+    totals); the plan guard pins today's single-partition window to
+    this bounded frame."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    order = [F.desc("cnt"), F.asc("tok")]
+    ranked = counts.select(
+        "tok",
+        "cnt",
+        F.row_number().over(W.partitionBy().orderBy(*order)).alias("rnk"),
+        F.sum("cnt")
+        .over(W.partitionBy().orderBy(*order).rowsBetween(W.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum("cnt").over(W.partitionBy()).alias("total"),
+    )
+    return ranked.filter(F.col("rnk").isin(3, 10, 30)).select(
+        F.col("rnk").cast("int").alias("vocab_size"),
+        F.round(F.col("cum") / F.col("total"), 6).alias("coverage"),
+        F.col("tok").alias("boundary_token"),
+        F.col("cnt").cast("int").alias("boundary_count"),
+    )
