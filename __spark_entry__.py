@@ -97,14 +97,23 @@ _CHANGED_THIS_ROUND = [
     "record_linkage_blocked",
     "winnow_fingerprints",
     "vocab_coverage",
-    # 34 stale + 16 above fill the 50-slot window exactly.  The three
-    # new single-scan diagnostics below are the DELIBERATE spill to the
-    # r9 window (simplest plans of the new batch — one scan, bounded
-    # aggregate, no joins; all locally value-hash-green at sf0.01 and
-    # sf0.1): they rank 51-53 and lead the r9 rotation.
+    # 34 stale + 16 above fill the 50-slot window exactly.  The slugs
+    # below are the DELIBERATE spill to the r9 window, which they lead:
+    # three new single-scan diagnostics (one scan, bounded aggregate,
+    # no joins), then the third-wave slugs (simhash calibration audit,
+    # TPC-H q7 shape, IVF balance audit, triangle counting) and the two
+    # extract-method refactor hosts (dedup_simhash, ann_ivf_cells —
+    # plan-identical, value-hash-equal before/after, guards green).
+    # Every one is locally value-hash-green at sf0.01 AND sf0.1.
     "token_entropy_by_source",
     "lang_confusion_matrix",
     "mutual_information",
+    "simhash_hamming_audit",
+    "tpch_q7_shape",
+    "ivf_cell_balance",
+    "graph_triangle_count",
+    "dedup_simhash",
+    "ann_ivf_cells",
 ]
 
 _ATTEST_FIRST = _R5_STALE + _CHANGED_THIS_ROUND + [
@@ -114,7 +123,6 @@ _ATTEST_FIRST = _R5_STALE + _CHANGED_THIS_ROUND + [
     # freshness bound.  tools/check_queries.py full runs keep every
     # slug locally verified meanwhile.
     "ann_cosine_topk",
-    "ann_ivf_cells",
     "ann_lsh_bucketed",
     "ann_lsh_multiprobe",
     "corpus_stats",
@@ -124,7 +132,6 @@ _ATTEST_FIRST = _R5_STALE + _CHANGED_THIS_ROUND + [
     "dedup_exact",
     "dedup_minhash",
     "dedup_paragraph",
-    "dedup_simhash",
     "embedding_centroids",
     "embedding_quantize",
     "global_shuffle",

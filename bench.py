@@ -129,6 +129,10 @@ EXTENDED = [
     "record_linkage_blocked",
     "winnow_fingerprints",
     "vocab_coverage",
+    "simhash_hamming_audit",
+    "tpch_q7_shape",
+    "ivf_cell_balance",
+    "graph_triangle_count",
 ]
 
 

@@ -290,14 +290,15 @@ def simhash_signatures(
     )
 
 
-def simhash_pairs(
-    sig: DataFrame, max_hamming: int = 2, id_col: str = "doc_id", n_bits: int = 16
+def simhash_block_candidates(
+    sig: DataFrame, n_blocks: int, id_col: str = "doc_id", n_bits: int = 16
 ) -> DataFrame:
-    """(doc_a, doc_b, hamming <= max_hamming) via pigeonhole blocking:
-    split the signature into max_hamming+1 blocks; any pair within the
-    hamming budget must match exactly on >= 1 block, so a per-block
-    equi-join finds all candidates without an n^2 scan."""
-    n_blocks = max_hamming + 1
+    """(doc_a, doc_b, hamming): the UNFILTERED pigeonhole candidate set
+    — every pair agreeing on >= 1 of ``n_blocks`` signature blocks,
+    with its exact hamming distance.  :func:`simhash_pairs` is this
+    plus the threshold filter; the calibration audit reads the raw
+    histogram to see how much verify work the block join generates
+    per hamming bucket."""
     width = -(-n_bits // n_blocks)  # ceil
     mask = (1 << width) - 1
     blocks = sig.select(
@@ -334,9 +335,20 @@ def simhash_pairs(
         .withColumn(
             "hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int")
         )
-        .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def simhash_pairs(
+    sig: DataFrame, max_hamming: int = 2, id_col: str = "doc_id", n_bits: int = 16
+) -> DataFrame:
+    """(doc_a, doc_b, hamming <= max_hamming) via pigeonhole blocking:
+    split the signature into max_hamming+1 blocks; any pair within the
+    hamming budget must match exactly on >= 1 block, so a per-block
+    equi-join finds all candidates without an n^2 scan."""
+    return simhash_block_candidates(
+        sig, max_hamming + 1, id_col, n_bits
+    ).filter(F.col("hamming") <= max_hamming)
 
 
 def jaccard_pairs(

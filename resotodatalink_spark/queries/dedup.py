@@ -614,3 +614,50 @@ def record_linkage_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             lev.cast("int").alias("lev"),
         )
     )
+
+
+@query(
+    "simhash_hamming_audit",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    hh AS (SELECT doc_id, {_SIMHASH_HH} AS hh FROM toks),
+    votes AS (SELECT doc_id, {_SIMHASH_SUMS}, count(*) AS n FROM hh GROUP BY doc_id),
+    sig AS (SELECT doc_id, CAST({_SIMHASH_VAL} AS BIGINT) AS simhash FROM votes),
+    cand AS (
+      SELECT bit_count(xor(a.simhash, b.simhash)) AS hamming
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE (a.simhash & 255) = (b.simhash & 255)
+         OR ((a.simhash >> 8) & 255) = ((b.simhash >> 8) & 255)
+    )
+    SELECT CAST(hamming AS INTEGER) AS hamming,
+           CAST(count(*) AS INTEGER) AS n_pairs,
+           hamming <= 1 AS within_threshold
+    FROM cand GROUP BY hamming
+    """,
+)
+def simhash_hamming_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash calibration (completes the sketch-audit trilogy with
+    minhash_estimate_vs_exact and ann_recall_at_k): the exact hamming
+    HISTOGRAM of the raw pigeonhole candidate set, i.e. how much
+    verify work the 2-block equi-join generates per hamming bucket
+    and what fraction survives the hamming <= 1 threshold.  The
+    number that decides whether a signature is wide enough: when the
+    out-of-threshold buckets dominate, the block join is doing n^2
+    work in disguise and the signature needs more bits (the
+    simhash_signatures docstring's birthday-bound note, measured).
+
+    Scale shape: identical to dedup_simhash (sort-merge block
+    self-join, never broadcast) plus one bounded (<= n_bits+1 rows)
+    map-side-combined histogram aggregate."""
+    d = table(spark, sf_dir, "documents")
+    sig = D.simhash_signatures(d)
+    cand = D.simhash_block_candidates(sig, n_blocks=2)
+    return cand.groupBy("hamming").agg(
+        F.count("*").cast("int").alias("n_pairs")
+    ).select(
+        "hamming",
+        "n_pairs",
+        (F.col("hamming") <= 1).alias("within_threshold"),
+    )

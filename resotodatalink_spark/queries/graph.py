@@ -884,3 +884,115 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = pagerank(edges, iterations=3, damping=0.85, quantize=1e12)
     return ranks.select("node_id", F.round("rank", 6).alias("rank"))
+
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+    WITH q AS (
+      SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 40
+    ),
+    pairs AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM q a JOIN q b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_partkey < b.l_partkey
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM pairs e1
+      JOIN pairs e2 ON e2.u = e1.u AND e2.v > e1.v
+      JOIN pairs e3 ON e3.u = e1.v AND e3.v = e2.v
+    ),
+    nodes AS (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    SELECT node, CAST(count(*) AS INTEGER) AS n_triangles
+    FROM nodes GROUP BY node
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the co-purchase graph (parts
+    co-occurring in a high-quantity order — a sparse, SF-linear graph:
+    ~5.7k edges/1.6k triangles at sf0.01, ~58k/17k at sf0.1), the
+    clustering-coefficient building block.
+
+    Scale shape — the degree-ordered algorithm (Cohen's MapReduce
+    triangle enumeration / the "compact-forward" order): orient every
+    edge from the (degree, id)-SMALLER endpoint to the larger, so each
+    wedge is enumerated at its lowest-rank apex exactly once and the
+    per-node wedge fan-out is bounded by the oriented out-degree,
+    which the orientation caps near sqrt(m) even for power-law graphs
+    — the naive id-ordered oracle enumerates the same triangle set but
+    concentrates all wedges on low-id hubs.  Both joins are equi-joins
+    (apex; then (b,c) edge lookup), sort-merge-pinned per the
+    corpus-self-join house rule.  The rank packs (degree, id) into one
+    bigint (degree * 2^32 + id) so the wedge inequality is a single
+    long compare."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 40)
+        .select("l_orderkey", "l_partkey")
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(b.hint("merge"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("n"))
+        .unionAll(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    ed = (
+        edges.join(
+            deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u"
+        )
+        .join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
+        .select(
+            "u",
+            "v",
+            (F.col("du") * F.lit(4294967296).cast("long") + F.col("u")).alias(
+                "rku"
+            ),
+            (F.col("dv") * F.lit(4294967296).cast("long") + F.col("v")).alias(
+                "rkv"
+            ),
+        )
+    )
+    lo_first = F.col("rku") < F.col("rkv")
+    o = ed.select(
+        F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.greatest("rku", "rkv").alias("rk_dst"),
+    ).localCheckpoint(eager=False)  # three-way self-joined below
+    e1 = o.select(
+        F.col("src").alias("wa"), F.col("dst").alias("wb"),
+        F.col("rk_dst").alias("rkb"),
+    )
+    e2 = o.select(
+        F.col("src").alias("wa"), F.col("dst").alias("wc"),
+        F.col("rk_dst").alias("rkc"),
+    )
+    wedges = e1.join(e2.hint("merge"), "wa").filter(F.col("rkb") < F.col("rkc"))
+    closing = o.select(
+        F.col("src").alias("wb"), F.col("dst").alias("wc")
+    )
+    tri = wedges.join(closing.hint("merge"), ["wb", "wc"]).select(
+        "wa", "wb", "wc"
+    )
+    nodes = (
+        tri.select(F.col("wa").alias("node"))
+        .unionAll(tri.select(F.col("wb").alias("node")))
+        .unionAll(tri.select(F.col("wc").alias("node")))
+    )
+    return nodes.groupBy("node").agg(
+        F.count("*").cast("int").alias("n_triangles")
+    )

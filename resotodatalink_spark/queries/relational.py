@@ -1624,3 +1624,78 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("value").over(w).alias("last_val"),
         F.nth_value("value", 2).over(w).alias("second_val"),
     )
+
+
+@query(
+    "tpch_q7_shape",
+    oracle=f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+           sum({_CENTS}) / 10000.0 AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+      AND cn.n_name IN ('NATION_1', 'NATION_2')
+      AND sn.n_name <> cn.n_name
+      AND l.l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1, 2, 3
+    """,
+)
+def tpch_q7_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7-shaped volume-shipping query: revenue flowing between two
+    named nations per ship year — six joins with a cross-nation
+    anti-symmetry predicate.
+
+    Join order at scale: the two-nation restriction lands FIRST, on
+    the dimension side (nation filtered to 2 rows, broadcast into
+    supplier and customer), so the supplier/customer fact joins start
+    ~12x smaller; the date window pushes into the lineitem scan.  The
+    (A,B)|(B,A) disjunction collapses to ``supp_nation <> cust_nation``
+    once both sides are restricted to the two nations — a broadcastable
+    equi-join plan with a residual filter instead of a join-OR (which
+    would force a nested-loop)."""
+    nn = table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    s = table(spark, sf_dir, "supplier").join(
+        F.broadcast(
+            nn.select(
+                F.col("n_nationkey").alias("snk"),
+                F.col("n_name").alias("supp_nation"),
+            )
+        ),
+        F.col("s_nationkey") == F.col("snk"),
+    )
+    c = table(spark, sf_dir, "customer").join(
+        F.broadcast(
+            nn.select(
+                F.col("n_nationkey").alias("cnk"),
+                F.col("n_name").alias("cust_nation"),
+            )
+        ),
+        F.col("c_nationkey") == F.col("cnk"),
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    o = table(spark, sf_dir, "orders")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg((F.sum(cents * (100 - disc)) / 10000.0).alias("revenue"))
+    )

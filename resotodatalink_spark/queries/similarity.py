@@ -315,11 +315,10 @@ def dedup_embedding(
 _IVF_DOT_QC = V.dot_duck("e.embedding", "c.embedding")
 _IVF_NORM_C = f"sqrt({V.dot_duck('c.embedding', 'c.embedding')})"
 
-
-@query(
-    "ann_ivf_cells",
-    oracle=f"""
-    WITH params AS (
+# Shared coarse-quantization CTE chain (ann_ivf_cells + ivf_cell_balance):
+# deterministic ~32-centroid subset, codegen'd argmax assignment.
+_IVF_ASSIGN_CTE = f"""
+    params AS (
       SELECT CAST(ceil(count(*) / 32.0) AS BIGINT) AS stride FROM embeddings
     ),
     cents AS (
@@ -337,39 +336,16 @@ _IVF_NORM_C = f"sqrt({V.dot_duck('c.embedding', 'c.embedding')})"
           PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
         FROM scored
       ) t WHERE rn = 1
-    ),
-    b AS (
-      SELECT a.vec_id, a.cell, e.embedding
-      FROM assigned a JOIN embeddings e ON a.vec_id = e.vec_id
-    ),
-    q AS (SELECT * FROM b WHERE vec_id < 10),
-    c AS (SELECT * FROM b WHERE vec_id >= 10),
-    sims AS (
-      SELECT q.vec_id AS query_id, q.cell AS cell, c.vec_id AS neighbor_id,
-             {V.cosine_duck('q.embedding', 'c.embedding')} AS cosine
-      FROM q JOIN c ON q.cell = c.cell
     )
-    SELECT query_id, cell, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
-    FROM (
-      SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY cosine DESC, neighbor_id) AS rank
-      FROM sims
-    ) r WHERE rank <= 3
-    """,
-)
-def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: coarse-quantize every vector to its nearest
-    centroid (deterministic centroid subset — in production these come
-    from k-means), then search only the query's cell.  The centroid
-    table is broadcast; assignment is a codegen'd argmax; candidate
-    retrieval is a cell equi-join — the same inverted-file shape FAISS
-    IVF uses, expressed relationally.
+"""
 
-    The centroid COUNT is fixed (~32) regardless of corpus size: the
-    stride is derived from count(*) as a broadcast scalar, keeping
-    assignment cost O(n * k) with constant k.  (A fixed modulus made k
-    grow with n — the sf1 sweep measured the resulting O(n^2/61)
-    assignment at 37x the sf0.1 wall for 10x the data.)"""
+
+def _ivf_assign(spark: SparkSession, sf_dir: str):
+    """(e, assigned): the IVF coarse-quantization step shared by
+    ann_ivf_cells and ivf_cell_balance — spread embeddings frame plus
+    (vec_id, cell) assignment via broadcast-centroid argmax.  See
+    ann_ivf_cells for the full plan rationale (constant centroid
+    budget, hash-aggregate argmax)."""
     # NOT pre-cast to array<double>: it folds dot_spark's per-element
     # casts to no-ops but doubles every byte through the repartition
     # and checkpoint — measured 2x SLOWER at sf1 (shuffle-bandwidth
@@ -402,6 +378,46 @@ def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max(F.struct("score", (-F.col("cid")).alias("ncid"))).alias("m"))
         .select("vec_id", (-F.col("m.ncid")).alias("cell"))
     )
+    return e, assigned
+
+
+@query(
+    "ann_ivf_cells",
+    oracle=f"""
+    WITH {_IVF_ASSIGN_CTE},
+    b AS (
+      SELECT a.vec_id, a.cell, e.embedding
+      FROM assigned a JOIN embeddings e ON a.vec_id = e.vec_id
+    ),
+    q AS (SELECT * FROM b WHERE vec_id < 10),
+    c AS (SELECT * FROM b WHERE vec_id >= 10),
+    sims AS (
+      SELECT q.vec_id AS query_id, q.cell AS cell, c.vec_id AS neighbor_id,
+             {V.cosine_duck('q.embedding', 'c.embedding')} AS cosine
+      FROM q JOIN c ON q.cell = c.cell
+    )
+    SELECT query_id, cell, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM sims
+    ) r WHERE rank <= 3
+    """,
+)
+def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse-quantize every vector to its nearest
+    centroid (deterministic centroid subset — in production these come
+    from k-means), then search only the query's cell.  The centroid
+    table is broadcast; assignment is a codegen'd argmax; candidate
+    retrieval is a cell equi-join — the same inverted-file shape FAISS
+    IVF uses, expressed relationally.
+
+    The centroid COUNT is fixed (~32) regardless of corpus size: the
+    stride is derived from count(*) as a broadcast scalar, keeping
+    assignment cost O(n * k) with constant k.  (A fixed modulus made k
+    grow with n — the sf1 sweep measured the resulting O(n^2/61)
+    assignment at 37x the sf0.1 wall for 10x the data.)"""
+    e, assigned = _ivf_assign(spark, sf_dir)
     b = assigned.join(e, "vec_id").select(
         "vec_id",
         "cell",
@@ -1029,4 +1045,50 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_hit",
             F.round(F.col("n_hit") / float(_TOPK), 6).alias("recall_at_5"),
         )
+    )
+
+
+@query(
+    "ivf_cell_balance",
+    oracle=f"""
+    WITH {_IVF_ASSIGN_CTE},
+    sizes AS (
+      SELECT cell, CAST(count(*) AS INTEGER) AS n_vecs
+      FROM assigned GROUP BY cell
+    )
+    SELECT cell, n_vecs,
+           round(n_vecs * 1.0 / sum(n_vecs) OVER (), 6) AS share,
+           round(n_vecs * count(*) OVER () * 1.0
+                 / sum(n_vecs) OVER (), 6) AS load_vs_uniform
+    FROM sizes
+    """,
+)
+def ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF capacity audit: per-cell population, corpus share, and load
+    relative to a perfectly uniform split (load_vs_uniform = 1.0 means
+    balanced; the max of that column is the tail-latency multiplier a
+    cell-probing ANN pays).  The number an IVF deployment watches
+    before choosing nlist / re-training centroids — hot cells turn the
+    cell equi-join into the skew-join problem the dedup family salts.
+
+    Scale shape: the corpus-sized work is the shared coarse-quantize
+    argmax (constant centroid budget, see _ivf_assign) plus ONE
+    map-side-combined count per cell; the share/load windows run over
+    the ~32-row cell frame only."""
+    _, assigned = _ivf_assign(spark, sf_dir)
+    sizes = assigned.groupBy("cell").agg(
+        F.count("*").cast("int").alias("n_vecs")
+    )
+    return sizes.select(
+        "cell",
+        "n_vecs",
+        F.round(
+            F.col("n_vecs") / F.sum("n_vecs").over(W.partitionBy()), 6
+        ).alias("share"),
+        F.round(
+            F.col("n_vecs")
+            * F.count("*").over(W.partitionBy())
+            / F.sum("n_vecs").over(W.partitionBy()),
+            6,
+        ).alias("load_vs_uniform"),
     )

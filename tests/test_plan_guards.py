@@ -37,6 +37,9 @@ The allowlist is intentional, not historical:
 * ann_recall_at_k — the recall audit's exact baseline IS
   ann_cosine_topk's allowlisted constant-query-set broadcast; an eval
   op runs on a fixed query sample by construction.
+* ivf_cell_balance — shares ann_ivf_cells' coarse-quantize step
+  (_ivf_assign): the n x k centroid-broadcast E-step with constant
+  k ~ 32, linear in corpus (kmeans_lloyd's pattern).
 """
 
 from __future__ import annotations
@@ -60,6 +63,7 @@ CARTESIAN_OK = {
     "timeseries_gapfill",
     "anomaly_zscore_hours",
     "ann_recall_at_k",
+    "ivf_cell_balance",
 }
 
 
