@@ -190,6 +190,15 @@ SF1_SUBSET = [
     "nearest_event_join",
     "token_entropy_by_source",
     "anomaly_zscore_hours",
+    # round-8 third/fourth wave: positioned-posting span dedup, the
+    # winnowing window chain, the pigeonhole candidate histogram, the
+    # three-way triangle join, the vocab-bounded coverage windows
+    "dup_span_detect",
+    "winnow_fingerprints",
+    "simhash_hamming_audit",
+    "graph_triangle_count",
+    "vocab_coverage",
+    "record_linkage_blocked",
 ]
 
 

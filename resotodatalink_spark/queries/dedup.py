@@ -553,66 +553,108 @@ def dup_span_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mask_keys_duck(src: str, name_col: str, n_col: str) -> str:
+    """DuckDB CTE body: 9 wildcard keys per distinct name (digit i of
+    the 9-digit suffix masked)."""
+    return f"""
+      SELECT {name_col} AS name, {n_col} AS n, t.i,
+             concat(substr(num, 1, t.i), '_', substr(num, t.i + 2)) AS pat
+      FROM {src}, range(9) t(i)
+    """
+
+
 @query(
     "record_linkage_blocked",
-    oracle="""
-    WITH c AS (
-      SELECT c_custkey, c_name,
-             CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT) % 100
-               AS blk
-      FROM customer
+    oracle=f"""
+    WITH cn AS (
+      SELECT c_name, count(*) AS n_c,
+             lpad(regexp_extract(c_name, '([0-9]+)$', 1), 9, '0') AS num
+      FROM customer GROUP BY c_name
     ),
-    s AS (
-      SELECT s_suppkey, s_name,
-             CAST(regexp_extract(s_name, '([0-9]+)$', 1) AS BIGINT) % 100
-               AS blk
-      FROM supplier
+    sn AS (
+      SELECT s_name, count(*) AS n_s,
+             lpad(regexp_extract(s_name, '([0-9]+)$', 1), 9, '0') AS num
+      FROM supplier GROUP BY s_name
+    ),
+    ck AS ({_mask_keys_duck('cn', 'c_name', 'n_c')}),
+    sk AS ({_mask_keys_duck('sn', 's_name', 'n_s')}),
+    cand AS (
+      SELECT DISTINCT c.name AS c_name, c.n AS n_c,
+                      s.name AS s_name, s.n AS n_s
+      FROM ck c JOIN sk s ON c.i = s.i AND c.pat = s.pat
     )
-    SELECT c.c_custkey, s.s_suppkey, c.c_name, s.s_name,
-           CAST(levenshtein(c.c_name, s.s_name) AS INTEGER) AS lev
-    FROM c JOIN s ON c.blk = s.blk
-    WHERE levenshtein(c.c_name, s.s_name) <= 6
+    SELECT c_name, s_name,
+           CAST(levenshtein(c_name, s_name) AS INTEGER) AS lev,
+           CAST(n_c AS INTEGER) AS n_c_records,
+           CAST(n_s AS INTEGER) AS n_s_records
+    FROM cand WHERE levenshtein(c_name, s_name) <= 6
     """,
 )
 def record_linkage_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-TABLE record linkage (entity resolution), the two-dataset
-    sibling of self-dedup: link customer records to supplier records
-    whose names are within edit distance 6 (the constant 5-letter
-    Customer/Supplier prefix substitution plus at most one digit edit),
-    blocking on the trailing-number % 100 so the verify join is an
-    equi-join on a bounded block key — never a cross product.
+    sibling of self-dedup: link customer names to supplier names within
+    edit distance 6 (the constant 5-letter Customer/Supplier prefix
+    substitution plus at most one digit edit).
 
-    Scale shape: blocks bound candidate volume (each probe row meets
-    only its block's build rows); the build side here is the 100x
-    smaller supplier table, explicitly broadcast — at 100 TB with two
-    large tables the same plan degrades gracefully to a sort-merge on
-    blk.  levenshtein runs codegen-side in both engines (identical
-    Wagner-Fischer semantics)."""
-    c = table(spark, sf_dir, "customer").select(
-        "c_custkey",
-        "c_name",
-        (F.regexp_extract("c_name", "([0-9]+)$", 1).cast("bigint") % 100).alias(
-            "blk"
-        ),
-    )
-    s = table(spark, sf_dir, "supplier").select(
-        "s_suppkey",
-        "s_name",
-        (F.regexp_extract("s_name", "([0-9]+)$", 1).cast("bigint") % 100).alias(
-            "blk"
-        ),
+    Scale shape — two things the naive version gets wrong at volume:
+
+    1. CANONICALIZE FIRST: records collapse to distinct names (with
+       record counts carried through) before any pair work, so
+       duplicate records never multiply candidate pairs — the scaled
+       bench corpus has 10 copies per name, which turned a mod-100
+       block join into 15M candidates (measured 39s at sf1; this
+       formulation is ~1s).
+    2. WILDCARD BLOCKING: one key per masked digit position of the
+       9-digit suffix (deletion-neighborhood blocking).  Two numbers
+       agree on a masked pattern iff they differ ONLY at the masked
+       digit, so the key join emits exactly the <=1-digit-edit pairs —
+       candidates per key are bounded by the 10 digit values, i.e.
+       candidate volume is O(9n), linear in the tables, independent of
+       block-size growth (the mod-K block grows as n^2/K).
+
+    The 9x-exploded supplier key side stays the small side and is
+    broadcast; with two large tables the same plan sort-merges on
+    (i, pat).  levenshtein verifies candidates codegen-side in both
+    engines (identical Wagner-Fischer semantics)."""
+
+    def keys(df: DataFrame, name: str, cnt: str) -> DataFrame:
+        named = df.groupBy(F.col(name).alias("name")).agg(
+            F.count("*").cast("int").alias("n")
+        )
+        num = F.lpad(F.regexp_extract("name", "([0-9]+)$", 1), 9, "0")
+        pats = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("i"),
+                    F.concat(
+                        F.substring(num, 1, i),
+                        F.lit("_"),
+                        F.substring(num, i + 2, 9),
+                    ).alias("pat"),
+                )
+                for i in range(9)
+            ]
+        )
+        return named.select("name", "n", F.explode(pats).alias("k")).select(
+            "name", "n", "k.i", "k.pat"
+        )
+
+    ck = keys(table(spark, sf_dir, "customer"), "c_name", "n_c")
+    sk = keys(table(spark, sf_dir, "supplier"), "s_name", "n_s")
+    cand = (
+        ck.join(F.broadcast(sk.withColumnsRenamed({"name": "s_name", "n": "n_s"})),
+                ["i", "pat"])
+        .select(F.col("name").alias("c_name"), F.col("n").alias("n_c"),
+                "s_name", "n_s")
+        .distinct()
     )
     lev = F.levenshtein("c_name", "s_name")
-    return (
-        c.join(F.broadcast(s), "blk")
-        .filter(lev <= 6)
-        .select(
-            "c_custkey",
-            "s_suppkey",
-            "c_name",
-            "s_name",
-            lev.cast("int").alias("lev"),
-        )
+    return cand.filter(lev <= 6).select(
+        "c_name",
+        "s_name",
+        lev.cast("int").alias("lev"),
+        F.col("n_c").alias("n_c_records"),
+        F.col("n_s").alias("n_s_records"),
     )
 
 
