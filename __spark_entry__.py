@@ -114,6 +114,8 @@ _CHANGED_THIS_ROUND = [
     "graph_triangle_count",
     "dedup_simhash",
     "ann_ivf_cells",
+    "event_transitions",
+    "embedding_pca_power",
 ]
 
 _ATTEST_FIRST = _R5_STALE + _CHANGED_THIS_ROUND + [

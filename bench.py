@@ -133,6 +133,8 @@ EXTENDED = [
     "tpch_q7_shape",
     "ivf_cell_balance",
     "graph_triangle_count",
+    "event_transitions",
+    "embedding_pca_power",
 ]
 
 
@@ -199,6 +201,8 @@ SF1_SUBSET = [
     "graph_triangle_count",
     "vocab_coverage",
     "record_linkage_blocked",
+    "event_transitions",
+    "embedding_pca_power",
 ]
 
 

@@ -1092,3 +1092,99 @@ def ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("load_vs_uniform"),
     )
+
+
+def _ones_dot_spark(col: str, dim: int = V.EMBED_DIM) -> F.Column:
+    """Left-associative element sum (dot with the all-ones v0) — the
+    same op order as the DuckDB chain below."""
+    terms = [f"CAST(element_at({col}, {i}) AS DOUBLE)" for i in range(1, dim + 1)]
+    out = terms[0]
+    for t in terms[1:]:
+        out = f"({out} + {t})"
+    return F.expr(out)
+
+
+def _ones_dot_duck(col: str, dim: int = V.EMBED_DIM) -> str:
+    terms = [f"CAST(list_extract({col}, {i}) AS DOUBLE)" for i in range(1, dim + 1)]
+    out = terms[0]
+    for t in terms[1:]:
+        out = f"({out} + {t})"
+    return out
+
+
+@query(
+    "embedding_pca_power",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    s1 AS (SELECT embedding, {_ones_dot_duck('embedding')} AS s FROM e),
+    f1 AS (SELECT generate_subscripts(embedding, 1) AS pos,
+                  unnest(embedding) AS xv, s FROM s1),
+    w1 AS (SELECT pos, sum(CAST(xv AS DOUBLE) * s) AS w FROM f1 GROUP BY pos),
+    n1 AS (SELECT pos, w, sqrt(sum(w * w) OVER ()) AS nrm FROM w1),
+    v1 AS (SELECT pos, round(w / nrm, 6) AS v FROM n1),
+    v1l AS (SELECT list(v ORDER BY pos) AS v1 FROM v1),
+    s2 AS (SELECT e.embedding, {V.dot_duck('e.embedding', 'v1')} AS s
+           FROM e, v1l),
+    f2 AS (SELECT generate_subscripts(embedding, 1) AS pos,
+                  unnest(embedding) AS xv, s FROM s2),
+    w2 AS (SELECT pos, sum(CAST(xv AS DOUBLE) * s) AS w FROM f2 GROUP BY pos),
+    cnt AS (SELECT count(*) AS n FROM e)
+    SELECT CAST(pos AS INTEGER) AS pos,
+           round(w / sqrt(sum(w * w) OVER ()), 6) AS loading,
+           round(sqrt(sum(w * w) OVER ()) / (SELECT n FROM cnt), 6)
+             AS lambda_per_vec
+    FROM w2
+    """,
+)
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction by TWO unrolled power-iteration steps
+    (v0 = ones -> v1 -> v2), expressed entirely relationally — the
+    iterative-linear-algebra showpiece: each step is one corpus scan
+    computing s_i = <x_i, v> in codegen plus one map-side-combined
+    per-dimension sum; no vector ever collects to the driver.
+
+    Cross-engine determinism: the graph_pagerank trick — v1 is
+    QUANTIZED (round 6) after normalization, so both engines feed
+    bit-identical v1 into step 2; per-dimension sums differ only by
+    float addition order (~1e-12 relative), far below the 1e-6
+    quantum of the normalized outputs.  lambda is reported per vector
+    (||w2|| / n) to keep its magnitude in round-6-safe range.
+
+    Scale shape: two scans + two (dim x n)-row exploded aggregates
+    (embedding_centroids' shape); the normalize windows run on the
+    64-row dimension frame; v1 re-enters as a ONE-ROW broadcast
+    (unigram_logprob's allowlisted constant append).  At 100 TB this
+    is the standard distributed power method; more iterations = more
+    scans, linearly."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # step 1: v0 = ones
+    st1 = e.withColumn("s", _ones_dot_spark("embedding"))
+    f1 = st1.select(F.posexplode("embedding").alias("pos0", "xv"), "s")
+    w1 = f1.groupBy((F.col("pos0") + 1).cast("int").alias("pos")).agg(
+        F.sum(F.col("xv").cast("double") * F.col("s")).alias("w")
+    )
+    nrm1 = F.sqrt(F.sum(F.col("w") * F.col("w")).over(W.partitionBy()))
+    v1 = w1.select("pos", F.round(F.col("w") / nrm1, 6).alias("v"))
+    v1row = v1.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, v))), t -> t.v)"
+        ).alias("v1")
+    )
+    # step 2: v1 re-enters as a one-row broadcast array
+    st2 = e.crossJoin(F.broadcast(v1row)).withColumn(
+        "s", V.dot_spark("embedding", "v1")
+    )
+    f2 = st2.select(F.posexplode("embedding").alias("pos0", "xv"), "s")
+    w2 = f2.groupBy((F.col("pos0") + 1).cast("int").alias("pos")).agg(
+        F.sum(F.col("xv").cast("double") * F.col("s")).alias("w")
+    )
+    cnt = e.agg(F.count("*").alias("n"))
+    nrm2 = F.sqrt(F.sum(F.col("w") * F.col("w")).over(W.partitionBy()))
+    return (
+        w2.crossJoin(F.broadcast(cnt))
+        .select(
+            "pos",
+            F.round(F.col("w") / nrm2, 6).alias("loading"),
+            F.round(nrm2 / F.col("n"), 6).alias("lambda_per_vec"),
+        )
+    )

@@ -734,3 +734,56 @@ def anomaly_zscore_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(F.col("z")) >= 2.0)
         .select("hour", "event_type", "n_events", "z")
     )
+
+
+@query(
+    "event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type
+      FROM events
+    ),
+    trans AS (
+      SELECT prev_type, event_type, count(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, event_type, CAST(n AS INTEGER) AS n,
+           round(n * 1.0 / sum(n) OVER (PARTITION BY prev_type), 6) AS p
+    FROM trans
+    """,
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams (the behavior-model / anomaly-baseline table): P(next
+    event type | current), estimated from lag pairs.  Ties at the
+    same timestamp order by event_id in both engines.
+
+    Scale shape: ONE shuffle on user_id feeds the lag window; the
+    transition aggregate and its row-normalizing window run on the
+    (types x types)-bounded frame.  At 100 TB this is scan + one
+    keyed exchange — the window state is one row."""
+    ev = table(spark, sf_dir, "events")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev_type"),
+    )
+    trans = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count("*").cast("int").alias("n"))
+    )
+    return trans.select(
+        "prev_type",
+        "event_type",
+        "n",
+        F.round(
+            F.col("n") / F.sum("n").over(W.partitionBy("prev_type")), 6
+        ).alias("p"),
+    )

@@ -53,9 +53,22 @@ def spark():
     return get_spark("tests")
 
 
+def make_duck(sf_dir: str = SF_DIR):
+    """Fresh DuckDB connection with the parquet views registered and a
+    conservative buffer budget.  The session-long 150-oracle sweep
+    twice malloc-failed ("Failed to allocate block ... bad allocation")
+    on the widest string-output oracle ~130 queries in: an uncapped
+    buffer manager sized off total RAM leaves no headroom beside the
+    Spark driver JVM late in the suite.  A modest explicit cap with a
+    disk spill directory makes big oracles spill instead of dying."""
+    con = duckdb.connect()
+    con.execute("SET memory_limit='8GB'")
+    con.execute("SET temp_directory='/tmp/duck_spill'")
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
 @pytest.fixture(scope="session")
 def duck():
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
-    return con
+    return make_duck()

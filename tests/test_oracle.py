@@ -45,11 +45,16 @@ def test_query_matches_oracle(name, spark, duck):
     try:
         odf = duck.execute(registry.ORACLES[name]).df()
     except duckdb.Error:
-        # observed rare transient duckdb errors on this sandbox under
-        # heavy page-cache churn (different slug each occurrence, never
-        # reproducible); one retry — a real oracle failure recurs
-        # deterministically and still fails
-        odf = duck.execute(registry.ORACLES[name]).df()
+        # observed rare transient duckdb errors on this sandbox (page-
+        # cache churn; twice an allocator failure late in the 150-oracle
+        # session).  Retry on a FRESH connection — the long-lived one's
+        # buffer pool may be exhausted/fragmented, so retrying on it
+        # reproduces the failure (it did, r8).  A real oracle failure
+        # recurs deterministically on the fresh connection and still
+        # fails the test.
+        from tests.conftest import make_duck
+
+        odf = make_duck().execute(registry.ORACLES[name]).df()
     assert len(sdf) == len(odf), f"row count {len(sdf)} != {len(odf)}"
     assert sorted(sdf.columns) == sorted(odf.columns)
     cs, co = chk.canon_frame(sdf), chk.canon_frame(odf)

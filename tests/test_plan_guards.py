@@ -40,6 +40,9 @@ The allowlist is intentional, not historical:
 * ivf_cell_balance — shares ann_ivf_cells' coarse-quantize step
   (_ivf_assign): the n x k centroid-broadcast E-step with constant
   k ~ 32, linear in corpus (kmeans_lloyd's pattern).
+* embedding_pca_power — each power-iteration step re-enters the
+  corpus with a ONE-ROW broadcast (the 64-float v1 array, then the
+  scalar count): unigram_logprob's constant-append pattern, twice.
 """
 
 from __future__ import annotations
@@ -64,6 +67,7 @@ CARTESIAN_OK = {
     "anomaly_zscore_hours",
     "ann_recall_at_k",
     "ivf_cell_balance",
+    "embedding_pca_power",
 }
 
 

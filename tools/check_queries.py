@@ -82,6 +82,11 @@ def main() -> int:
     only = set(sys.argv[2:])
     spark = get_spark("check-queries")
     con = duckdb.connect()
+    # explicit buffer budget + spill dir: an uncapped buffer manager
+    # sized off total RAM malloc-failed twice beside the Spark JVM in
+    # the long oracle sweeps (tests/conftest.make_duck has the story)
+    con.execute("SET memory_limit='8GB'")
+    con.execute("SET temp_directory='/tmp/duck_spill'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
