@@ -202,7 +202,10 @@ SF1_SUBSET = [
     "vocab_coverage",
     "record_linkage_blocked",
     "event_transitions",
-    "embedding_pca_power",
+    # embedding_pca_power deliberately NOT here: its wall is plan-
+    # compile-constant (8.5s sf0.01 vs 8.7s sf0.1 — the 64-dim unrolled
+    # chains dominate, not data), so sf1 would add ~26s of bench wall
+    # with zero volume signal; the headline section already tracks it.
 ]
 
 

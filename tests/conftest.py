@@ -55,12 +55,15 @@ def spark():
 
 def make_duck(sf_dir: str = SF_DIR):
     """Fresh DuckDB connection with the parquet views registered and a
-    conservative buffer budget.  The session-long 150-oracle sweep
-    twice malloc-failed ("Failed to allocate block ... bad allocation")
-    on the widest string-output oracle ~130 queries in: an uncapped
-    buffer manager sized off total RAM leaves no headroom beside the
-    Spark driver JVM late in the suite.  A modest explicit cap with a
-    disk spill directory makes big oracles spill instead of dying."""
+    bounded buffer budget + spill dir.
+
+    SHORT-LIVED BY DESIGN: a single long-lived connection malloc-failed
+    ("Failed to allocate block ... bad allocation") ~130-145 oracles
+    into three different long sweeps — including one where the failing
+    oracle runs in 0.0s on a fresh connection under an 8GB cap — i.e.
+    the buffer pool accumulates un-evictable state across queries until
+    ANY next allocation dies.  Per-query connections cost ~ms and
+    sidestep the accumulation entirely."""
     con = duckdb.connect()
     con.execute("SET memory_limit='8GB'")
     con.execute("SET temp_directory='/tmp/duck_spill'")
@@ -69,6 +72,8 @@ def make_duck(sf_dir: str = SF_DIR):
     return con
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture
 def duck():
-    return make_duck()
+    con = make_duck()
+    yield con
+    con.close()

@@ -81,14 +81,20 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     spark = get_spark("check-queries")
-    con = duckdb.connect()
-    # explicit buffer budget + spill dir: an uncapped buffer manager
-    # sized off total RAM malloc-failed twice beside the Spark JVM in
-    # the long oracle sweeps (tests/conftest.make_duck has the story)
-    con.execute("SET memory_limit='8GB'")
-    con.execute("SET temp_directory='/tmp/duck_spill'")
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    def fresh_con():
+        # SHORT-LIVED connections by design: a single sweep-long
+        # connection malloc-failed ~130-145 oracles in on three long
+        # runs (buffer-pool state accumulates across queries until any
+        # next allocation dies, even one the same oracle passes in 0.0s
+        # on a fresh connection) — tests/conftest.make_duck has the
+        # full story.  Creation + view registration costs ~ms.
+        c = duckdb.connect()
+        c.execute("SET memory_limit='8GB'")
+        c.execute("SET temp_directory='/tmp/duck_spill'")
+        for t in TABLES:
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        return c
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
@@ -118,13 +124,15 @@ def main() -> int:
                 print(f"WARN {name}: zero rows")
             continue
         try:
+            con = fresh_con()
             odf = con.execute(oracles[name]).df()
+            con.close()
         except duckdb.Error:
-            # one retry: rare transient duckdb errors observed on this
-            # sandbox (non-deterministic slug, non-reproducible); a
-            # genuine oracle failure recurs and still FAILs below
+            # one retry on another fresh connection: rare transient
+            # duckdb errors observed on this sandbox; a genuine oracle
+            # failure recurs and still FAILs below
             try:
-                odf = con.execute(oracles[name]).df()
+                odf = fresh_con().execute(oracles[name]).df()
             except Exception:
                 print(f"FAIL {name}: oracle SQL raised")
                 traceback.print_exc()
