@@ -116,6 +116,8 @@ _CHANGED_THIS_ROUND = [
     "ann_ivf_cells",
     "event_transitions",
     "embedding_pca_power",
+    "cms_frequency_audit",
+    "bloom_prefilter_audit",
 ]
 
 _ATTEST_FIRST = _R5_STALE + _CHANGED_THIS_ROUND + [

@@ -135,6 +135,8 @@ EXTENDED = [
     "graph_triangle_count",
     "event_transitions",
     "embedding_pca_power",
+    "cms_frequency_audit",
+    "bloom_prefilter_audit",
 ]
 
 
@@ -202,6 +204,10 @@ SF1_SUBSET = [
     "vocab_coverage",
     "record_linkage_blocked",
     "event_transitions",
+    # sketch-family audits: mergeable-sketch aggregate (CMS) and the
+    # broadcast-bitset prefilter (Bloom) — both corpus-scan-bound
+    "cms_frequency_audit",
+    "bloom_prefilter_audit",
     # embedding_pca_power deliberately NOT here: its wall is plan-
     # compile-constant (8.5s sf0.01 vs 8.7s sf0.1 — the 64-dim unrolled
     # chains dominate, not data), so sf1 would add ~26s of bench wall

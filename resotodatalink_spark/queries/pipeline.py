@@ -346,3 +346,108 @@ def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         share.alias("share"),
         (target / share).alias("weight"),
     )
+
+
+_BLOOM_M = 8192  # bit positions
+_BLOOM_K = 3  # hash functions (MINHASH_COEFS[0..2])
+
+
+def _bloom_pos_sql(h: str, i: int) -> str:
+    from resotodatalink_spark.functions.hashing import MINHASH_COEFS, MOD
+
+    a, b = MINHASH_COEFS[i]
+    return f"((({h}) * {a} + {b}) % {MOD}) % {_BLOOM_M}"
+
+
+@query(
+    "bloom_prefilter_audit",
+    oracle=f"""
+    WITH {duck_shingle_cte("documents", "doc_id", "text", 3)},
+    distinct_grams AS (SELECT DISTINCT doc_id, h FROM __hashes),
+    bench AS (SELECT DISTINCT h FROM distinct_grams WHERE doc_id % 13 = 0),
+    bits AS (
+      SELECT DISTINCT pos FROM (
+        {" UNION ALL ".join(
+            f"SELECT {_bloom_pos_sql('h', i)} AS pos FROM bench"
+            for i in range(_BLOOM_K)
+        )}
+      )
+    ),
+    probes AS (
+      SELECT DISTINCT h FROM distinct_grams WHERE doc_id % 13 <> 0
+    ),
+    hits AS (
+      SELECT p.h FROM probes p
+      WHERE EXISTS (SELECT 1 FROM bits b WHERE b.pos = {_bloom_pos_sql('p.h', 0)})
+        AND EXISTS (SELECT 1 FROM bits b WHERE b.pos = {_bloom_pos_sql('p.h', 1)})
+        AND EXISTS (SELECT 1 FROM bits b WHERE b.pos = {_bloom_pos_sql('p.h', 2)})
+    ),
+    truth AS (SELECT p.h FROM probes p JOIN bench b ON p.h = b.h)
+    SELECT (SELECT count(*) FROM probes) AS n_probes,
+           (SELECT count(*) FROM truth) AS n_true_members,
+           (SELECT count(*) FROM hits) AS n_bloom_hits,
+           (SELECT count(*) FROM hits) - (SELECT count(*) FROM truth)
+             AS n_false_positives,
+           round(((SELECT count(*) FROM hits) - (SELECT count(*) FROM truth))
+                 * 1.0 /
+                 ((SELECT count(*) FROM probes) - (SELECT count(*) FROM truth)),
+                 6) AS fp_rate
+    """,
+)
+def bloom_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter prefilter calibration (the join-pruning sibling of
+    the CMS audit): build an m=8192/k=3 Bloom filter over the benchmark
+    shingle set (decontamination's bench side), probe every distinct
+    training shingle, and report hits vs exact membership — the
+    false-positive rate that decides whether shipping the filter to
+    the scan side is worth it before the exact decontamination join.
+    Blooms never miss a member (hits >= truth, asserted by
+    construction here), so the audit is one number: wasted verify work.
+
+    Scale shape: the bits table is bounded (<= m rows) and BROADCAST;
+    the probe side checks k positions via broadcast semi-joins at scan
+    speed — exactly how a production prefilter deploys (push the
+    broadcast bitset into the scan, verify survivors exactly).  The
+    corpus-sized work is the two distinct-shingle passes
+    decontamination already pays."""
+    from resotodatalink_spark.operators.dedup import shingle_hashes
+
+    d = table(spark, sf_dir, "documents")
+    grams = shingle_hashes(d).distinct()
+    bench = grams.filter(F.col("doc_id") % 13 == 0).select("h").distinct()
+    probes = grams.filter(F.col("doc_id") % 13 != 0).select("h").distinct()
+    bits = (
+        bench.select(
+            F.explode(
+                F.array(
+                    *[F.expr(_bloom_pos_sql("h", i)) for i in range(_BLOOM_K)]
+                )
+            ).alias("pos")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # probed k times below
+    )
+    hit = probes
+    for i in range(_BLOOM_K):
+        hit = hit.join(
+            F.broadcast(bits.withColumnRenamed("pos", f"p{i}")),
+            F.expr(_bloom_pos_sql("h", i)) == F.col(f"p{i}"),
+            "left_semi",
+        )
+    n_probes = probes.agg(F.count("*").alias("n_probes"))
+    n_true = (
+        probes.join(bench, "h", "left_semi")
+        .agg(F.count("*").alias("n_true_members"))
+    )
+    n_hits = hit.agg(F.count("*").alias("n_bloom_hits"))
+    out = n_probes.crossJoin(n_true).crossJoin(n_hits)
+    fp = F.col("n_bloom_hits") - F.col("n_true_members")
+    return out.select(
+        "n_probes",
+        "n_true_members",
+        "n_bloom_hits",
+        fp.alias("n_false_positives"),
+        F.round(
+            fp / (F.col("n_probes") - F.col("n_true_members")), 6
+        ).alias("fp_rate"),
+    )

@@ -1136,3 +1136,117 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tok").alias("boundary_token"),
         F.col("cnt").cast("int").alias("boundary_count"),
     )
+
+
+_CMS_W = 1024  # counter row width
+_CMS_D = 4  # independent hash rows (MINHASH_COEFS[0..3])
+
+
+def _cms_bucket_sql(h: str, i: int) -> str:
+    a, b = H.MINHASH_COEFS[i]
+    return f"((({h}) * {a} + {b}) % {H.MOD}) % {_CMS_W}"
+
+
+@query(
+    "cms_frequency_audit",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+    ),
+    nz AS (SELECT tok, {H.str_hash_sql('tok')} AS h FROM toks WHERE tok <> ''),
+    counters AS (
+      SELECT i, bucket, count(*) AS cnt FROM (
+        {" UNION ALL ".join(
+            f"SELECT {i} AS i, {_cms_bucket_sql('h', i)} AS bucket FROM nz"
+            for i in range(_CMS_D)
+        )}
+      ) GROUP BY i, bucket
+    ),
+    exact AS (
+      SELECT tok, min(h) AS h, count(*) AS exact_n FROM nz GROUP BY tok
+      ORDER BY exact_n DESC, tok LIMIT 20
+    ),
+    probes AS (
+      SELECT tok, exact_n, i, {_cms_bucket_sql('h', 0)} AS b0,
+             {_cms_bucket_sql('h', 1)} AS b1, {_cms_bucket_sql('h', 2)} AS b2,
+             {_cms_bucket_sql('h', 3)} AS b3
+      FROM exact, range({_CMS_D}) t(i)
+    ),
+    est AS (
+      SELECT p.tok, p.exact_n, min(c.cnt) AS cms_est
+      FROM probes p JOIN counters c
+        ON c.i = p.i AND c.bucket = CASE p.i WHEN 0 THEN p.b0 WHEN 1 THEN p.b1
+                                             WHEN 2 THEN p.b2 ELSE p.b3 END
+      GROUP BY p.tok, p.exact_n
+    )
+    SELECT tok, CAST(exact_n AS INTEGER) AS exact_n,
+           CAST(cms_est AS INTEGER) AS cms_est,
+           CAST(cms_est - exact_n AS INTEGER) AS overestimate
+    FROM est
+    """,
+)
+def cms_frequency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch calibration (completes the sketch family next
+    to KMV, MinHash, SimHash and the Bloom prefilter): build a 4 x 1024
+    CMS over the token stream, then report sketch estimate vs exact
+    count for the exact top-20 tokens — the overestimate column is the
+    collision bias a production heavy-hitter pipeline must budget for
+    (CMS never underestimates: est = min over rows of the counter).
+
+    Scale shape: the corpus-sized work is ONE pass emitting 4 (row,
+    bucket) pairs per token into a map-side-combined aggregate whose
+    state is capped at 4 x 1024 counters per partition — the textbook
+    mergeable-sketch shape (counters merge by +).  The probe side is
+    the 20-row top-k joined against the bounded counter table."""
+    d = table(spark, sf_dir, "documents")
+    nz = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .select("tok", F.expr(H.str_hash_sql("tok")).alias("h"))
+    )
+    rows = nz.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        F.expr(_cms_bucket_sql("h", i)).alias("bucket"),
+                    )
+                    for i in range(_CMS_D)
+                ]
+            )
+        ).alias("rb")
+    ).select("rb.i", "rb.bucket")
+    counters = rows.groupBy("i", "bucket").agg(F.count("*").alias("cnt"))
+    exact = (
+        nz.groupBy("tok")
+        .agg(F.min("h").alias("h"), F.count("*").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "tok")
+        .limit(20)
+    )
+    probes = exact.select(
+        "tok",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        F.expr(_cms_bucket_sql("h", i)).alias("bucket"),
+                    )
+                    for i in range(_CMS_D)
+                ]
+            )
+        ).alias("rb"),
+    ).select("tok", "exact_n", "rb.i", "rb.bucket")
+    est = (
+        probes.join(F.broadcast(counters), ["i", "bucket"])
+        .groupBy("tok", "exact_n")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    return est.select(
+        "tok",
+        F.col("exact_n").cast("int").alias("exact_n"),
+        F.col("cms_est").cast("int").alias("cms_est"),
+        (F.col("cms_est") - F.col("exact_n")).cast("int").alias("overestimate"),
+    )

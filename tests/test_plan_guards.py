@@ -43,6 +43,8 @@ The allowlist is intentional, not historical:
 * embedding_pca_power — each power-iteration step re-enters the
   corpus with a ONE-ROW broadcast (the 64-float v1 array, then the
   scalar count): unigram_logprob's constant-append pattern, twice.
+* bloom_prefilter_audit — combines three ONE-ROW count aggregates
+  via crossJoin (funnel_conversion's 1x1 BNLJ pattern, twice).
 """
 
 from __future__ import annotations
@@ -68,6 +70,7 @@ CARTESIAN_OK = {
     "ann_recall_at_k",
     "ivf_cell_balance",
     "embedding_pca_power",
+    "bloom_prefilter_audit",
 }
 
 
