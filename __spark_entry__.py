@@ -97,14 +97,19 @@ _CHANGED_THIS_ROUND = [
     "record_linkage_blocked",
     "winnow_fingerprints",
     "vocab_coverage",
-    # 34 stale + 16 above fill the 50-slot window exactly.  The slugs
-    # below are the DELIBERATE spill to the r9 window, which they lead:
-    # three new single-scan diagnostics (one scan, bounded aggregate,
-    # no joins), then the third-wave slugs (simhash calibration audit,
-    # TPC-H q7 shape, IVF balance audit, triangle counting) and the two
-    # extract-method refactor hosts (dedup_simhash, ann_ivf_cells —
-    # plan-identical, value-hash-equal before/after, guards green).
-    # Every one is locally value-hash-green at sf0.01 AND sf0.1.
+]
+
+_R9_SPILL = [
+    # 34 stale + 16 changed fill the 50-slot window exactly; these are
+    # the DELIBERATE spill to the r9 window, which they lead: three new
+    # single-scan diagnostics (one scan, bounded aggregate, no joins),
+    # the later-wave slugs (simhash calibration audit, TPC-H q7 shape,
+    # IVF balance audit, triangle counting, Markov transitions,
+    # relational power iteration, the CMS + Bloom sketch audits), and
+    # the two extract-method refactor hosts (dedup_simhash,
+    # ann_ivf_cells — plan-identical, value-hash-equal before/after,
+    # guards green).  Every one is locally value-hash-green at sf0.01
+    # AND sf0.1 (tools/check_queries.py full sweeps, this round).
     "token_entropy_by_source",
     "lang_confusion_matrix",
     "mutual_information",
@@ -120,7 +125,7 @@ _CHANGED_THIS_ROUND = [
     "bloom_prefilter_audit",
 ]
 
-_ATTEST_FIRST = _R5_STALE + _CHANGED_THIS_ROUND + [
+_ATTEST_FIRST = _R5_STALE + _CHANGED_THIS_ROUND + _R9_SPILL + [
     # Newest green row is CORRECTNESS_r06 — these fill the remaining
     # window slots (34 stale + 15 changed/new + 1 of these = 50); the
     # rest of the r6 tier rotates through rounds 9-10, within the
