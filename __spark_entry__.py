@@ -123,6 +123,8 @@ _R9_SPILL = [
     "embedding_pca_power",
     "cms_frequency_audit",
     "bloom_prefilter_audit",
+    "column_profile",
+    "shuffle_skew_audit",
 ]
 
 _ATTEST_FIRST = _R5_STALE + _CHANGED_THIS_ROUND + _R9_SPILL + [

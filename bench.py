@@ -137,6 +137,8 @@ EXTENDED = [
     "embedding_pca_power",
     "cms_frequency_audit",
     "bloom_prefilter_audit",
+    "column_profile",
+    "shuffle_skew_audit",
 ]
 
 
@@ -208,6 +210,9 @@ SF1_SUBSET = [
     # broadcast-bitset prefilter (Bloom) — both corpus-scan-bound
     "cms_frequency_audit",
     "bloom_prefilter_audit",
+    # diagnostics: the profile scan and the hot-key histogram
+    "column_profile",
+    "shuffle_skew_audit",
     # embedding_pca_power deliberately NOT here: its wall is plan-
     # compile-constant (8.5s sf0.01 vs 8.7s sf0.1 — the 64-dim unrolled
     # chains dominate, not data), so sf1 would add ~26s of bench wall

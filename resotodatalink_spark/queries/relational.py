@@ -1699,3 +1699,75 @@ def tpch_q7_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg((F.sum(cents * (100 - disc)) / 10000.0).alias("revenue"))
     )
+
+
+_PROFILE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+@query(
+    "column_profile",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS column_name,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+               CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(min({c}) AS VARCHAR) AS min_val,
+               CAST(max({c}) AS VARCHAR) AS max_val
+        FROM orders
+        """
+        for c in _PROFILE_COLS
+    ),
+)
+def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling (the first query every ingestion pipeline runs):
+    per-column row/null/distinct counts and typed min/max over orders,
+    one output row per column.  min/max compute on the NATIVE type and
+    cast to string only on output (string-cast ordering would corrupt
+    numeric/date extrema).
+
+    Scale shape: ONE scan — all five columns' aggregates ride a single
+    aggregation (Spark plans the multi-countDistinct via Expand, a 5x
+    row multiplier into a map-side-combined aggregate: linear, no
+    join, no window; the oracle's five-scan UNION is the semantic
+    spec).  The timestamp min/max is rendered with an explicit
+    second-precision format — Spark casts timestamps with a trailing
+    ``.000``/offset differently than DuckDB, and profile strings must
+    be byte-equal cross-engine."""
+    o = table(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        is_ts = c == "o_orderdate"
+        to_s = (
+            (lambda col: F.date_format(col, "yyyy-MM-dd HH:mm:ss"))
+            if is_ts
+            else (lambda col: col.cast("string"))
+        )
+        aggs += [
+            F.count("*").alias(f"{c}__n"),
+            (F.count("*") - F.count(c)).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            to_s(F.min(c)).alias(f"{c}__mn"),
+            to_s(F.max(c)).alias(f"{c}__mx"),
+        ]
+    one = o.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"{c}__n").alias("n_rows"),
+                F.col(f"{c}__nn").alias("n_null"),
+                F.col(f"{c}__nd").alias("n_distinct"),
+                F.col(f"{c}__mn").alias("min_val"),
+                F.col(f"{c}__mx").alias("max_val"),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    return one.select(F.explode(rows).alias("r")).select("r.*")

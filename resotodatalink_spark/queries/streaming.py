@@ -787,3 +787,62 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n") / F.sum("n").over(W.partitionBy("prev_type")), 6
         ).alias("p"),
     )
+
+
+@query(
+    "shuffle_skew_audit",
+    oracle="""
+    WITH keys AS (
+      SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+    ),
+    stats AS (
+      SELECT user_id, n,
+             row_number() OVER (ORDER BY n DESC, user_id) AS rnk,
+             CAST(max(n) OVER () AS DOUBLE)
+               / quantile_cont(n, 0.5) OVER () AS skew_ratio,
+             sum(n) OVER () AS total
+      FROM keys
+    )
+    SELECT user_id, CAST(n AS INTEGER) AS n,
+           CAST(rnk AS INTEGER) AS rnk,
+           round(n * 1.0 / total, 6) AS share,
+           round(skew_ratio, 6) AS skew_ratio
+    FROM stats WHERE rnk <= 20
+    """,
+)
+def shuffle_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key diagnosis — the measurement side of the skew family
+    (salted_groupby / skew_join_salted / dedup_levenshtein's auto-salt
+    CONSUME a key histogram; this slug is that histogram as a product):
+    the 20 hottest shuffle keys with their corpus share, plus the
+    max/median skew ratio — the number that decides whether a join
+    needs salting before it runs.
+
+    Scale shape: one map-side-combined count per key; ranking/median
+    windows run over the KEY frame (bounded by distinct keys, not
+    corpus rows — at pathological key cardinality the same two-stage
+    rule as vocab_coverage applies).  Spark's exact median over the
+    key frame matches DuckDB's quantile_cont by the shared linear-
+    interpolation definition (median_stats' precedent)."""
+    ev = table(spark, sf_dir, "events")
+    keys = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    w_all = W.partitionBy()
+    stats = keys.select(
+        "user_id",
+        "n",
+        F.row_number()
+        .over(W.partitionBy().orderBy(F.desc("n"), "user_id"))
+        .alias("rnk"),
+        (
+            F.max("n").over(w_all).cast("double")
+            / F.expr("percentile(n, 0.5)").over(w_all)
+        ).alias("skew_ratio"),
+        F.sum("n").over(w_all).alias("total"),
+    )
+    return stats.filter(F.col("rnk") <= 20).select(
+        "user_id",
+        F.col("n").cast("int").alias("n"),
+        "rnk",
+        F.round(F.col("n") / F.col("total"), 6).alias("share"),
+        F.round("skew_ratio", 6).alias("skew_ratio"),
+    )
