@@ -125,6 +125,7 @@ _R9_SPILL = [
     "bloom_prefilter_audit",
     "column_profile",
     "shuffle_skew_audit",
+    "multimodal_wav_stats",
 ]
 
 _ATTEST_FIRST = _R5_STALE + _CHANGED_THIS_ROUND + _R9_SPILL + [

@@ -139,6 +139,7 @@ EXTENDED = [
     "bloom_prefilter_audit",
     "column_profile",
     "shuffle_skew_audit",
+    "multimodal_wav_stats",
 ]
 
 

@@ -280,3 +280,97 @@ def decode_ppm(df: DataFrame) -> DataFrame:
             yield _pd.DataFrame(out)
 
     return df.mapInPandas(decode, schema=PPM_SCHEMA)
+
+
+# 44-byte RIFF/WAVE header for PCM16 mono @ 8 kHz with a 64-byte data
+# chunk (32 samples) — every synthesized payload uses the same fixed
+# geometry, so the header is one constant (hex of the packed struct).
+WAV_HEADER_HEX = (
+    "524946466400000057415645666D7420100000000100010040"
+    "1F0000803E0000020010006461746140000000"
+)
+WAV_N_SAMPLES = 32
+
+WAV_SCHEMA = (
+    "doc_id long, sample_rate int, n_samples int, n_channels int, "
+    "mean_amp double, rms_amp double"
+)
+
+
+def attach_wav_payload(df: DataFrame) -> DataFrame:
+    """Synthesize a REAL RIFF/WAVE (PCM16 mono, 8 kHz) audio column
+    from each doc's text bytes: the first 64 bytes ('_'-padded) become
+    32 little-endian int16 samples behind the constant 44-byte header.
+    Codegen-only (unhex literal + encode + concat) — the audio sibling
+    of attach_ppm_payload."""
+    return df.select(
+        "doc_id",
+        F.concat(
+            F.unhex(F.lit(WAV_HEADER_HEX)),
+            F.encode(
+                F.rpad(F.substring(F.col("text"), 1, 2 * WAV_N_SAMPLES),
+                       2 * WAV_N_SAMPLES, "_"),
+                "utf-8",
+            ),
+        ).alias("payload"),
+    )
+
+
+def decode_wav(df: DataFrame) -> DataFrame:
+    """REAL audio codec path (the decode_ppm pattern for WAV): parse
+    RIFF/WAVE headers — magic checks, little-endian format fields —
+    and the PCM16 sample block with numpy, emitting rate/shape plus
+    mean and RMS amplitude.  Corrupt payloads (bad magic, non-PCM,
+    truncated data) yield null-dimension rows, never failed batches.
+    Amplitude stats are exact: int16 sums stay integral in float64, so
+    the round-6 outputs are bit-stable against the byte-arithmetic
+    DuckDB oracle."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        def parse(payload: bytes):
+            try:
+                if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+                    return None
+                if payload[12:16] != b"fmt ":
+                    return None
+                audio_fmt = int.from_bytes(payload[20:22], "little")
+                channels = int.from_bytes(payload[22:24], "little")
+                rate = int.from_bytes(payload[24:28], "little")
+                bits = int.from_bytes(payload[34:36], "little")
+                if audio_fmt != 1 or bits != 16 or payload[36:40] != b"data":
+                    return None
+                n_bytes = int.from_bytes(payload[40:44], "little")
+                data = payload[44 : 44 + n_bytes]
+                if len(data) < n_bytes or n_bytes % 2:
+                    return None
+                samples = _np.frombuffer(data, dtype="<i2").astype(_np.float64)
+                mean = samples.sum() / len(samples)
+                rms = float(_np.sqrt((samples * samples).sum() / len(samples)))
+                return (
+                    rate,
+                    len(samples) // channels,
+                    channels,
+                    round(float(mean), 6),
+                    round(rms, 6),
+                )
+            except (ValueError, IndexError):
+                return None
+
+        for pdf in batches:
+            out = {
+                "doc_id": pdf["doc_id"], "sample_rate": [], "n_samples": [],
+                "n_channels": [], "mean_amp": [], "rms_amp": [],
+            }
+            for payload in pdf["payload"]:
+                p = parse(payload) or (None, None, None, None, None)
+                out["sample_rate"].append(p[0])
+                out["n_samples"].append(p[1])
+                out["n_channels"].append(p[2])
+                out["mean_amp"].append(p[3])
+                out["rms_amp"].append(p[4])
+            yield _pd.DataFrame(out)
+
+    return df.mapInPandas(decode, schema=WAV_SCHEMA)

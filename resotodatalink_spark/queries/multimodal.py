@@ -192,3 +192,50 @@ def multimodal_ppm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_g", 6).alias("mean_g"),
         F.round("mean_b", 6).alias("mean_b"),
     )
+
+
+@query(
+    "multimodal_wav_stats",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, rpad(substring(text, 1, 64), 64, '_') AS pay
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             (ascii(substring(pay, 2 * t.i - 1, 1)) % 256)
+               + 256 * (ascii(substring(pay, 2 * t.i, 1)) % 256) AS v
+      FROM p, range(1, 33) t(i)
+    ),
+    sgn AS (
+      SELECT doc_id,
+             CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS sv
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(32 AS INTEGER) AS n_samples,
+           CAST(1 AS INTEGER) AS n_channels,
+           round(avg(sv * 1.0), 6) AS mean_amp,
+           round(sqrt(avg(sv * sv * 1.0)), 6) AS rms_amp
+    FROM sgn GROUP BY doc_id
+    """,
+)
+def multimodal_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec path (the PPM slug's sibling): binary
+    RIFF/WAVE payloads — constant PCM16-mono-8kHz header + 32 samples
+    from the doc's first 64 bytes — parsed with numpy inside
+    mapInPandas (magic + format-field validation, little-endian int16
+    block), emitting rate/shape and mean/RMS amplitude.  The oracle
+    recomputes the samples as byte arithmetic (ASCII corpus: char
+    codes == payload bytes; int16 sums exact in float64; /32 is a
+    power-of-two division, exact), so the real audio decode is
+    value-hash-verified bit for bit.  Corrupt payloads yield null
+    rows, never failed batches (unit-tested)."""
+    from resotodatalink_spark.operators.multimodal import (
+        attach_wav_payload,
+        decode_wav,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return decode_wav(attach_wav_payload(d))

@@ -109,3 +109,46 @@ def test_ppm_decoder_tolerates_corrupt_payloads(spark):
     rows = {r["doc_id"]: r for r in decode_ppm(df).collect()}
     assert rows[1]["width"] is None
     assert rows[2]["width"] is None  # truncated raster
+
+
+def test_wav_real_codec_roundtrip(spark):
+    """The REAL audio codec path: synthesize RIFF/PCM16 payloads,
+    decode with the numpy parser, and check header fields + amplitude
+    stats exactly."""
+    from resotodatalink_spark.operators.multimodal import (
+        attach_wav_payload,
+        decode_wav,
+    )
+
+    df = spark.createDataFrame([(1, "ab")], "doc_id: long, text: string")
+    r = decode_wav(attach_wav_payload(df)).collect()[0]
+    assert (r["sample_rate"], r["n_samples"], r["n_channels"]) == (8000, 32, 1)
+    # payload = 'ab' + 62x'_' -> samples are little-endian int16 pairs
+    pay = ("ab" + "_" * 62).encode()
+    samples = [
+        pay[2 * i] + 256 * pay[2 * i + 1] for i in range(32)
+    ]  # ASCII => always positive
+    assert r["mean_amp"] == round(sum(samples) / 32, 6)
+    assert r["rms_amp"] == round((sum(s * s for s in samples) / 32) ** 0.5, 6)
+
+
+def test_wav_decoder_tolerates_corrupt_payloads(spark):
+    """Bad magic / non-PCM / truncated data => null rows, not batch
+    failures."""
+    from resotodatalink_spark.operators.multimodal import (
+        WAV_HEADER_HEX,
+        decode_wav,
+    )
+
+    good_header = bytes.fromhex(WAV_HEADER_HEX)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(b"RIFFnotawave")),
+            (2, bytearray(good_header + b"x" * 10)),  # truncated data
+            (3, bytearray(good_header.replace(b"WAVE", b"EVAW") + b"x" * 64)),
+        ],
+        "doc_id: long, payload: binary",
+    )
+    rows = {r["doc_id"]: r for r in decode_wav(df).collect()}
+    for i in (1, 2, 3):
+        assert rows[i]["sample_rate"] is None, i
