@@ -126,6 +126,26 @@ _R9_SPILL = [
     "column_profile",
     "shuffle_skew_audit",
     "multimodal_wav_stats",
+    # Fourth wave: the 17 shapes completing 22/22 TPC-H coverage
+    # (queries/tpch.py) — every one locally value-hash-green at
+    # sf0.01 AND sf0.1 on arrival (tools/check_queries.py).
+    "tpch_q1_shape",
+    "tpch_q2_shape",
+    "tpch_q4_shape",
+    "tpch_q6_shape",
+    "tpch_q8_shape",
+    "tpch_q9_shape",
+    "tpch_q11_shape",
+    "tpch_q12_shape",
+    "tpch_q13_shape",
+    "tpch_q14_shape",
+    "tpch_q15_shape",
+    "tpch_q16_shape",
+    "tpch_q17_shape",
+    "tpch_q19_shape",
+    "tpch_q20_shape",
+    "tpch_q21_shape",
+    "tpch_q22_shape",
 ]
 
 _ATTEST_FIRST = _R5_STALE + _CHANGED_THIS_ROUND + _R9_SPILL + [

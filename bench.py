@@ -140,6 +140,27 @@ EXTENDED = [
     "column_profile",
     "shuffle_skew_audit",
     "multimodal_wav_stats",
+    # round-8 fourth wave: the 17 shapes completing 22/22 TPC-H
+    # coverage (queries/tpch.py) — each a distinct plan-shape family
+    # (scalar subqueries, EXISTS/NOT EXISTS, disjunctive join
+    # predicates, distribution-of-counts, conditional shares)
+    "tpch_q1_shape",
+    "tpch_q2_shape",
+    "tpch_q4_shape",
+    "tpch_q6_shape",
+    "tpch_q8_shape",
+    "tpch_q9_shape",
+    "tpch_q11_shape",
+    "tpch_q12_shape",
+    "tpch_q13_shape",
+    "tpch_q14_shape",
+    "tpch_q15_shape",
+    "tpch_q16_shape",
+    "tpch_q17_shape",
+    "tpch_q19_shape",
+    "tpch_q20_shape",
+    "tpch_q21_shape",
+    "tpch_q22_shape",
 ]
 
 
@@ -214,6 +235,14 @@ SF1_SUBSET = [
     # diagnostics: the profile scan and the hot-key histogram
     "column_profile",
     "shuffle_skew_audit",
+    # TPC-H fourth wave, volume-bound representatives only: q1 (the
+    # scan-bound 8-aggregate), q9 (five-way join with a LIKE part
+    # filter), q21 (the per-order double-correlation rewrite) — the
+    # other 14 are dimension-bounded or sub-second at sf1 and ride
+    # the headline section
+    "tpch_q1_shape",
+    "tpch_q9_shape",
+    "tpch_q21_shape",
     # embedding_pca_power deliberately NOT here: its wall is plan-
     # compile-constant (8.5s sf0.01 vs 8.7s sf0.1 — the 64-dim unrolled
     # chains dominate, not data), so sf1 would add ~26s of bench wall

@@ -1,0 +1,936 @@
+"""TPC-H query-shape slugs: the 17 shapes completing 22/22 coverage.
+
+The reference delegates its whole relational surface to the target
+database's SQL engine (reference collect_plugins.py:220-228), so the
+canonical demonstration that this repo replaces it is running the
+full TPC-H suite shape-for-shape.  q3/q5/q7/q10/q18 shipped in
+rounds 6-8 (queries/relational.py); this module adds the remaining
+seventeen, each adapted to the driver's TPC-H-ish subset schema (no
+partsupp table, no commit/receipt dates, no shipmode/phone/comment
+columns) while preserving the query's defining plan shape — the
+thing Catalyst has to get right at 100 TB:
+
+* q1  full 8-aggregate pricing summary (scan + map-side combine)
+* q2  correlated scalar-max subquery over a multi-join (dedup pairs
+      first, per-key agg + equi-join back — never a window over an
+      unbounded frame)
+* q4  EXISTS with a non-equi correlation (left-semi with compound
+      join condition)
+* q6  pure filter-aggregate (predicate pushdown showpiece)
+* q8  market-share: 8-way join, share = conditional sum / sum
+* q9  profit by nation x year with a LIKE part filter
+* q11 group-having against a global-total scalar (one-row broadcast)
+* q12 late-shipment priority counts (conditional aggregates)
+* q13 distribution-of-counts (left outer with ON-clause filter,
+      double aggregation)
+* q14 conditional-share aggregate over a month window
+* q15 view + scalar-max equality (one-row broadcast)
+* q16 count-distinct with a NOT IN exclusion (broadcast anti-join)
+* q17 correlated avg threshold per part (exact integer comparison)
+* q19 disjunctive predicate triples OR'd across join sides
+* q20 nested IN chain with a per-key dominance threshold
+* q21 EXISTS + NOT EXISTS double correlation (re-expressed as one
+      per-order aggregate — one shuffle instead of three self-joins)
+* q22 anti-join + global-average scalar threshold
+
+Float discipline follows queries/relational.py: money math in exact
+integer cents (1e2 / 1e4 / 1e6 scales), ONE float division at the
+end, written with the identical operation order in both engines;
+quantities are integer-valued and cast to BIGINT; threshold
+comparisons against averages/fractions are cross-multiplied into
+pure integer predicates so no engine-specific float summation can
+flip a boundary row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from resotodatalink_spark.registry import query
+from resotodatalink_spark.sources.tables import table
+
+# Exact-cents building blocks (SQL side); the Spark twins are built in
+# _cents()/_pcts() below.  l_extendedprice/discount/tax carry at most 2
+# decimals, so round(x*100) recovers the exact integer in both engines.
+_EXT = "CAST(round(l_extendedprice * 100) AS BIGINT)"
+_DISC = "CAST(round(l_discount * 100) AS BIGINT)"
+_TAX = "CAST(round(l_tax * 100) AS BIGINT)"
+_QTY = "CAST(l_quantity AS BIGINT)"
+_E4 = f"{_EXT} * (100 - {_DISC})"
+
+
+def _ext_cents():
+    return F.round(F.col("l_extendedprice") * 100).cast("long")
+
+
+def _disc_pct():
+    return F.round(F.col("l_discount") * 100).cast("long")
+
+
+def _tax_pct():
+    return F.round(F.col("l_tax") * 100).cast("long")
+
+
+def _qty():
+    return F.col("l_quantity").cast("long")
+
+
+def _e4():
+    return _ext_cents() * (100 - _disc_pct())
+
+
+# --- q1: full pricing summary -------------------------------------------
+
+
+@query(
+    "tpch_q1_shape",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum({_QTY}) AS BIGINT) AS sum_qty,
+           sum({_EXT}) / 100.0 AS sum_base_price,
+           sum({_E4}) / 10000.0 AS sum_disc_price,
+           sum({_E4} * (100 + {_TAX})) / 1000000.0 AS sum_charge,
+           sum({_QTY}) * 1.0 / count(*) AS avg_qty,
+           sum({_EXT}) * 1.0 / count(*) / 100.0 AS avg_price,
+           sum({_DISC}) * 1.0 / count(*) / 100.0 AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 at full fidelity (disc_price, charge, three averages — the
+    flagship ``agg_sum_avg_min_max`` is the simplified sibling): one
+    scan, map-side-combined; every money sum is exact integer cents
+    (1e2/1e4/1e6 scales) with a single float division on output, so
+    the hash is reorder-proof at any partition count."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp")
+    )
+    n = F.count("*")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_qty()).alias("sum_qty"),
+        (F.sum(_ext_cents()) / 100.0).alias("sum_base_price"),
+        (F.sum(_e4()) / 10000.0).alias("sum_disc_price"),
+        (F.sum(_e4() * (100 + _tax_pct())) / 1000000.0).alias("sum_charge"),
+        (F.sum(_qty()) * 1.0 / n).alias("avg_qty"),
+        (F.sum(_ext_cents()) * 1.0 / n / 100.0).alias("avg_price"),
+        (F.sum(_disc_pct()) * 1.0 / n / 100.0).alias("avg_disc"),
+        n.alias("count_order"),
+    )
+
+
+# --- q2: best-supplier-per-part (correlated scalar max) ------------------
+
+
+@query(
+    "tpch_q2_shape",
+    oracle="""
+    WITH pl AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+         es AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+                FROM supplier
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'EUROPE')
+    SELECT es.s_acctbal, es.s_name, es.n_name, p.p_partkey, p.p_name
+    FROM part p
+    JOIN pl ON p.p_partkey = pl.l_partkey
+    JOIN es ON pl.l_suppkey = es.s_suppkey
+    WHERE p.p_size <= 10 AND p.p_type = 'STANDARD'
+      AND es.s_acctbal = (
+        SELECT max(es2.s_acctbal)
+        FROM pl pl2 JOIN es es2 ON pl2.l_suppkey = es2.s_suppkey
+        WHERE pl2.l_partkey = p.p_partkey)
+    ORDER BY es.s_acctbal DESC, es.s_name, p.p_partkey
+    LIMIT 100
+    """,
+)
+def tpch_q2_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2's defining shape: a correlated scalar-max subquery over a
+    region-restricted part-supplier join (partsupp is absent from
+    this schema, so distinct lineitem (partkey, suppkey) pairs are
+    the link, and max(s_acctbal) stands in for min(ps_supplycost)).
+
+    Scale plan: pairs are deduped BEFORE any pair-level work (a
+    duplicate lineitem can never multiply candidates — the
+    record_linkage_blocked lesson); the correlated max becomes a
+    per-partkey aggregate equi-joined back (never a window over an
+    unpartitioned frame); supplier/nation/region collapse to one
+    broadcast dimension."""
+    pl = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    es = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "STANDARD")
+    )
+    cand = (
+        p.join(pl, F.col("p_partkey") == F.col("l_partkey"))
+        .join(es, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+    )
+    best = cand.groupBy(F.col("p_partkey").alias("bk")).agg(
+        F.max("s_acctbal").alias("best_bal")
+    )
+    return (
+        cand.join(
+            best,
+            (F.col("p_partkey") == F.col("bk"))
+            & (F.col("s_acctbal") == F.col("best_bal")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+        .orderBy(F.col("s_acctbal").desc(), "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# --- q4: order-priority checking (EXISTS, non-equi correlation) ----------
+
+
+@query(
+    "tpch_q4_shape",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o.o_orderdate < TIMESTAMP '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4's shape: EXISTS against lineitem with a NON-equi correlated
+    predicate (commit<receipt is absent — "a line shipped >60 days
+    after the order date" is the lateness signal).  A left-semi join
+    whose compound condition carries the inequality: the equi half
+    (l_orderkey = o_orderkey) keys the shuffle, the date inequality
+    rides as a residual — no second shuffle, no distinct."""
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+# --- q6: forecasting revenue change (pure filter-aggregate) --------------
+
+
+@query(
+    "tpch_q6_shape",
+    oracle=f"""
+    SELECT sum({_EXT} * {_DISC}) / 10000.0 AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND {_DISC} BETWEEN 5 AND 7
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6: the predicate-pushdown showpiece — filter + ungrouped sum,
+    no join, no shuffle beyond the final single-row combine.  The
+    discount band compares ROUNDED integer percent (5..7) in both
+    engines so no 0.05-is-not-representable boundary exists.  At
+    100 TB this is a parquet-scan-bound query: the date/quantity
+    filters reach PushedFilters and prune row groups."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & _disc_pct().between(5, 7)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg((F.sum(_ext_cents() * _disc_pct()) / 10000.0).alias("revenue"))
+    )
+
+
+# --- q8: national market share ------------------------------------------
+
+
+@query(
+    "tpch_q8_shape",
+    oracle=f"""
+    WITH all_nations AS (
+      SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+             {_E4} AS vol_e4,
+             sn.n_name AS nation
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      JOIN region r ON cn.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    )
+    SELECT o_year,
+           sum(CASE WHEN nation = 'NATION_7' THEN vol_e4 ELSE 0 END) * 1.0
+             / sum(vol_e4) AS mkt_share
+    FROM all_nations GROUP BY o_year
+    """,
+)
+def tpch_q8_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8: the widest join in the suite (lineitem x orders x customer
+    x nation x region x supplier x nation x part) feeding a
+    conditional-share aggregate.  Every dimension side broadcasts
+    (nation/region pre-joined and collapsed; part filtered to one
+    type); the only shuffles are the two fact-fact equi-joins and the
+    final 2-row-per-year combine.  The share is one float division of
+    two exact integer sums — identical IEEE op in both engines."""
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cust_n = n.join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("cnk"))
+    c = table(spark, sf_dir, "customer").join(
+        F.broadcast(cust_n), F.col("c_nationkey") == F.col("cnk")
+    )
+    supp_n = n.select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("nation")
+    )
+    s = table(spark, sf_dir, "supplier").join(
+        F.broadcast(supp_n), F.col("s_nationkey") == F.col("snk")
+    )
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    vol = _e4().alias("vol_e4")
+    joined = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(F.year("o_orderdate").alias("o_year"), vol, "nation")
+    )
+    hero = F.sum(F.when(F.col("nation") == "NATION_7", F.col("vol_e4")).otherwise(F.lit(0)))
+    return joined.groupBy("o_year").agg(
+        (hero * 1.0 / F.sum("vol_e4")).alias("mkt_share")
+    )
+
+
+# --- q9: product-type profit by nation x year ----------------------------
+
+
+@query(
+    "tpch_q9_shape",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+           sum({_E4}
+               - CAST(round(p.p_retailprice * 100) AS BIGINT) * 60 * {_QTY})
+             / 10000.0 AS sum_profit
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY n.n_name, CAST(year(o.o_orderdate) AS INTEGER)
+    """,
+)
+def tpch_q9_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9's shape: profit per supplier-nation per order-year for parts
+    matching a name LIKE (ps_supplycost is absent — cost is modeled
+    as 60% of retail price per unit, in the same exact-cents 1e4
+    scale as the revenue term, so profit stays pure integer until
+    the one output division).  part (LIKE-filtered) and
+    supplier x nation broadcast; lineitem shuffles once per fact
+    join key."""
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    n = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("nation")
+    )
+    s = table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("snk")
+    )
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    retail_cents = F.round(F.col("p_retailprice") * 100).cast("long")
+    profit_e4 = _e4() - retail_cents * 60 * _qty()
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg((F.sum(profit_e4) / 10000.0).alias("sum_profit"))
+    )
+
+
+# --- q11: important part values (global-scalar having) -------------------
+
+
+@query(
+    "tpch_q11_shape",
+    oracle=f"""
+    WITH pv AS (
+      SELECT l.l_partkey AS ps_partkey,
+             CAST(sum({_EXT} * (100 - {_DISC})) AS BIGINT) AS value_e4
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_7'
+      GROUP BY l.l_partkey
+    )
+    SELECT ps_partkey, value_e4 / 10000.0 AS part_value
+    FROM pv
+    WHERE value_e4 * (SELECT count(*) FROM pv)
+            > 2 * (SELECT CAST(sum(value_e4) AS BIGINT) FROM pv)
+    """,
+)
+def tpch_q11_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11's shape: per-part value filtered against a global-scalar
+    threshold.  TPC-H's fixed fraction of the total empties as the
+    part count grows (it scales its own fraction by 1/SF), so the
+    cut here is "worth more than TWICE the average part" —
+    cross-multiplied into pure integers (value * n > 2 * total) so
+    no float fraction can flip a boundary part, and SF-stable by
+    construction.  The global (total, count) is a ONE-ROW aggregate
+    re-attached via broadcast — constant extra work per row at any
+    scale (unigram_logprob's pattern); the per-part frame computes
+    once and feeds both sides."""
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    s = table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    li = table(spark, sf_dir, "lineitem")
+    pv = (
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("ps_partkey"))
+        .agg(F.sum(_e4()).alias("value_e4"))
+    )
+    total = pv.agg(
+        F.sum("value_e4").alias("total_e4"), F.count("*").alias("n_parts")
+    )
+    return (
+        pv.join(F.broadcast(total))
+        .filter(F.col("value_e4") * F.col("n_parts") > 2 * F.col("total_e4"))
+        .select(
+            "ps_partkey", (F.col("value_e4") / 10000.0).alias("part_value")
+        )
+    )
+
+
+# --- q12: late shipments by priority class -------------------------------
+
+_HIGH = "('1-URGENT', '2-HIGH')"
+
+
+@query(
+    "tpch_q12_shape",
+    oracle=f"""
+    SELECT l.l_linestatus,
+           CAST(sum(CASE WHEN o.o_orderpriority IN {_HIGH}
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN {_HIGH}
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= o.o_orderdate + INTERVAL 30 DAY
+      AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l.l_linestatus
+    """,
+)
+def tpch_q12_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12's shape: one fact-fact equi-join with a residual lateness
+    inequality (shipmode/receiptdate absent — l_linestatus groups,
+    ">=30 days after order" is the slow-shipment signal), then two
+    conditional counts in ONE aggregate pass.  The date window pushes
+    into the lineitem scan; the priority CASE rides map-side."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            F.col("l_shipdate")
+            >= F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# --- q13: customer order-count distribution ------------------------------
+
+
+@query(
+    "tpch_q13_shape",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) t
+    GROUP BY c_count
+    """,
+)
+def tpch_q13_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13: distribution-of-counts — a LEFT OUTER join whose filter
+    lives in the ON clause (filtering WHERE would drop the zero-order
+    customers the query exists to count), then a second aggregation
+    over the first's output.  The inner count keys on c_custkey (one
+    shuffle); the outer histogram frame is bounded by max orders per
+    customer — tiny at any corpus scale."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+# --- q14: promotion-effect share ----------------------------------------
+
+
+@query(
+    "tpch_q14_shape",
+    oracle=f"""
+    SELECT 100.0 * sum(CASE WHEN p.p_type = 'PROMO' THEN {_E4} ELSE 0 END)
+             / sum({_E4}) AS promo_revenue
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l.l_shipdate < TIMESTAMP '1997-10-01'
+    """,
+)
+def tpch_q14_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14: promo revenue share over one ship month — broadcast part
+    into the date-pruned lineitem scan, one conditional-share
+    aggregate.  100.0 * promo_sum / total_sum is evaluated in that
+    exact order in both engines (multiply the exact integer sum by
+    the float first, divide once)."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", _e4()).otherwise(F.lit(0))
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg((F.lit(100.0) * promo / F.sum(_e4())).alias("promo_revenue"))
+    )
+
+
+# --- q15: top supplier (scalar-max equality) -----------------------------
+
+
+@query(
+    "tpch_q15_shape",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(sum({_EXT} * (100 - {_DISC})) AS BIGINT) AS total_e4
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_e4 / 10000.0 AS total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_e4 = (SELECT max(total_e4) FROM revenue)
+    """,
+)
+def tpch_q15_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15's shape: a revenue view consumed twice — once for the rows,
+    once for the scalar max the rows are filtered against.  The max
+    is a ONE-ROW aggregate re-attached via broadcast (a 1xN
+    BroadcastNestedLoopJoin degenerating to a constant column
+    append); equality compares exact integer 1e4-cents, so the
+    argmax supplier set is identical in both engines."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_e4()).alias("total_e4")
+    )
+    best = revenue.agg(F.max("total_e4").alias("best_e4"))
+    s = table(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(best))
+        .filter(F.col("total_e4") == F.col("best_e4"))
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("total_e4") / 10000.0).alias("total_revenue"),
+        )
+    )
+
+
+# --- q16: supplier counts by part attributes (NOT IN) --------------------
+
+
+@query(
+    "tpch_q16_shape",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#5'
+      AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND p.p_type <> 'ECONOMY'
+      AND l.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def tpch_q16_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16's shape: count-distinct suppliers per part attribute triple
+    with a NOT IN exclusion (negative-balance suppliers stand in for
+    the complaints filter; the part-supplier link is lineitem).  The
+    exclusion list is dimension-sized → broadcast LEFT ANTI join, not
+    a shuffled subquery; part's attribute filter broadcasts into the
+    scan; the count-distinct shuffles once on the attribute triple."""
+    bad = table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+        & (F.col("p_type") != "ECONOMY")
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# --- q17: small-quantity-order revenue (correlated avg) ------------------
+
+
+@query(
+    "tpch_q17_shape",
+    oracle=f"""
+    SELECT sum({_EXT}) / 700.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand = 'Brand#3'
+      AND {_QTY} * 5 *
+          (SELECT count(*) FROM lineitem l2
+           WHERE l2.l_partkey = l.l_partkey)
+        < (SELECT CAST(sum(CAST(l2.l_quantity AS BIGINT)) AS BIGINT)
+           FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def tpch_q17_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17's shape: each line compared against a CORRELATED per-part
+    average (qty < 0.2 * avg(qty) over the part).  The threshold is
+    cross-multiplied into pure integers — qty*5*count < sum — so no
+    engine's float avg can flip a boundary line.  Spark-first form:
+    the correlated subquery pair becomes ONE per-part aggregate
+    equi-joined back to the brand-filtered lines (the per-part stats
+    scan is unfiltered, matching the subquery's scope)."""
+    li = table(spark, sf_dir, "lineitem")
+    stats = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.count("*").alias("n_part"), F.sum(_qty()).alias("sum_qty")
+    )
+    p = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(stats, F.col("l_partkey") == F.col("pk"))
+        .filter(_qty() * 5 * F.col("n_part") < F.col("sum_qty"))
+        .agg((F.sum(_ext_cents()) / 700.0).alias("avg_yearly"))
+    )
+
+
+# --- q19: disjunctive predicate triples ----------------------------------
+
+
+@query(
+    "tpch_q19_shape",
+    oracle=f"""
+    SELECT sum({_E4}) / 10000.0 AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND l.l_quantity BETWEEN 1 AND 11
+           AND p.p_size BETWEEN 1 AND 5)
+       OR (p.p_brand = 'Brand#23' AND l.l_quantity BETWEEN 10 AND 20
+           AND p.p_size BETWEEN 1 AND 10)
+       OR (p.p_brand = 'Brand#4' AND l.l_quantity BETWEEN 20 AND 30
+           AND p.p_size BETWEEN 1 AND 15)
+    """,
+)
+def tpch_q19_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19: three OR'd (brand, quantity-range, size-range) triples
+    spanning BOTH join sides — the disjunctive-predicate stress test.
+    The join itself stays a plain partkey equi-join (broadcast: part
+    is the dimension); the disjunction is a residual filter, and
+    Catalyst factors the common p_size <= 15 / brand-IN implications
+    into the part scan rather than nested-looping a join-OR."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+    triple = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & q.between(1, 11)
+            & F.col("p_size").between(1, 5)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & q.between(10, 20)
+            & F.col("p_size").between(1, 10)
+        )
+        | (
+            (F.col("p_brand") == "Brand#4")
+            & q.between(20, 30)
+            & F.col("p_size").between(1, 15)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(triple)
+        .agg((F.sum(_e4()) / 10000.0).alias("revenue"))
+    )
+
+
+# --- q20: dominant suppliers of promo parts (nested IN) ------------------
+
+
+@query(
+    "tpch_q20_shape",
+    oracle="""
+    WITH promo AS (SELECT p_partkey FROM part WHERE p_type = 'PROMO'),
+         sp AS (
+           SELECT l.l_suppkey, l.l_partkey,
+                  CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sp_qty
+           FROM lineitem l JOIN promo ON l.l_partkey = promo.p_partkey
+           GROUP BY l.l_suppkey, l.l_partkey),
+         pt AS (
+           SELECT l_partkey,
+                  CAST(sum(sp_qty) AS BIGINT) AS tot_qty,
+                  count(*) AS n_supp
+           FROM sp GROUP BY l_partkey)
+    SELECT s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+      AND s.s_suppkey IN (
+        SELECT sp.l_suppkey
+        FROM sp JOIN pt ON sp.l_partkey = pt.l_partkey
+        WHERE sp.sp_qty * pt.n_supp > pt.tot_qty * 2)
+    """,
+)
+def tpch_q20_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20's shape: a nested IN chain — suppliers (nation-filtered)
+    whose shipped quantity of some promo part exceeds TWICE the
+    part's fair per-supplier share (ps_availqty is absent; dominance
+    relative to fair share is the excess-stock signal, and unlike an
+    absolute share cut it stays populated as supplier counts grow
+    with scale).  The per-(supplier, part) and per-part sums derive
+    from ONE aggregation tree (the part total reuses the
+    supplier-part frame — one lineitem scan); the dominance test is
+    pure integers; the IN collapses to a left-semi join into the
+    broadcast-dimension supplier side."""
+    promo = table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "PROMO"
+    ).select("p_partkey")
+    li = table(spark, sf_dir, "lineitem")
+    sp = (
+        li.join(F.broadcast(promo), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(_qty()).alias("sp_qty"))
+    )
+    pt = sp.groupBy(F.col("l_partkey").alias("tk")).agg(
+        F.sum("sp_qty").alias("tot_qty"), F.count("*").alias("n_supp")
+    )
+    dominant = (
+        sp.join(pt, F.col("l_partkey") == F.col("tk"))
+        .filter(F.col("sp_qty") * F.col("n_supp") > F.col("tot_qty") * 2)
+        .select("l_suppkey")
+    )
+    n = table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+    )
+    s = table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return s.join(
+        dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+    ).select("s_name", "n_name")
+
+
+# --- q21: suppliers who kept orders waiting ------------------------------
+
+
+@query(
+    "tpch_q21_shape",
+    oracle="""
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F' AND n.n_name = 'NATION_2'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s.s_name
+    """,
+)
+def tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 — EXISTS + NOT EXISTS double self-correlation ("the only
+    late supplier in a multi-supplier order"; lateness = shipped >60
+    days after order date, receipt/commit being absent).
+
+    Spark-first re-expression: the oracle's three lineitem self-joins
+    collapse into ONE per-order aggregate —
+    countDistinct(supplier) > 1 AND countDistinct(late supplier) = 1
+    selects qualifying orders, max(late supplier) names the culprit,
+    and the late-line count is the per-order waiting score; a single
+    l_orderkey shuffle replaces exists/not-exists scans.  The
+    equivalence: every late line in a qualifying order belongs to the
+    unique late supplier, so counting l1 rows (oracle) equals summing
+    per-order late-line counts (here).  Supplier x nation broadcasts
+    at the end."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 60 DAYS"
+    )
+    per_order = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn("late_supp", F.when(late, F.col("l_suppkey")))
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct("late_supp").alias("n_late_supp"),
+            F.max("late_supp").alias("culprit"),
+            F.count("late_supp").alias("n_late_lines"),
+        )
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+    )
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
+    s = table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return (
+        per_order.join(
+            F.broadcast(s.select("s_suppkey", "s_name")),
+            F.col("culprit") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.sum("n_late_lines").alias("numwait"))
+    )
+
+
+# --- q22: dormant high-balance customers ---------------------------------
+
+_Q22_NATIONS = "(1, 3, 5, 7, 9, 11, 13)"
+_BAL = "CAST(round(c_acctbal * 100) AS BIGINT)"
+
+
+@query(
+    "tpch_q22_shape",
+    oracle=f"""
+    WITH pos AS (
+      SELECT CAST(sum({_BAL}) AS BIGINT) AS bal_sum,
+             count(*) AS bal_n
+      FROM customer
+      WHERE c_acctbal > 0.0 AND c_nationkey IN {_Q22_NATIONS})
+    SELECT c.c_nationkey AS cntrycode,
+           count(*) AS numcust,
+           sum({_BAL}) / 100.0 AS totacctbal
+    FROM customer c, pos
+    WHERE c.c_nationkey IN {_Q22_NATIONS}
+      AND {_BAL} * pos.bal_n > pos.bal_sum
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+    GROUP BY c.c_nationkey
+    """,
+)
+def tpch_q22_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22's shape: customers from a country list (c_nationkey stands
+    in for the phone prefix) with balance above the positive-balance
+    average, and DORMANT — no order since 1999 (every customer here
+    has some order, so "never ordered" is re-anchored to a recency
+    cutoff).  The average threshold is cross-multiplied into integers
+    (cents * n > sum); the stats are a ONE-ROW broadcast; dormancy is
+    a LEFT ANTI join against the date-pruned orders scan."""
+    nations = [1, 3, 5, 7, 9, 11, 13]
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    c = table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(nations)
+    )
+    pos = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(cents).alias("bal_sum"), F.count("*").alias("bal_n")
+    )
+    recent = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        c.join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(pos))
+        .filter(cents * F.col("bal_n") > F.col("bal_sum"))
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            (F.sum(cents) / 100.0).alias("totacctbal"),
+        )
+    )

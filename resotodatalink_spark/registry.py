@@ -43,4 +43,5 @@ def load_all() -> None:
         similarity,
         streaming,
         text,
+        tpch,
     )

@@ -45,6 +45,10 @@ The allowlist is intentional, not historical:
   scalar count): unigram_logprob's constant-append pattern, twice.
 * bloom_prefilter_audit — combines three ONE-ROW count aggregates
   via crossJoin (funnel_conversion's 1x1 BNLJ pattern, twice).
+* tpch_q11_shape / tpch_q15_shape / tpch_q22_shape — each attaches a
+  ONE-ROW global aggregate (total+count / max / balance stats) to a
+  bounded frame via broadcast: the scalar-subquery shapes of TPC-H
+  Q11/Q15/Q22, unigram_logprob's constant-append pattern.
 """
 
 from __future__ import annotations
@@ -71,6 +75,9 @@ CARTESIAN_OK = {
     "ivf_cell_balance",
     "embedding_pca_power",
     "bloom_prefilter_audit",
+    "tpch_q11_shape",
+    "tpch_q15_shape",
+    "tpch_q22_shape",
 }
 
 
