@@ -146,6 +146,12 @@ _R9_SPILL = [
     "tpch_q20_shape",
     "tpch_q21_shape",
     "tpch_q22_shape",
+    # Fifth wave: storage-layout / table-maintenance family
+    # (queries/layout.py) — per-key exact quantiles, the Z-order
+    # pruning audit, and the compaction bin-packing planner.
+    "quantiles_per_key",
+    "zorder_pruning_audit",
+    "compaction_bin_packing",
 ]
 
 _ATTEST_FIRST = _R5_STALE + _CHANGED_THIS_ROUND + _R9_SPILL + [

@@ -161,6 +161,12 @@ EXTENDED = [
     "tpch_q20_shape",
     "tpch_q21_shape",
     "tpch_q22_shape",
+    # round-8 fifth wave: storage-layout family — exact per-key
+    # quantile windows, the codegen Morton-interleave audit, and the
+    # cumulative-sum compaction planner
+    "quantiles_per_key",
+    "zorder_pruning_audit",
+    "compaction_bin_packing",
 ]
 
 

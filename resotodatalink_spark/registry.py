@@ -37,6 +37,7 @@ def load_all() -> None:
     from resotodatalink_spark.queries import (  # noqa: F401
         dedup,
         graph,
+        layout,
         multimodal,
         pipeline,
         relational,

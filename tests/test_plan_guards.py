@@ -78,6 +78,11 @@ CARTESIAN_OK = {
     "tpch_q11_shape",
     "tpch_q15_shape",
     "tpch_q22_shape",
+    # zorder_pruning_audit — attaches the ONE-ROW min/max column-stats
+    # row via broadcast to range-normalize both grid dimensions (the
+    # stats an OPTIMIZE ZORDER reads from table metadata); constant
+    # append per row, unigram_logprob's pattern.
+    "zorder_pruning_audit",
 }
 
 
