@@ -152,6 +152,8 @@ _R9_SPILL = [
     "quantiles_per_key",
     "zorder_pruning_audit",
     "compaction_bin_packing",
+    # privacy-governance audit beside pii_redaction
+    "k_anonymity_audit",
 ]
 
 _ATTEST_FIRST = _R5_STALE + _CHANGED_THIS_ROUND + _R9_SPILL + [

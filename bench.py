@@ -167,6 +167,8 @@ EXTENDED = [
     "quantiles_per_key",
     "zorder_pruning_audit",
     "compaction_bin_packing",
+    # privacy governance: the k-anonymity release gate
+    "k_anonymity_audit",
 ]
 
 

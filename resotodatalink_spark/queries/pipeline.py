@@ -456,3 +456,57 @@ def bloom_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             fp / (F.col("n_probes") - F.col("n_true_members")), 6
         ).alias("fp_rate"),
     )
+
+
+# --- privacy governance: k-anonymity audit -------------------------------
+
+_QI_BUCKET = "CAST(floor(c_acctbal / 1000) AS BIGINT)"
+
+
+@query(
+    "k_anonymity_audit",
+    oracle=f"""
+    WITH groups AS (
+      SELECT c_nationkey, c_mktsegment, {_QI_BUCKET} AS bal_bucket,
+             count(*) AS g
+      FROM customer
+      GROUP BY c_nationkey, c_mktsegment, {_QI_BUCKET})
+    SELECT count(*) AS n_groups,
+           CAST(min(g) AS BIGINT) AS min_group,
+           CAST(sum(CASE WHEN g < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_small_groups,
+           CAST(sum(CASE WHEN g < 5 THEN g ELSE 0 END) AS BIGINT)
+             AS rows_at_risk,
+           sum(CASE WHEN g < 5 THEN g ELSE 0 END) * 1.0
+             / sum(g) AS risk_share
+    FROM groups
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-governance audit (the release gate a training-data
+    platform runs before publishing a derived table): k-anonymity of
+    the quasi-identifier triple (nation, market segment, account
+    balance generalized to 1000-unit buckets) — how many QI groups
+    fall below k=5, and what share of ROWS they put at
+    re-identification risk.
+
+    Scale shape: one scan into a map-side-combined groupBy on the QI
+    triple, then a second aggregate over the group-size frame (one
+    row per QI GROUP — bounded by the generalization lattice, not
+    the corpus); risk_share is one float division of exact integer
+    counts.  The pii_redaction slug removes direct identifiers; this
+    measures what the quasi-identifiers still leak."""
+    c = table(spark, sf_dir, "customer")
+    groups = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_bucket"),
+    ).agg(F.count("*").alias("g"))
+    small = F.when(F.col("g") < 5, F.col("g")).otherwise(F.lit(0))
+    return groups.agg(
+        F.count("*").alias("n_groups"),
+        F.min("g").alias("min_group"),
+        F.sum(F.when(F.col("g") < 5, 1).otherwise(0)).alias("n_small_groups"),
+        F.sum(small).alias("rows_at_risk"),
+        (F.sum(small) * 1.0 / F.sum("g")).alias("risk_share"),
+    )
