@@ -372,6 +372,17 @@ def main() -> None:
         ]
         if os.path.exists(os.path.join(sf10_dir, "events.parquet")):
             sf10_candidates.append("interval_overlap_blocked")
+        if os.path.exists(os.path.join(sf10_dir, "lineitem.parquet")):
+            # TPC-H decade reps (dir carries the full star schema:
+            # tools/make_scaled_data.py benchdata/sf10 100
+            # lineitem,orders,customer,supplier,part,nation,region):
+            # the scan-bound aggregate and the one-shuffle
+            # double-correlation rewrite, plus the layout-audit scan
+            sf10_candidates += [
+                "tpch_q1_shape",
+                "tpch_q21_shape",
+                "zorder_pruning_audit",
+            ]
         sf10_names = [n for n in sf10_candidates if n in registry.QUERIES]
         sf10, sf10_rows = _run(spark, sf10_names, sf10_dir)
         out["sf10_queries"] = sf10

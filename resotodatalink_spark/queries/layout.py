@@ -232,10 +232,23 @@ def zorder_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("dq") / 4).cast("long").alias("lin_bucket"),
     )
 
-    def spans(frame: DataFrame, bucket: str, label: str) -> DataFrame:
-        per = frame.groupBy(bucket).agg(
-            (F.max("day") - F.min("day")).alias("day_span"),
-            (F.max("pk") - F.min("pk")).alias("pk_span"),
+    # ONE corpus scan: pre-aggregate min/max per (z_bucket, lin_bucket)
+    # pair — a <=2^16-row partial frame from which BOTH strategies'
+    # per-bucket extrema compose (min/max are reassociable), instead of
+    # the naive union re-scanning lineitem per strategy (2 scans -> 1;
+    # the pre-union plan executed the scan subtree twice because the
+    # two branches group by different keys, so no ReusedExchange).
+    partial = keyed.groupBy("z_bucket", "lin_bucket").agg(
+        F.min("day").alias("d_lo"),
+        F.max("day").alias("d_hi"),
+        F.min("pk").alias("p_lo"),
+        F.max("pk").alias("p_hi"),
+    ).localCheckpoint()  # bounded frame; one scan feeds both branches
+
+    def spans(bucket: str, label: str) -> DataFrame:
+        per = partial.groupBy(bucket).agg(
+            (F.max("d_hi") - F.min("d_lo")).alias("day_span"),
+            (F.max("p_hi") - F.min("p_lo")).alias("pk_span"),
         )
         n = F.count("*")
         return per.agg(
@@ -249,9 +262,7 @@ def zorder_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_pk_span",
         )
 
-    return spans(keyed, "z_bucket", "zorder").unionAll(
-        spans(keyed, "lin_bucket", "linear")
-    )
+    return spans("z_bucket", "zorder").unionAll(spans("lin_bucket", "linear"))
 
 
 # --- compaction bin packing ---------------------------------------------
