@@ -154,6 +154,11 @@ _R9_SPILL = [
     "compaction_bin_packing",
     # privacy-governance audit beside pii_redaction
     "k_anonymity_audit",
+    # Sixth wave: data-quality & drift family (queries/quality.py) —
+    # orphan-FK audit, PSI drift gate, time-weighted rollup.
+    "referential_integrity_audit",
+    "psi_drift_audit",
+    "time_weighted_avg",
 ]
 
 _ATTEST_FIRST = _R5_STALE + _CHANGED_THIS_ROUND + _R9_SPILL + [

@@ -1,0 +1,313 @@
+"""Data-quality & drift-audit slugs: the checks a 100 TB training-data
+pipeline runs BETWEEN ingest and training (beyond-reference, like the
+dedup/layout families — the reference delegates integrity entirely to
+the target database's constraints, which a lakehouse doesn't have).
+
+* ``referential_integrity_audit`` — orphan-FK detection across every
+  edge of the star schema, the lakehouse replacement for the FOREIGN
+  KEY constraints the reference's SQL sinks rely on (reference
+  sql.py notes FKs as TODO — here they become a scan-time audit).
+* ``psi_drift_audit`` — Population Stability Index of the order-value
+  distribution between the older and newer half of the date range:
+  the drift gate a crawl pipeline runs per ingest batch before mixing
+  new data into a training corpus.
+* ``time_weighted_avg`` — irregular-sample time-weighted average of
+  the event value per event type (the hypertable/timeseries rollup
+  where each observation holds until the next one).
+
+Float discipline (see DESIGN_NOTES): exact integer cents/micros
+everywhere, smoothed PSI ratios formed as ONE division of exact
+integer products, identical operation order in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from resotodatalink_spark.registry import query
+from resotodatalink_spark.sources.tables import table
+
+# --- referential integrity audit -----------------------------------------
+
+# Every FK edge of the driver's star schema: (edge label, child table,
+# FK column, parent table, PK column).  The oracle SQL is generated
+# from this same tuple list so the two engines can never drift.
+_FK_EDGES = (
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def _edge_sql(edge: str, child: str, fk: str, parent: str, pk: str) -> str:
+    return f"""
+    SELECT '{edge}' AS fk_edge,
+           CAST(sum(c.cnt) AS BIGINT) AS child_rows,
+           count(*) AS distinct_fk,
+           CAST(coalesce(sum(CASE WHEN p.key IS NULL THEN c.cnt END), 0)
+                AS BIGINT) AS orphan_rows
+    FROM (SELECT {fk} AS key, count(*) AS cnt FROM {child} GROUP BY 1) c
+    LEFT JOIN (SELECT DISTINCT {pk} AS key FROM {parent}) p USING (key)
+    """
+
+
+@query(
+    "referential_integrity_audit",
+    oracle=" UNION ALL ".join(_edge_sql(*e) for e in _FK_EDGES)
+    + " ORDER BY fk_edge",
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan-FK audit over all 7 star-schema edges: per edge, the
+    child row count, distinct FK values, and rows whose FK has no
+    parent (the constraint violation a SQL database would reject at
+    insert; reference sql.py:152 leaves FKs as a TODO, so on a
+    lakehouse this audit IS the constraint).
+
+    Scale shape: dedupe-before-join — each child collapses to its
+    DISTINCT FK values (carrying the row count) BEFORE the anti-side
+    left join, so the join touches |distinct keys| rows, not |child
+    rows| (lineitem's 60M rows at sf10 become 15M orderkeys, and the
+    part/supplier/nation/region parents broadcast).  One scan per
+    child column, one bounded-output aggregate per edge; the 7
+    one-row results union into a constant-size report."""
+    frames = [
+        fk_edge_audit(
+            table(spark, sf_dir, child),
+            fk,
+            table(spark, sf_dir, parent),
+            pk,
+            edge,
+        )
+        for edge, child, fk, parent, pk in _FK_EDGES
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("fk_edge")
+
+
+def fk_edge_audit(
+    child: DataFrame, fk: str, parent: DataFrame, pk: str, edge: str
+) -> DataFrame:
+    """One-row orphan audit of a single FK edge (unit-testable core of
+    ``referential_integrity_audit``): the child collapses to distinct
+    FK values before the left join against distinct parent keys."""
+    c = child.groupBy(F.col(fk).alias("key")).agg(F.count("*").alias("cnt"))
+    p = (
+        parent.select(F.col(pk).alias("key"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        c.join(p, "key", "left")
+        .agg(
+            F.sum("cnt").alias("child_rows"),
+            F.count("*").alias("distinct_fk"),
+            F.coalesce(
+                F.sum(F.when(F.col("hit").isNull(), F.col("cnt"))),
+                F.lit(0),
+            ).alias("orphan_rows"),
+        )
+        .select(
+            F.lit(edge).alias("fk_edge"),
+            "child_rows",
+            "distinct_fk",
+            "orphan_rows",
+        )
+    )
+
+
+# --- PSI drift audit ------------------------------------------------------
+
+_CENTS = "CAST(round(o_totalprice * 100) AS BIGINT)"
+_EPOCH = "TIMESTAMP '1970-01-01 00:00:00'"
+_N_BINS = 8
+
+
+@query(
+    "psi_drift_audit",
+    oracle=f"""
+    WITH o AS (
+      SELECT {_CENTS} AS cents,
+             date_diff('microsecond', {_EPOCH}, o_orderdate) AS od_us
+      FROM orders),
+    s AS (
+      SELECT min(cents) AS minc, max(cents) AS maxc,
+             min(od_us) AS min_us, max(od_us) AS max_us
+      FROM o),
+    b AS (
+      SELECT ((o.cents - s.minc) * {_N_BINS}) // (s.maxc - s.minc + 1) AS bin,
+             CASE WHEN 2 * o.od_us <= s.min_us + s.max_us
+                  THEN 1 ELSE 0 END AS is_base
+      FROM o CROSS JOIN s),
+    counts AS (
+      SELECT bin,
+             sum(CASE WHEN is_base = 1 THEN 1 ELSE 0 END) AS ca,
+             sum(CASE WHEN is_base = 0 THEN 1 ELSE 0 END) AS cb
+      FROM b GROUP BY bin),
+    spine AS (SELECT unnest(generate_series(0, {_N_BINS - 1})) AS bin),
+    dense AS (
+      SELECT spine.bin,
+             CAST(coalesce(c.ca, 0) AS BIGINT) AS cnt_base,
+             CAST(coalesce(c.cb, 0) AS BIGINT) AS cnt_curr
+      FROM spine LEFT JOIN counts c ON c.bin = spine.bin),
+    sm AS (
+      SELECT bin, cnt_base, cnt_curr,
+             cnt_base + 1 AS sa, cnt_curr + 1 AS sb,
+             sum(cnt_base + 1) OVER () AS ta,
+             sum(cnt_curr + 1) OVER () AS tb
+      FROM dense)
+    SELECT bin, cnt_base, cnt_curr,
+           round((sa * 1.0 / ta - sb * 1.0 / tb)
+                 * ln((sa * tb) * 1.0 / (sb * ta)), 9) AS psi_contrib
+    FROM sm ORDER BY bin
+    """,
+)
+def psi_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of order value between the OLDER and
+    NEWER half of the observed date range: per equal-width value bin,
+    baseline/current counts and the Laplace-smoothed PSI contribution
+    ``(pa - pb) * ln(pa / pb)`` (sum downstream; >0.25 = retrain-scale
+    drift by the usual credit-scoring rule of thumb).
+
+    Constants encode the invariant, not the instance: bin edges anchor
+    to the OBSERVED cents min/max (8 equal-width bins via pure integer
+    ``div``), and the window split is the OBSERVED date midpoint as an
+    integer-micros predicate ``2*t <= min+max`` — no magic dates or
+    price literals to break at 10x SF.  Smoothed ratios are formed as
+    ONE division of exact integer products inside ``ln`` (sa*tb /
+    sb*ta), identical operation order in both engines.
+
+    Scale shape: one corpus scan feeds a (bin, window) partial
+    aggregate (map-side combine, 16 output groups); the one-row
+    min/max stats frame attaches via broadcast (CARTESIAN_OK, the
+    zorder/unigram pattern); everything after the aggregate runs on
+    the bounded 8-row frame."""
+    o = table(spark, sf_dir, "orders").select(
+        F.expr(_CENTS).alias("cents"),
+        F.expr(f"timestampdiff(MICROSECOND, {_EPOCH}, o_orderdate)").alias(
+            "od_us"
+        ),
+    )
+    s = o.agg(
+        F.min("cents").alias("minc"),
+        F.max("cents").alias("maxc"),
+        F.min("od_us").alias("min_us"),
+        F.max("od_us").alias("max_us"),
+    )
+    b = o.crossJoin(F.broadcast(s)).select(
+        F.expr(f"((cents - minc) * {_N_BINS}) div (maxc - minc + 1)").alias(
+            "bin"
+        ),
+        F.when(
+            2 * F.col("od_us") <= F.col("min_us") + F.col("max_us"), 1
+        ).otherwise(0).alias("is_base"),
+    )
+    counts = b.groupBy("bin").agg(
+        F.sum(F.when(F.col("is_base") == 1, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("is_base") == 0, 1).otherwise(0)).alias("cb"),
+    )
+    spine = spark.range(_N_BINS).select(F.col("id").alias("bin"))
+    dense = spine.join(counts, "bin", "left").select(
+        "bin",
+        F.coalesce("ca", F.lit(0)).alias("cnt_base"),
+        F.coalesce("cb", F.lit(0)).alias("cnt_curr"),
+    )
+    wall = W.partitionBy()  # bounded 8-row frame — window state is tiny
+    sm = dense.select(
+        "bin",
+        "cnt_base",
+        "cnt_curr",
+        (F.col("cnt_base") + 1).alias("sa"),
+        (F.col("cnt_curr") + 1).alias("sb"),
+        F.sum(F.col("cnt_base") + 1).over(wall).alias("ta"),
+        F.sum(F.col("cnt_curr") + 1).over(wall).alias("tb"),
+    )
+    return sm.select(
+        "bin",
+        "cnt_base",
+        "cnt_curr",
+        F.round(
+            (
+                F.col("sa") * 1.0 / F.col("ta")
+                - F.col("sb") * 1.0 / F.col("tb")
+            )
+            * F.log((F.col("sa") * F.col("tb")) * 1.0 / (F.col("sb") * F.col("ta"))),
+            9,
+        ).alias("psi_contrib"),
+    ).orderBy("bin")
+
+
+# --- time-weighted average ------------------------------------------------
+
+
+@query(
+    "time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             CAST(round(value * 1000000) AS BIGINT) AS v_micro,
+             date_diff('microsecond', ts,
+                       lead(ts) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id
+                       )) AS dt_us
+      FROM events),
+    iv AS (SELECT * FROM seq WHERE dt_us IS NOT NULL AND dt_us > 0)
+    SELECT event_type,
+           count(*) AS n_intervals,
+           round(CAST(sum(CAST(v_micro AS HUGEINT) * dt_us) AS DOUBLE)
+                 / CAST(sum(dt_us) AS DOUBLE) / 1000000.0, 6) AS twa
+    FROM iv GROUP BY event_type ORDER BY event_type
+    """,
+)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of the event value per event type over
+    irregular samples: each observation holds until the user's next
+    event, so its weight is the interval length (the hypertable
+    ``time_weight('locf')`` rollup).  Zero-length intervals (timestamp
+    ties, broken by event_id) carry no weight and are excluded.
+
+    Exactness: value scales to integer micro-units, weights are exact
+    integer microseconds (``timestampdiff`` both engines — NOT
+    second-granularity ``date_diff``, whose boundary-crossing
+    semantics differ between engines); products and sums run in
+    DECIMAL(38,0) / HUGEINT so nothing overflows at sf10 (per-type
+    numerator ~1e27 max), with ONE double division on output.
+
+    Scale shape: one shuffle on user_id feeds the lead window (the
+    sessionize/event_transitions exchange), then a map-side-combined
+    aggregate onto the vocabulary-bounded event_type frame."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.round(F.col("value") * 1000000).cast("long").alias("v_micro"),
+        "ts",
+        F.lead("ts").over(w).alias("next_ts"),
+    ).select(
+        "event_type",
+        "v_micro",
+        F.expr("timestampdiff(MICROSECOND, ts, next_ts)").alias("dt_us"),
+    )
+    iv = seq.filter(F.col("dt_us").isNotNull() & (F.col("dt_us") > 0))
+    num = F.sum(
+        F.col("v_micro").cast("decimal(20,0)")
+        * F.col("dt_us").cast("decimal(20,0)")
+    )
+    den = F.sum(F.col("dt_us").cast("decimal(20,0)"))
+    return (
+        iv.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.round(
+                num.cast("double") / den.cast("double") / 1000000.0, 6
+            ).alias("twa"),
+        )
+        .orderBy("event_type")
+    )

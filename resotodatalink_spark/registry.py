@@ -40,6 +40,7 @@ def load_all() -> None:
         layout,
         multimodal,
         pipeline,
+        quality,
         relational,
         similarity,
         streaming,

@@ -83,6 +83,10 @@ CARTESIAN_OK = {
     # stats an OPTIMIZE ZORDER reads from table metadata); constant
     # append per row, unigram_logprob's pattern.
     "zorder_pruning_audit",
+    # psi_drift_audit — attaches the ONE-ROW min/max cents+date stats
+    # row via broadcast to anchor bin edges and the window-split
+    # midpoint to the observed data; constant append per row.
+    "psi_drift_audit",
 }
 
 

@@ -1,0 +1,120 @@
+"""Semantic tests for the data-quality & drift family — the oracle
+sweep (test_oracle.py) verifies engine parity on the real tables; the
+tests here exercise the paths the consistent TPC-H data never does
+(actual orphans, actual drift, hand-computed time weights)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from resotodatalink_spark import registry
+from resotodatalink_spark.queries.quality import fk_edge_audit
+from tests.conftest import SF_DIR
+
+registry.load_all()
+
+
+def test_fk_edge_audit_detects_orphans(spark):
+    child = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (9, "d"), (9, "e"), (None, "f")],
+        "fk int, payload string",
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk int")
+    row = fk_edge_audit(child, "fk", parent, "pk", "child.fk->parent").collect()[0]
+    assert row.fk_edge == "child.fk->parent"
+    assert row.child_rows == 6
+    assert row.distinct_fk == 4  # 1, 2, 9, NULL
+    # fk=9 (2 rows) has no parent; a NULL FK (1 row) can never match.
+    assert row.orphan_rows == 3
+
+
+def test_fk_edge_audit_clean_edge(spark):
+    child = spark.createDataFrame([(1,), (2,), (2,)], "fk int")
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk int")
+    row = fk_edge_audit(child, "fk", parent, "pk", "e").collect()[0]
+    assert (row.child_rows, row.distinct_fk, row.orphan_rows) == (3, 2, 0)
+
+
+def test_referential_integrity_audit_clean_on_testdata(spark):
+    rows = registry.QUERIES["referential_integrity_audit"](
+        spark, SF_DIR
+    ).collect()
+    assert len(rows) == 7
+    assert all(r.orphan_rows == 0 for r in rows), rows
+    assert all(r.child_rows >= r.distinct_fk > 0 for r in rows)
+
+
+def _write_orders(spark, path, rows):
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_totalprice double, o_orderdate timestamp"
+    ).write.mode("overwrite").parquet(f"{path}/orders.parquet")
+
+
+def test_psi_drift_audit_zero_when_stable(spark, tmp_path):
+    """Identical value distributions in both halves => every smoothed
+    contribution is exactly 0 (sa==sb, ta==tb)."""
+    t0 = datetime.datetime(2020, 1, 1)
+    rows = []
+    k = 0
+    for half_day in (0, 300):  # same 100-value shape in both windows
+        for i in range(100):
+            rows.append(
+                (k, 10.0 + i, t0 + datetime.timedelta(days=half_day + i % 3))
+            )
+            k += 1
+    _write_orders(spark, tmp_path, rows)
+    out = registry.QUERIES["psi_drift_audit"](spark, str(tmp_path)).collect()
+    assert len(out) == 8
+    assert sum(r.cnt_base for r in out) == 100
+    assert sum(r.cnt_curr for r in out) == 100
+    assert all(abs(r.psi_contrib) < 1e-12 for r in out)
+
+
+def test_psi_drift_audit_flags_shift(spark, tmp_path):
+    """A hard distribution shift (low values early, high values late)
+    lands in disjoint bins => large positive total PSI."""
+    t0 = datetime.datetime(2020, 1, 1)
+    rows = [(i, 10.0 + i, t0) for i in range(100)]  # baseline: 10..110
+    rows += [
+        (100 + i, 900.0 + i, t0 + datetime.timedelta(days=400))
+        for i in range(100)
+    ]  # current: 900..1000
+    _write_orders(spark, tmp_path, rows)
+    out = registry.QUERIES["psi_drift_audit"](spark, str(tmp_path)).collect()
+    total = sum(r.psi_contrib for r in out)
+    assert total > 0.25, total  # the standard retrain threshold
+
+
+def test_time_weighted_avg_hand_computed(spark, tmp_path):
+    t0 = datetime.datetime(2021, 6, 1)
+    rows = [
+        # user 1: v=10 holds 10s, v=20 holds 20s, last event unweighted
+        (1, t0, 1, "click", 10.0, "{}"),
+        (2, t0 + datetime.timedelta(seconds=10), 1, "click", 20.0, "{}"),
+        (3, t0 + datetime.timedelta(seconds=30), 1, "click", 99.0, "{}"),
+        # user 2, zero-length tie (same ts) carries no weight
+        (4, t0, 2, "view", 5.0, "{}"),
+        (5, t0, 2, "view", 7.0, "{}"),
+        (6, t0 + datetime.timedelta(seconds=4), 2, "view", 999.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = {
+        r.event_type: r
+        for r in registry.QUERIES["time_weighted_avg"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    click = out["click"]
+    assert click.n_intervals == 2
+    # twa is rounded to 6 decimals, so compare at that precision
+    assert abs(click.twa - (10.0 * 10 + 20.0 * 20) / 30) < 5e-7
+    view = out["view"]
+    # tie-broken by event_id: v=5 gets dt=0 (excluded), v=7 holds 4s
+    assert view.n_intervals == 1
+    assert abs(view.twa - 7.0) < 1e-9
