@@ -243,6 +243,13 @@ SF1_SUBSET = [
     # diagnostics: the profile scan and the hot-key histogram
     "column_profile",
     "shuffle_skew_audit",
+    # round-8 sixth wave: the quality/drift family — the FK audit is
+    # the 7-edge distinct-collapse join over the full star schema, PSI
+    # is a one-scan double-keyed aggregate, TWA is the user_id lead
+    # window + vocabulary-bounded aggregate
+    "referential_integrity_audit",
+    "psi_drift_audit",
+    "time_weighted_avg",
     # TPC-H fourth wave, volume-bound representatives only: q1 (the
     # scan-bound 8-aggregate), q9 (five-way join with a LIKE part
     # filter), q21 (the per-order double-correlation rewrite) — the
@@ -372,6 +379,9 @@ def main() -> None:
         ]
         if os.path.exists(os.path.join(sf10_dir, "events.parquet")):
             sf10_candidates.append("interval_overlap_blocked")
+            # quality family decade rep over events: the lead-window
+            # shuffle on user_id must stay linear at 10M rows
+            sf10_candidates.append("time_weighted_avg")
         if os.path.exists(os.path.join(sf10_dir, "lineitem.parquet")):
             # TPC-H decade reps (dir carries the full star schema:
             # tools/make_scaled_data.py benchdata/sf10 100
@@ -382,6 +392,12 @@ def main() -> None:
                 "tpch_q1_shape",
                 "tpch_q21_shape",
                 "zorder_pruning_audit",
+                # quality-family decade reps over the star schema: the
+                # 7-edge FK audit probes 60M lineitem rows through the
+                # distinct-collapse join; PSI scans 15M orders into a
+                # 16-group aggregate
+                "referential_integrity_audit",
+                "psi_drift_audit",
             ]
         sf10_names = [n for n in sf10_candidates if n in registry.QUERIES]
         sf10, sf10_rows = _run(spark, sf10_names, sf10_dir)
