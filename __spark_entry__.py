@@ -159,6 +159,16 @@ _R9_SPILL = [
     "referential_integrity_audit",
     "psi_drift_audit",
     "time_weighted_avg",
+    # Seventh wave: weighted priority sampling, per-source JSD mixture
+    # divergence, BM25 retrieval scoring, MAD outlier gate, embedding
+    # norm-hygiene audit, bounded-peel k-core.  Locally value-hash
+    # green at sf0.01 on arrival (tools/check_queries.py).
+    "weighted_sample",
+    "js_divergence_sources",
+    "bm25_scoring",
+    "anomaly_mad",
+    "embedding_norm_outliers",
+    "graph_kcore",
 ]
 
 _ATTEST_FIRST = _R5_STALE + _CHANGED_THIS_ROUND + _R9_SPILL + [

@@ -258,6 +258,15 @@ SF1_SUBSET = [
     "tpch_q1_shape",
     "tpch_q9_shape",
     "tpch_q21_shape",
+    # round-8 seventh wave: sf1 evidence lands the same round they
+    # ship — the token-explode aggregates (JSD, BM25), the three-pass
+    # percentile gate (MAD), the 4-round peel over real pair volume
+    # (k-core), and the scan+top-k priority sampler
+    "weighted_sample",
+    "js_divergence_sources",
+    "bm25_scoring",
+    "anomaly_mad",
+    "graph_kcore",
     # embedding_pca_power deliberately NOT here: its wall is plan-
     # compile-constant (8.5s sf0.01 vs 8.7s sf0.1 — the 64-dim unrolled
     # chains dominate, not data), so sf1 would add ~26s of bench wall

@@ -996,3 +996,97 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nodes.groupBy("node").agg(
         F.count("*").cast("int").alias("n_triangles")
     )
+
+
+# --- k-core decomposition: bounded peeling --------------------------------
+
+_KCORE_K = 4
+_KCORE_ROUNDS = 4
+
+
+def _kcore_oracle() -> str:
+    """Generate the fixed-round peeling as nested CTEs so the oracle
+    and the Spark loop can never disagree on round count."""
+    parts = [
+        """
+    WITH q AS (
+      SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 40
+    ),
+    pairs AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM q a JOIN q b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_partkey < b.l_partkey
+    ),
+    e0 AS (SELECT u AS s, v AS d FROM pairs UNION ALL SELECT v, u FROM pairs)
+    """
+    ]
+    for r in range(1, _KCORE_ROUNDS + 1):
+        parts.append(
+            f""",
+    deg{r} AS (SELECT s, count(*) AS dg FROM e{r - 1} GROUP BY s),
+    keep{r} AS (SELECT s FROM deg{r} WHERE dg >= {_KCORE_K}),
+    e{r} AS (
+      SELECT e.s, e.d FROM e{r - 1} e
+      JOIN keep{r} a ON e.s = a.s JOIN keep{r} b ON e.d = b.s
+    )
+    """
+        )
+    parts.append(
+        f"""
+    SELECT s AS node, CAST(count(*) AS INTEGER) AS degree
+    FROM e{_KCORE_ROUNDS} GROUP BY s
+    """
+    )
+    return "".join(parts)
+
+
+@query("graph_kcore", oracle=_kcore_oracle())
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (bounded peeling) over the co-order part
+    graph (same graph as graph_triangle_count): repeatedly drop nodes
+    of degree < k until the dense core remains — the community-core
+    extractor used for spam-cluster and citation-core mining.  Both
+    engines run EXACTLY _KCORE_ROUNDS peel rounds (deletion cascades
+    are non-monotone, so an unbounded recursive CTE cannot express the
+    fixpoint; the bounded-round contract is part of the slug's spec,
+    and the oracle's CTE chain is generated from the same constants).
+
+    Scale shape: each round is one map-side-combined degree aggregate
+    plus two semi-joins keyed on the node id — the same partitioning
+    every round, so at scale the exchanges reuse one shuffle layout;
+    candidate edges only ever SHRINK.  The loop is a driver-side plan
+    builder (4 iterations, no data at the driver)."""
+    li = table(spark, sf_dir, "lineitem")
+    q = li.filter(F.col("l_quantity") >= 40).select("l_orderkey", "l_partkey")
+    a, b = q.alias("a"), q.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("u").alias("s"), F.col("v").alias("d"))
+        .unionByName(pairs.select(F.col("v").alias("s"), F.col("u").alias("d")))
+        # each peel round references edges twice (degree agg + filter) and
+        # the next round builds on it — without a checkpoint the expensive
+        # distinct self-join above re-executes a combinatorial number of
+        # times (measured: 60s -> 3s at sf0.01)
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(_KCORE_ROUNDS):
+        deg = edges.groupBy("s").agg(F.count("*").alias("dg"))
+        keep = deg.filter(F.col("dg") >= _KCORE_K).select("s")
+        edges = (
+            edges.join(keep, "s", "left_semi")
+            .join(keep.withColumnRenamed("s", "d"), "d", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        edges.groupBy("s")
+        .agg(F.count("*").cast("int").alias("degree"))
+        .withColumnRenamed("s", "node")
+    )

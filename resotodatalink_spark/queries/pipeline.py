@@ -510,3 +510,51 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(small).alias("rows_at_risk"),
         (F.sum(small) * 1.0 / F.sum("g")).alias("risk_share"),
     )
+
+
+# --- weighted sampling: priority sampling (Duffield-Lund-Thorup) ----------
+
+# Decorrelated additive constant (vs 919380 used by the stratified
+# sampler) so the two samplers never reuse the same pseudo-uniform.
+_WS_SPREAD = f"(doc_id * {SPREAD_MULT} + 424117) % {SPREAD_MOD}"
+_WS_K = 120
+
+
+@query(
+    "weighted_sample",
+    oracle=f"""
+    SELECT doc_id, n_chars,
+           n_chars * {float(SPREAD_MOD)} / ({_WS_SPREAD} + 1) AS priority
+    FROM documents
+    ORDER BY priority DESC, doc_id
+    LIMIT {_WS_K}
+    """,
+)
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional sampling without replacement via PRIORITY
+    SAMPLING (Duffield-Lund-Thorup, JACM 2007): each item gets
+    priority q_i = w_i / u_i for u_i uniform in (0,1], and the sample
+    is the top-k by priority — the estimator a mixture pipeline uses
+    to over-sample long/high-quality documents with a bounded-variance
+    subset-sum guarantee.  Here w = n_chars.
+
+    Determinism across engines/retries: u_i derives from the shared
+    Knuth-multiplier spread hash (u = (h+1)/2^31, h a bijection of
+    doc_id), not rand(); the priority is ONE multiply + ONE divide of
+    exact integers, so the double is bit-identical in both engines and
+    the rank order cannot drift.
+
+    Scale shape: no shuffle at all — the priority is a scan-time
+    expression and top-k is TakeOrderedAndProject (per-partition heaps
+    + driver merge of k rows), the same plan at 100 TB."""
+    d = table(spark, sf_dir, "documents")
+    h = F.expr(_WS_SPREAD)
+    return (
+        d.select(
+            "doc_id",
+            "n_chars",
+            (F.col("n_chars") * float(SPREAD_MOD) / (h + 1)).alias("priority"),
+        )
+        .orderBy(F.desc("priority"), "doc_id")
+        .limit(_WS_K)
+    )

@@ -311,3 +311,70 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- robust outlier gate: median absolute deviation ------------------------
+
+
+@query(
+    "anomaly_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, m.med, abs(e.value - m.med) AS d
+      FROM events e JOIN med m ON e.event_type = m.event_type
+    ),
+    mad AS (
+      SELECT event_type, round(quantile_cont(d, 0.5), 6) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type, d.med, m.mad,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN d.d > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    GROUP BY d.event_type, d.med, m.mad
+    """,
+)
+def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type via MEDIAN ABSOLUTE
+    DEVIATION — the anomaly gate that, unlike anomaly_zscore_hours,
+    does not let the outliers themselves inflate the threshold (median
+    and MAD have a 50% breakdown point; mean/stddev have 0%).
+
+    Cross-engine determinism: both engines interpolate the even-count
+    median as a midpoint but in different IEEE op orders, so each
+    median is ROUNDED to 6 before any downstream use — the deviations
+    and the 3xMAD comparison then run on identical doubles in both
+    engines (the established round-then-use pattern, see
+    DESIGN_NOTES float discipline).
+
+    Scale shape: exact percentile is one shuffle keyed on event_type
+    (vocabulary-bounded); the med/mad frames are #event_types rows,
+    joined back by broadcast, so events stream through three
+    scan+broadcast passes and never shuffle on a corpus-sized key.
+    At 100 TB swap the exact percentile for approx_percentile(1e-4)
+    — same plan, bounded state."""
+    e = table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("d")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(d, 0.5)"), 6).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.when(F.col("d") > 3 * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )

@@ -1188,3 +1188,81 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(nrm2 / F.col("n"), 6).alias("lambda_per_vec"),
         )
     )
+
+
+# --- embedding hygiene: norm-outlier audit ---------------------------------
+
+
+# The test embeddings are unit-normalized (norms all 1.0 +/- 1e-8), so
+# the audit first applies a deterministic per-vector scale with rare
+# injected blow-ups — the same synthesize-the-defect pattern as
+# pii_redaction; a real corpus skips this step.
+_NORM_SCALE = (
+    "CASE WHEN vec_id % 83 = 0 THEN 3.0 + vec_id % 5 "
+    "ELSE 1.0 + (vec_id % 97) / 100.0 END"
+)
+
+
+@query(
+    "embedding_norm_outliers",
+    oracle=f"""
+    WITH norms AS (
+      SELECT vec_id,
+             sqrt({V.dot_duck('embedding', 'embedding')}) * ({_NORM_SCALE})
+               AS nrm
+      FROM embeddings
+    ),
+    stats AS (
+      SELECT round(avg(nrm), 4) AS mean_norm,
+             round(sqrt(greatest(avg(nrm * nrm) - avg(nrm) * avg(nrm), 0.0)), 4)
+               AS std_norm
+      FROM norms
+    )
+    SELECT n.vec_id, round(n.nrm, 6) AS nrm, s.mean_norm, s.std_norm
+    FROM norms n, stats s
+    WHERE n.nrm > s.mean_norm + 2 * s.std_norm
+       OR n.nrm < s.mean_norm - 2 * s.std_norm
+    """,
+)
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-hygiene audit: vectors whose L2 norm falls outside
+    mean +/- 2 sigma — the pre-index gate that catches truncated,
+    zero-padded, or exploded vectors before they poison an ANN index
+    or a cosine-dedup pass (norm outliers dominate dot products).
+
+    Cross-engine determinism: the norm itself is the exact
+    left-associative chain (functions/vectors.py) so it is
+    bit-identical; mean/std are order-sensitive float sums, so the
+    THRESHOLD is rounded to 4 on both sides before the comparison
+    (round-then-use) and only then applied to the bit-exact norms.
+
+    Scale shape: norms are a scan-time codegen expression; the stats
+    frame is ONE row (population moments via sum/sumsq, map-side
+    combined) attached by broadcast; the filter runs at scan speed.
+    No shuffle of the embedding column at any point."""
+    e = table(spark, sf_dir, "embeddings")
+    norms = e.select(
+        "vec_id",
+        (F.sqrt(V.dot_spark("embedding", "embedding")) * F.expr(_NORM_SCALE)).alias(
+            "nrm"
+        ),
+    )
+    stats = norms.agg(
+        F.round(F.avg("nrm"), 4).alias("mean_norm"),
+        F.round(
+            F.sqrt(
+                F.greatest(
+                    F.avg(F.col("nrm") * F.col("nrm")) - F.avg("nrm") * F.avg("nrm"),
+                    F.lit(0.0),
+                )
+            ),
+            4,
+        ).alias("std_norm"),
+    )
+    lo = F.col("mean_norm") - 2 * F.col("std_norm")
+    hi = F.col("mean_norm") + 2 * F.col("std_norm")
+    return (
+        norms.crossJoin(F.broadcast(stats))
+        .filter((F.col("nrm") > hi) | (F.col("nrm") < lo))
+        .select("vec_id", F.round("nrm", 6).alias("nrm"), "mean_norm", "std_norm")
+    )

@@ -1250,3 +1250,174 @@ def cms_frequency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cms_est").cast("int").alias("cms_est"),
         (F.col("cms_est") - F.col("exact_n")).cast("int").alias("overestimate"),
     )
+
+
+# --- data-mixture divergence: per-source JSD vs the corpus mixture -------
+
+
+@query(
+    "js_divergence_sources",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    cnt AS (
+      SELECT source, tok, count(*) AS n FROM tok GROUP BY source, tok
+    ),
+    tot AS (SELECT source, sum(n) AS t FROM cnt GROUP BY source),
+    g_cnt AS (SELECT tok, sum(n) AS gn FROM cnt GROUP BY tok),
+    g_tot AS (SELECT sum(gn) AS gt FROM g_cnt),
+    joined AS (
+      SELECT c.source,
+             c.n * 1.0 / t.t AS p,
+             g.gn * 1.0 / (SELECT gt FROM g_tot) AS q
+      FROM cnt c
+      JOIN tot t ON c.source = t.source
+      JOIN g_cnt g ON c.tok = g.tok
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS shared_vocab,
+           round(0.5 * (sum(p * ln(2 * p / (p + q)))
+                        + sum(q * ln(2 * q / (p + q)))
+                        + (1 - sum(q)) * ln(2)), 6) AS jsd_nats
+    FROM joined GROUP BY source
+    """,
+)
+def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence of each source's unigram distribution
+    against the whole-corpus mixture — the drift number a data-mixture
+    designer reads before re-weighting sources (low = redundant with
+    the mixture, high = distinct dialect/domain).  Closed form used:
+    for tokens ABSENT from the source (p=0) the corpus-side integrand
+    degenerates to q*ln(2), so the whole tail folds into
+    (1 - sum_over_source_tokens(q)) * ln(2) and only the per-source
+    vocabulary ever materializes — no full-outer join against the
+    global vocabulary.
+
+    Scale shape: (source, token) counts are map-side combined over a
+    vocabulary-bounded key space; the global token frame joins back on
+    token (both sides vocabulary-bounded, sort-merge-safe); the final
+    aggregate is per source (bounded).  JSD sums are order-sensitive
+    floats -> round(6) on both sides per the float discipline."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+    cnt = tok.groupBy("source", "tok").agg(F.count("*").alias("n"))
+    tot = cnt.groupBy("source").agg(F.sum("n").alias("t"))
+    g_cnt = cnt.groupBy("tok").agg(F.sum("n").alias("gn"))
+    gt = g_cnt.agg(F.sum("gn").alias("gt"))
+    joined = (
+        cnt.join(tot, "source")
+        .join(g_cnt, "tok")
+        .crossJoin(F.broadcast(gt))
+        .select(
+            "source",
+            (F.col("n") * 1.0 / F.col("t")).alias("p"),
+            (F.col("gn") * 1.0 / F.col("gt")).alias("q"),
+        )
+    )
+    p, q = F.col("p"), F.col("q")
+    return joined.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("shared_vocab"),
+        F.round(
+            0.5
+            * (
+                F.sum(p * F.log(2 * p / (p + q)))
+                + F.sum(q * F.log(2 * q / (p + q)))
+                + (1 - F.sum(q)) * F.log(F.lit(2.0))
+            ),
+            6,
+        ).alias("jsd_nats"),
+    )
+
+
+# --- retrieval scoring: BM25 over the corpus ------------------------------
+
+# Fixed conjunctive query; one output column per term so the final
+# score is a FIXED-ORDER sum of three doubles (bit-identical across
+# engines), never a float SUM() whose addend order the engine picks.
+_BM25_TERMS = ("join", "vector", "scan")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 50
+
+
+def _bm25_term_sql(term: str) -> str:
+    """Per-term BM25 contribution (Lucene/ATIRE idf form) as SQL over
+    columns tf_<term>, dl, and scalars n_docs/avgdl/df_<term>."""
+    return (
+        f"ln((n_docs - df_{term} + 0.5) / (df_{term} + 0.5) + 1.0) * "
+        f"(tf_{term} * ({_BM25_K1} + 1.0)) / "
+        f"(tf_{term} + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl))"
+    )
+
+
+@query(
+    "bm25_scoring",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tf AS (
+      SELECT doc_id,
+             {', '.join(f"sum(CASE WHEN tok = '{t}' THEN 1 ELSE 0 END) AS tf_{t}" for t in _BM25_TERMS)},
+             count(*) AS dl
+      FROM tok GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT count(*) AS n_docs,
+             sum(dl) * 1.0 / count(*) AS avgdl,
+             {', '.join(f"sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}" for t in _BM25_TERMS)}
+      FROM tf
+    ),
+    scored AS (
+      SELECT doc_id,
+             round({' + '.join(f'({_bm25_term_sql(t)})' for t in _BM25_TERMS)}, 6)
+               AS bm25
+      FROM tf, stats
+    )
+    SELECT doc_id, bm25 FROM scored
+    ORDER BY bm25 DESC, doc_id LIMIT {_BM25_TOPK}
+    """,
+)
+def bm25_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance ranking of the corpus for a fixed multi-term
+    query — the retrieval scorer a RAG/data-curation pipeline runs to
+    mine topical documents (Robertson-Sparck Jones idf in the Lucene
+    +1 form, k1=1.2, b=0.75).
+
+    Float discipline: tf/dl/df/n_docs are exact integers and avgdl is
+    ONE division of exact integers, so each per-term score is the
+    identical IEEE op sequence in both engines; the final score adds
+    the three term columns in FIXED order (never SUM() over rows,
+    whose addend order is engine-chosen) -> bit-identical ranking;
+    round(6) only on output.
+
+    Scale shape: one scan explodes tokens into a map-side-combined
+    per-doc conditional aggregate (key = doc_id, the natural parquet
+    order); the stats frame is ONE ROW, attached by broadcast; top-k
+    is TakeOrderedAndProject.  No corpus-sized shuffle other than the
+    doc_id combine."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tf = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("tok") == t, 1).otherwise(0)).alias(f"tf_{t}")
+            for t in _BM25_TERMS
+        ],
+        F.count("*").alias("dl"),
+    )
+    stats = tf.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl") * 1.0 / F.count("*")).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0)).alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    score = " + ".join(f"({_bm25_term_sql(t)})" for t in _BM25_TERMS)
+    return (
+        tf.crossJoin(F.broadcast(stats))
+        .select("doc_id", F.round(F.expr(score), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(_BM25_TOPK)
+    )

@@ -87,6 +87,18 @@ CARTESIAN_OK = {
     # row via broadcast to anchor bin edges and the window-split
     # midpoint to the observed data; constant append per row.
     "psi_drift_audit",
+    # js_divergence_sources — attaches the ONE-ROW global token total
+    # to the vocabulary-bounded (source, token) frame via broadcast;
+    # unigram_logprob's constant-append pattern.
+    "js_divergence_sources",
+    # bm25_scoring — attaches the ONE-ROW corpus stats (n_docs, avgdl,
+    # per-term df) to the per-doc tf frame via broadcast; the BM25
+    # normalizers are scalar subqueries by construction.
+    "bm25_scoring",
+    # embedding_norm_outliers — attaches the ONE-ROW mean/std norm
+    # stats via broadcast to the scan-time norm expression; constant
+    # append per row.
+    "embedding_norm_outliers",
 }
 
 
