@@ -267,6 +267,9 @@ SF1_SUBSET = [
     "bm25_scoring",
     "anomaly_mad",
     "graph_kcore",
+    # scan-speed norm audit (integer-moment stats + broadcast band):
+    # cheap at sf1 and the only wave-7 slug otherwise without sf1 rows
+    "embedding_norm_outliers",
     # embedding_pca_power deliberately NOT here: its wall is plan-
     # compile-constant (8.5s sf0.01 vs 8.7s sf0.1 — the 64-dim unrolled
     # chains dominate, not data), so sf1 would add ~26s of bench wall

@@ -930,6 +930,22 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-self-join house rule.  The rank packs (degree, id) into one
     bigint (degree * 2^32 + id) so the wedge inequality is a single
     long compare."""
+    return _triangle_build(spark, sf_dir)
+
+
+def _ckpt_lazy(df: DataFrame) -> DataFrame:
+    """Default lineage-truncation hook for the iterative graph slugs.
+
+    ``localCheckpoint`` rewrites the logical plan to a LogicalRDD, so
+    everything upstream of the first checkpoint is INVISIBLE to plan
+    inspection — the Cartesian/BNLJ sweep in tests/test_plan_guards.py
+    would pass vacuously for the expensive self-joins here.  The
+    builders below therefore take the hook as a parameter; the guard
+    test re-builds with an identity hook and sweeps the FULL plan."""
+    return df.localCheckpoint(eager=False)
+
+
+def _triangle_build(spark: SparkSession, sf_dir: str, ckpt=_ckpt_lazy) -> DataFrame:
     li = (
         table(spark, sf_dir, "lineitem")
         .filter(F.col("l_quantity") >= 40)
@@ -972,7 +988,8 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
         F.greatest("rku", "rkv").alias("rk_dst"),
-    ).localCheckpoint(eager=False)  # three-way self-joined below
+    )
+    o = ckpt(o)  # three-way self-joined below
     e1 = o.select(
         F.col("src").alias("wa"), F.col("dst").alias("wb"),
         F.col("rk_dst").alias("rkb"),
@@ -1056,6 +1073,10 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     every round, so at scale the exchanges reuse one shuffle layout;
     candidate edges only ever SHRINK.  The loop is a driver-side plan
     builder (4 iterations, no data at the driver)."""
+    return _kcore_build(spark, sf_dir)
+
+
+def _kcore_build(spark: SparkSession, sf_dir: str, ckpt=_ckpt_lazy) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     q = li.filter(F.col("l_quantity") >= 40).select("l_orderkey", "l_partkey")
     a, b = q.alias("a"), q.alias("b")
@@ -1071,19 +1092,18 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         pairs.select(F.col("u").alias("s"), F.col("v").alias("d"))
         .unionByName(pairs.select(F.col("v").alias("s"), F.col("u").alias("d")))
-        # each peel round references edges twice (degree agg + filter) and
-        # the next round builds on it — without a checkpoint the expensive
-        # distinct self-join above re-executes a combinatorial number of
-        # times (measured: 60s -> 3s at sf0.01)
-        .localCheckpoint(eager=False)
     )
+    # each peel round references edges twice (degree agg + filter) and
+    # the next round builds on it — without a checkpoint the expensive
+    # distinct self-join above re-executes a combinatorial number of
+    # times (measured: 60s -> 3s at sf0.01)
+    edges = ckpt(edges)
     for _ in range(_KCORE_ROUNDS):
         deg = edges.groupBy("s").agg(F.count("*").alias("dg"))
         keep = deg.filter(F.col("dg") >= _KCORE_K).select("s")
-        edges = (
+        edges = ckpt(
             edges.join(keep, "s", "left_semi")
             .join(keep.withColumnRenamed("s", "d"), "d", "left_semi")
-            .localCheckpoint(eager=False)
         )
     return (
         edges.groupBy("s")

@@ -514,8 +514,12 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- weighted sampling: priority sampling (Duffield-Lund-Thorup) ----------
 
-# Decorrelated additive constant (vs 919380 used by the stratified
-# sampler) so the two samplers never reuse the same pseudo-uniform.
+# Distinct additive constant (vs 919380 used by the stratified
+# sampler) so the two samplers never emit the SAME pseudo-uniform for
+# a doc.  NOT statistically independent: both use SPREAD_MULT, so the
+# streams differ only by a fixed shift mod 2^31 — fine while the
+# samplers are used separately (they are); if they are ever combined,
+# switch this sampler to hashing.SPREAD_MULT2 for genuine independence.
 _WS_SPREAD = f"(doc_id * {SPREAD_MULT} + 424117) % {SPREAD_MOD}"
 _WS_K = 120
 

@@ -1212,16 +1212,26 @@ _NORM_SCALE = (
                AS nrm
       FROM embeddings
     ),
-    stats AS (
-      SELECT round(avg(nrm), 4) AS mean_norm,
-             round(sqrt(greatest(avg(nrm * nrm) - avg(nrm) * avg(nrm), 0.0)), 4)
-               AS std_norm
+    scaled AS (
+      SELECT vec_id, nrm,
+             CAST(floor(nrm * 10000 + 0.5) AS BIGINT) AS s
       FROM norms
+    ),
+    stats AS (
+      SELECT count(*) AS n,
+             CAST(sum(s) AS DOUBLE) / (count(*) * 10000.0) AS mean_x,
+             sqrt(greatest(
+               CAST(sum(s * s) AS DOUBLE) / (count(*) * 100000000.0)
+                 - (CAST(sum(s) AS DOUBLE) / (count(*) * 10000.0))
+                 * (CAST(sum(s) AS DOUBLE) / (count(*) * 10000.0)),
+               0.0)) AS std_x
+      FROM scaled
     )
-    SELECT n.vec_id, round(n.nrm, 6) AS nrm, s.mean_norm, s.std_norm
-    FROM norms n, stats s
-    WHERE n.nrm > s.mean_norm + 2 * s.std_norm
-       OR n.nrm < s.mean_norm - 2 * s.std_norm
+    SELECT c.vec_id, round(c.nrm, 6) AS nrm,
+           round(s.mean_x, 4) AS mean_norm, round(s.std_x, 4) AS std_norm
+    FROM scaled c, stats s
+    WHERE c.nrm > s.mean_x + 2 * s.std_x
+       OR c.nrm < s.mean_x - 2 * s.std_x
     """,
 )
 def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1232,14 +1242,21 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Cross-engine determinism: the norm itself is the exact
     left-associative chain (functions/vectors.py) so it is
-    bit-identical; mean/std are order-sensitive float sums, so the
-    THRESHOLD is rounded to 4 on both sides before the comparison
-    (round-then-use) and only then applied to the bit-exact norms.
+    bit-identical; a float avg() would be ORDER-sensitive, and because
+    the band defines SET MEMBERSHIP (not just a printed value) even a
+    1-ulp threshold flip would change the output rows.  So the moments
+    are exact-integer: each norm is scaled to a 1e-4-grid BIGINT
+    (floor(nrm*1e4+0.5), bit-identical), summed as integers
+    (associative, order-free), and mean/std are derived from the two
+    integer sums by a fixed chain of IEEE-double ops — identical
+    inputs + identical ops = identical thresholds on both engines.
+    (sum(s*s) stays within int64 up to ~1e18 scaled-square mass,
+    ~5e8 vectors of norm <= 10 — far past the 100 TB corpus.)
 
     Scale shape: norms are a scan-time codegen expression; the stats
-    frame is ONE row (population moments via sum/sumsq, map-side
-    combined) attached by broadcast; the filter runs at scan speed.
-    No shuffle of the embedding column at any point."""
+    frame is ONE row (integer sum/sumsq, map-side combined) attached
+    by broadcast; the filter runs at scan speed.  No shuffle of the
+    embedding column at any point."""
     e = table(spark, sf_dir, "embeddings")
     norms = e.select(
         "vec_id",
@@ -1247,22 +1264,33 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nrm"
         ),
     )
-    stats = norms.agg(
-        F.round(F.avg("nrm"), 4).alias("mean_norm"),
-        F.round(
-            F.sqrt(
-                F.greatest(
-                    F.avg(F.col("nrm") * F.col("nrm")) - F.avg("nrm") * F.avg("nrm"),
-                    F.lit(0.0),
-                )
-            ),
-            4,
-        ).alias("std_norm"),
+    scaled = norms.withColumn(
+        "s", F.floor(F.col("nrm") * 10000 + F.lit(0.5)).cast("long")
     )
-    lo = F.col("mean_norm") - 2 * F.col("std_norm")
-    hi = F.col("mean_norm") + 2 * F.col("std_norm")
+    mean_x = F.col("s1").cast("double") / (F.col("n") * 10000.0)
+    stats = scaled.agg(
+        F.count("*").alias("n"),
+        F.sum("s").alias("s1"),
+        F.sum(F.col("s") * F.col("s")).alias("s2"),
+    ).select(
+        mean_x.alias("mean_x"),
+        F.sqrt(
+            F.greatest(
+                F.col("s2").cast("double") / (F.col("n") * 100000000.0)
+                - mean_x * mean_x,
+                F.lit(0.0),
+            )
+        ).alias("std_x"),
+    )
+    lo = F.col("mean_x") - 2 * F.col("std_x")
+    hi = F.col("mean_x") + 2 * F.col("std_x")
     return (
-        norms.crossJoin(F.broadcast(stats))
+        scaled.crossJoin(F.broadcast(stats))
         .filter((F.col("nrm") > hi) | (F.col("nrm") < lo))
-        .select("vec_id", F.round("nrm", 6).alias("nrm"), "mean_norm", "std_norm")
+        .select(
+            "vec_id",
+            F.round("nrm", 6).alias("nrm"),
+            F.round("mean_x", 4).alias("mean_norm"),
+            F.round("std_x", 4).alias("std_norm"),
+        )
     )
