@@ -23,116 +23,21 @@ registry.load_all()
 # attestation (no row in the previous round's CORRECTNESS file).  Slugs
 # with a fresh green row from last round and no changes this round are
 # the ones that may fall past the cap.  All slugs stay registered.
-_R5_STALE = [
-    # Newest driver-green row is CORRECTNESS_r05 (the round-7 judge's
-    # next-round item #3): these LEAD the round-8 window unconditionally
-    # so that after r8 no slug's newest driver row is older than r6.
-    "dedup_containment",
-    "dedup_incremental",
-    "dedup_ngram_jaccard",
-    "dedup_survivors",
-    "distinct_agg",
-    "filter_predicate",
-    "graph_reachability",
-    "groupby_count",
-    "groupby_having",
-    "join_anti",
-    "join_broadcast",
-    "join_link_table",
-    "join_outer",
-    "join_semi",
-    "join_theta_range",
-    "json_ops",
-    "map_ops",
-    "math_functions",
-    "mixture_weights",
-    "multimodal_features",
-    "nested_field_access",
-    "novelty_score",
-    "pandas_udaf_zscore",
-    "project_columns",
-    "rollup_cube",
-    "set_ops",
-    "sort_limit",
-    "sql_passthrough",
-    "string_functions",
-    "subquery_exists",
-    "topk_argmax",
-    "topk_per_group",
-    "window_rank",
-    "window_running_sum",
-]
-
-_CHANGED_THIS_ROUND = [
-    # round 8 edits: regex_extract_all emits the all-matches array as
-    # an array_join'd scalar (the r7 red row — the driver canonicalizer
-    # cannot sort list-typed columns); bpe_pair_stats guards <2-char
-    # texts against Spark's descending sequence(1,0); graph_search_age
-    # declares ctime datetime-KINDED (duration literals are now gated
-    # on the declared property kind and excluded for ~);
-    # stream_stateful_totals drains with a bounded awaitTermination.
-    # New round-8 slugs: the user-blocked interval overlap (the
-    # intervals family's decade-sweep representative), PMI collocation
-    # mining, dense-spine gap filling, the bidirectional nearest as-of
-    # join, per-source token entropy, hourly volume anomalies, the
-    # lang-ID confusion matrix, lang x source mutual information, the
-    # MinHash estimate-vs-exact calibration audit, the REAL PPM
-    # codec path, the ANN recall@k audit, exact duplicated-span
-    # detection (positioned 5-gram posting list), cross-table blocked
-    # record linkage, winnowing fingerprint selection, and the vocab
-    # coverage curve.
-    "regex_extract_all",
-    "bpe_pair_stats",
-    "graph_search_age",
-    "stream_stateful_totals",
-    "interval_overlap_blocked",
-    "ngram_collocations",
-    "timeseries_gapfill",
-    "nearest_event_join",
-    "anomaly_zscore_hours",
-    "minhash_estimate_vs_exact",
-    "multimodal_ppm_stats",
-    "ann_recall_at_k",
-    "dup_span_detect",
-    "record_linkage_blocked",
-    "winnow_fingerprints",
-    "vocab_coverage",
-]
-
-_R9_SPILL = [
-    # 34 stale + 16 changed fill the 50-slot window exactly; these are
-    # the DELIBERATE spill to the r9 window, which they lead: three new
-    # single-scan diagnostics (one scan, bounded aggregate, no joins),
-    # the later-wave slugs (simhash calibration audit, TPC-H q7 shape,
-    # IVF balance audit, triangle counting, Markov transitions,
-    # relational power iteration, the CMS + Bloom sketch audits), and
-    # the two extract-method refactor hosts (dedup_simhash,
-    # ann_ivf_cells — plan-identical, value-hash-equal before/after,
-    # guards green).  Every one is locally value-hash-green at sf0.01
-    # AND sf0.1 (tools/check_queries.py full sweeps, this round).
-    "token_entropy_by_source",
-    "lang_confusion_matrix",
-    "mutual_information",
-    "simhash_hamming_audit",
-    "tpch_q7_shape",
-    "ivf_cell_balance",
-    "graph_triangle_count",
-    "dedup_simhash",
-    "ann_ivf_cells",
-    "event_transitions",
-    "embedding_pca_power",
-    "cms_frequency_audit",
-    "bloom_prefilter_audit",
-    "column_profile",
-    "shuffle_skew_audit",
-    "multimodal_wav_stats",
-    # Fourth wave: the 17 shapes completing 22/22 TPC-H coverage
-    # (queries/tpch.py) — every one locally value-hash-green at
-    # sf0.01 AND sf0.1 on arrival (tools/check_queries.py).
+_NEVER_ATTESTED = [
+    # Round-9 policy (the r8 judge's item #1): the 50-slot window can
+    # lag coverage growth, so slugs that have NEVER had a driver
+    # CORRECTNESS row lead the window UNCONDITIONALLY, ahead of merely
+    # stale ones — "driver-green" is the contract, and a slug must not
+    # ship two rounds without a driver row.  These 44 (the r8 TPC-H
+    # wave + the sketch/layout/quality audit families) are the entire
+    # never-attested backlog as of CORRECTNESS_r01..r08; after the r9
+    # sweep the backlog is empty and the window reverts to pure
+    # staleness rotation (stalest driver row first).
     "tpch_q1_shape",
     "tpch_q2_shape",
     "tpch_q4_shape",
     "tpch_q6_shape",
+    "tpch_q7_shape",
     "tpch_q8_shape",
     "tpch_q9_shape",
     "tpch_q11_shape",
@@ -146,38 +51,52 @@ _R9_SPILL = [
     "tpch_q20_shape",
     "tpch_q21_shape",
     "tpch_q22_shape",
-    # Fifth wave: storage-layout / table-maintenance family
-    # (queries/layout.py) — per-key exact quantiles, the Z-order
-    # pruning audit, and the compaction bin-packing planner.
+    "cms_frequency_audit",
+    "bloom_prefilter_audit",
+    "simhash_hamming_audit",
+    "ivf_cell_balance",
+    "embedding_pca_power",
+    "embedding_norm_outliers",
+    "multimodal_wav_stats",
     "quantiles_per_key",
     "zorder_pruning_audit",
     "compaction_bin_packing",
-    # privacy-governance audit beside pii_redaction
     "k_anonymity_audit",
-    # Sixth wave: data-quality & drift family (queries/quality.py) —
-    # orphan-FK audit, PSI drift gate, time-weighted rollup.
     "referential_integrity_audit",
     "psi_drift_audit",
     "time_weighted_avg",
-    # Seventh wave: weighted priority sampling, per-source JSD mixture
-    # divergence, BM25 retrieval scoring, MAD outlier gate, embedding
-    # norm-hygiene audit, bounded-peel k-core.  Locally value-hash
-    # green at sf0.01 on arrival (tools/check_queries.py).
+    "anomaly_mad",
     "weighted_sample",
     "js_divergence_sources",
     "bm25_scoring",
-    "anomaly_mad",
-    "embedding_norm_outliers",
+    "graph_triangle_count",
     "graph_kcore",
+    "event_transitions",
+    "column_profile",
+    "shuffle_skew_audit",
+    "token_entropy_by_source",
+    "lang_confusion_matrix",
+    "mutual_information",
 ]
 
-_ATTEST_FIRST = _R5_STALE + _CHANGED_THIS_ROUND + _R9_SPILL + [
-    # Newest green row is CORRECTNESS_r06 — these fill the remaining
-    # window slots (34 stale + 15 changed/new + 1 of these = 50); the
-    # rest of the r6 tier rotates through rounds 9-10, within the
-    # freshness bound.  tools/check_queries.py full runs keep every
-    # slug locally verified meanwhile.
+_NEW_THIS_ROUND = [
+    # Round-9 additions: also never-attested by construction; kept to
+    # the window's spare capacity (44 + these <= 50) so NOTHING ships
+    # un-attested past r9.
+    "boilerplate_ngrams",
+    "quality_filter_cascade",
+    "snapshot_diff",
+    "watermark_lag_audit",
+    "cross_split_leakage",
+]
+
+_R6_TIER = [
+    # Newest driver row is CORRECTNESS_r06 — first in line once the
+    # never-attested backlog drains (r10 window), unless changed
+    # earlier.  Local tools/check_queries.py full sweeps keep every
+    # slug value-hash-verified at sf0.01+sf0.1 meanwhile.
     "ann_cosine_topk",
+    "ann_ivf_cells",
     "ann_lsh_bucketed",
     "ann_lsh_multiprobe",
     "corpus_stats",
@@ -187,6 +106,7 @@ _ATTEST_FIRST = _R5_STALE + _CHANGED_THIS_ROUND + _R9_SPILL + [
     "dedup_exact",
     "dedup_minhash",
     "dedup_paragraph",
+    "dedup_simhash",
     "embedding_centroids",
     "embedding_quantize",
     "global_shuffle",
@@ -223,6 +143,58 @@ _ATTEST_FIRST = _R5_STALE + _CHANGED_THIS_ROUND + _R9_SPILL + [
     "unpivot_stack",
     "window_range_frame",
 ]
+
+_R7_TIER = [
+    # Newest driver row is CORRECTNESS_r07; rotates after _R6_TIER.
+    "agg_bool_ops",
+    "agg_filter_clause",
+    "agg_sum_avg_min_max",
+    "array_ops",
+    "cdc_latest",
+    "class_rebalance",
+    "curation_pipeline",
+    "date_functions",
+    "dedup_clusters",
+    "dedup_levenshtein",
+    "distinct_kmv_estimate",
+    "doc_fingerprint",
+    "frequent_terms",
+    "funnel_conversion",
+    "graph_pagerank",
+    "graph_shortest_paths",
+    "interval_overlap",
+    "kmeans_lloyd",
+    "lang_id",
+    "ntile_deciles",
+    "quality_score",
+    "quota_sample",
+    "retention_cohorts",
+    "sample_hash_stratified",
+    "scd2_intervals",
+    "semdedup",
+    "sequence_packing",
+    "sparse_cosine_pairs",
+    "stream_dedup",
+    "stream_distinct_users",
+    "stream_interval_join",
+    "stream_session_window",
+    "stream_sliding_window",
+    "stream_topk_windowed",
+    "stream_tumbling_window",
+    "subquery_scalar_correlated",
+    "table_checksum",
+    "text_chunking",
+    "text_normalize",
+    "tfidf_top_terms",
+    "token_count",
+    "tpch_q18_shape",
+    "udtf_tokenize",
+    "unigram_logprob",
+    "window_first_last",
+    "window_lag_lead",
+]
+
+_ATTEST_FIRST = _NEVER_ATTESTED + _NEW_THIS_ROUND + _R6_TIER + _R7_TIER
 
 
 def _ordered(mapping: dict) -> dict:
