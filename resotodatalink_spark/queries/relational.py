@@ -841,7 +841,8 @@ _CENTS = "CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_dis
 def tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q3-shaped shipping-priority query: selective dimension filter ->
     two equi-joins -> grouped exact-cents revenue.  Filters sit below
-    the joins (pushed to scans); the customer side broadcasts."""
+    the joins (pushed to scans); join strategies are size-chosen by
+    Catalyst (customer broadcasts at bench SFs, shuffles at scale)."""
     c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")

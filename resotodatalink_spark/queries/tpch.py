@@ -25,7 +25,7 @@ thing Catalyst has to get right at 100 TB:
       double aggregation)
 * q14 conditional-share aggregate over a month window
 * q15 view + scalar-max equality (one-row broadcast)
-* q16 count-distinct with a NOT IN exclusion (broadcast anti-join)
+* q16 count-distinct with a NOT IN exclusion (left-anti join)
 * q17 correlated avg threshold per part (exact integer comparison)
 * q19 disjunctive predicate triples OR'd across join sides
 * q20 nested IN chain with a per-key dominance threshold
@@ -297,10 +297,13 @@ def tpch_q6_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q8_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q8: the widest join in the suite (lineitem x orders x customer
     x nation x region x supplier x nation x part) feeding a
-    conditional-share aggregate.  Every dimension side broadcasts
-    (nation/region pre-joined and collapsed; part filtered to one
-    type); the only shuffles are the two fact-fact equi-joins and the
-    final 2-row-per-year combine.  The share is one float division of
+    conditional-share aggregate.  The bounded dimensions
+    (nation/region, pre-joined and collapsed) are hint-broadcast; the
+    scale-growing sides (part, supplier, customer) are left to
+    Catalyst's size estimates — broadcast at bench SFs, shuffle on a
+    cluster where part alone is tens of GB (a pinned hint there is a
+    100 TB OOM).  The only unavoidable shuffles are the two fact-fact
+    equi-joins and the final 2-row-per-year combine.  The share is one float division of
     two exact integer sums — identical IEEE op in both engines."""
     n = table(spark, sf_dir, "nation")
     r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
@@ -324,7 +327,7 @@ def tpch_q8_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     vol = _e4().alias("vol_e4")
     joined = (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
@@ -361,9 +364,10 @@ def tpch_q9_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     matching a name LIKE (ps_supplycost is absent — cost is modeled
     as 60% of retail price per unit, in the same exact-cents 1e4
     scale as the revenue term, so profit stays pure integer until
-    the one output division).  part (LIKE-filtered) and
-    supplier x nation broadcast; lineitem shuffles once per fact
-    join key."""
+    the one output division).  nation hint-broadcasts into supplier;
+    the LIKE-filtered part join is size-chosen by Catalyst (broadcast
+    at bench SFs, shuffle at cluster scale); lineitem shuffles once
+    per fact join key."""
     p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
     n = table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("snk"), F.col("n_name").alias("nation")
@@ -376,7 +380,7 @@ def tpch_q9_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     retail_cents = F.round(F.col("p_retailprice") * 100).cast("long")
     profit_e4 = _e4() - retail_cents * 60 * _qty()
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(
@@ -540,7 +544,8 @@ def tpch_q13_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tpch_q14_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q14: promo revenue share over one ship month — broadcast part
+    """Q14: promo revenue share over one ship month — a part join
+    size-chosen by Catalyst (broadcast at bench SFs), feeding
     into the date-pruned lineitem scan, one conditional-share
     aggregate.  100.0 * promo_sum / total_sum is evaluated in that
     exact order in both engines (multiply the exact integer sum by
@@ -554,7 +559,7 @@ def tpch_q14_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("p_type") == "PROMO", _e4()).otherwise(F.lit(0))
     )
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .agg((F.lit(100.0) * promo / F.sum(_e4())).alias("promo_revenue"))
     )
 
@@ -629,8 +634,9 @@ def tpch_q16_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q16's shape: count-distinct suppliers per part attribute triple
     with a NOT IN exclusion (negative-balance suppliers stand in for
     the complaints filter; the part-supplier link is lineitem).  The
-    exclusion list is dimension-sized → broadcast LEFT ANTI join, not
-    a shuffled subquery; part's attribute filter broadcasts into the
+    exclusion list is dimension-sized → a LEFT ANTI join whose build
+    strategy Catalyst picks by size, not a shuffled subquery; part's
+    attribute filter rides its join into the
     scan; the count-distinct shuffles once on the attribute triple."""
     bad = table(spark, sf_dir, "supplier").filter(
         F.col("s_acctbal") < 0
@@ -643,11 +649,11 @@ def tpch_q16_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     return (
         li.join(
-            F.broadcast(bad),
+            bad,
             F.col("l_suppkey") == F.col("s_suppkey"),
             "left_anti",
         )
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -684,7 +690,7 @@ def tpch_q17_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .join(stats, F.col("l_partkey") == F.col("pk"))
         .filter(_qty() * 5 * F.col("n_part") < F.col("sum_qty"))
         .agg((F.sum(_ext_cents()) / 700.0).alias("avg_yearly"))
@@ -711,7 +717,7 @@ def tpch_q17_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q19_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q19: three OR'd (brand, quantity-range, size-range) triples
     spanning BOTH join sides — the disjunctive-predicate stress test.
-    The join itself stays a plain partkey equi-join (broadcast: part
+    The join itself stays a plain partkey equi-join (size-chosen: part
     is the dimension); the disjunction is a residual filter, and
     Catalyst factors the common p_size <= 15 / brand-IN implications
     into the part scan rather than nested-looping a join-OR."""
@@ -736,7 +742,7 @@ def tpch_q19_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .filter(triple)
         .agg((F.sum(_e4()) / 10000.0).alias("revenue"))
     )
@@ -779,13 +785,13 @@ def tpch_q20_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ONE aggregation tree (the part total reuses the
     supplier-part frame — one lineitem scan); the dominance test is
     pure integers; the IN collapses to a left-semi join into the
-    broadcast-dimension supplier side."""
+    nation-filtered supplier side."""
     promo = table(spark, sf_dir, "part").filter(
         F.col("p_type") == "PROMO"
     ).select("p_partkey")
     li = table(spark, sf_dir, "lineitem")
     sp = (
-        li.join(F.broadcast(promo), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(promo, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum(_qty()).alias("sp_qty"))
     )
@@ -844,7 +850,8 @@ def tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     l_orderkey shuffle replaces exists/not-exists scans.  The
     equivalence: every late line in a qualifying order belongs to the
     unique late supplier, so counting l1 rows (oracle) equals summing
-    per-order late-line counts (here).  Supplier x nation broadcasts
+    per-order late-line counts (here).  nation hint-broadcasts into
+    supplier, and the culprit lookup joins supplier by size choice
     at the end."""
     o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     li = table(spark, sf_dir, "lineitem").select(
@@ -871,7 +878,7 @@ def tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         per_order.join(
-            F.broadcast(s.select("s_suppkey", "s_name")),
+            s.select("s_suppkey", "s_name"),
             F.col("culprit") == F.col("s_suppkey"),
         )
         .groupBy("s_name")

@@ -169,3 +169,92 @@ def test_iterative_graph_slugs_full_plan_no_cartesian(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, f"{name} full plan has a cartesian"
         assert "BroadcastNestedLoopJoin" not in plan, f"{name} full plan has a BNLJ"
+
+
+def _broadcast_subtrees(plan: str):
+    """Yield the subtree text under each BroadcastExchange node (the
+    lines indented deeper than the node), using the +-/:- tree markers
+    to recover depth from Spark's plan string."""
+    import re
+
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        m = re.search(r"[+:]- ", ln)
+        if m is None or "BroadcastExchange" not in ln:
+            continue
+        depth = m.start()
+        sub = []
+        for nxt in lines[i + 1:]:
+            m2 = re.search(r"[+:]- ", nxt)
+            if m2 is not None and m2.start() <= depth:
+                break
+            sub.append(nxt)
+        yield "\n".join(sub)
+
+
+# TPC-H shapes whose plan joins two fact tables (lineitem and orders):
+# at cluster scale neither side fits in memory, so the join MUST be a
+# shuffle join.
+TPCH_FACT_FACT = {
+    "tpch_q3_shape", "tpch_q4_shape", "tpch_q5_shape", "tpch_q7_shape",
+    "tpch_q8_shape", "tpch_q9_shape", "tpch_q10_shape", "tpch_q12_shape",
+    "tpch_q18_shape", "tpch_q21_shape",
+}
+# Shapes that hint-broadcast a bounded dimension frame (nation/region
+# or their pre-joined collapse): the hint must survive, so these plans
+# show a BroadcastHashJoin even with size-based broadcast disabled.
+TPCH_HINTED_DIM = {
+    "tpch_q2_shape", "tpch_q5_shape", "tpch_q7_shape",
+    "tpch_q8_shape", "tpch_q9_shape", "tpch_q10_shape", "tpch_q20_shape",
+    "tpch_q21_shape",
+}
+# Tables whose size grows with SF — a hint-pinned broadcast of any of
+# these is invisible at bench SFs and an executor OOM at 100 TB.
+SCALE_GROWING = (
+    "lineitem.parquet", "orders.parquet", "customer.parquet",
+    "part.parquet", "supplier.parquet",
+)
+
+
+@pytest.mark.parametrize(
+    "slug", sorted(s for s in registry.QUERIES if s.startswith("tpch_"))
+)
+def test_tpch_join_strategies(spark, slug):
+    """The 100 TB join contract for the TPC-H family (r8 verdict item
+    7), asserted with size-based broadcast DISABLED (threshold -1) so
+    the plan shows exactly the hint-pinned broadcasts — thresholds
+    don't apply to hints, so whatever broadcasts here broadcasts at
+    any scale:
+
+    * no BroadcastExchange subtree may scan a scale-growing table
+      unless an aggregate reduces it first (one-row scalar frames) —
+      broadcast hints are reserved for bounded dimensions;
+    * fact-fact joins (lineitem x orders) stay shuffle joins;
+    * the hinted nation/region dimensions still broadcast.
+
+    (At the 64 MB session default Catalyst re-adds size-chosen
+    broadcasts for part/customer/filtered facts at bench SFs — that's
+    the optimizer's call from its estimates, exactly what a cluster
+    run would re-decide from real sizes.)"""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = registry.QUERIES[slug](spark, "/root/testdata/sf0.1")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    for sub in _broadcast_subtrees(plan):
+        if "HashAggregate" in sub:
+            continue  # one-row/bounded scalar frame, fine to broadcast
+        for fact in SCALE_GROWING:
+            assert fact not in sub, (
+                f"{slug} hint-broadcasts a subtree scanning {fact}:\n{sub[:800]}"
+            )
+    if slug in TPCH_FACT_FACT:
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, (
+            f"{slug} lost its shuffle join for the fact-fact edge"
+        )
+    if slug in TPCH_HINTED_DIM:
+        assert "BroadcastHashJoin" in plan, (
+            f"{slug} no longer broadcasts its hinted dimension side"
+        )
