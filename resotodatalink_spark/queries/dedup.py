@@ -703,3 +703,89 @@ def simhash_hamming_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pairs",
         (F.col("hamming") <= 1).alias("within_threshold"),
     )
+
+
+# --- cross-split leakage audit --------------------------------------------
+
+# Same split assignment as pipeline.dataset_split (identical spread
+# constants), re-derived inline from the pair's doc ids — the split of
+# a doc is a pure expression of doc_id, so the audit needs NO join
+# against a split-assignment table.
+_XS_AGREE_MIN = 12  # >= 12/16 agreeing minhashes ~ Jaccard >= 0.75
+
+
+def _split_of(col: str) -> str:
+    return (
+        f"CASE WHEN ({col} * {H.SPREAD_MULT} + 919380) % {H.SPREAD_MOD} "
+        f"% 100 < 80 THEN 'train' "
+        f"WHEN ({col} * {H.SPREAD_MULT} + 919380) % {H.SPREAD_MOD} "
+        f"% 100 < 90 THEN 'val' ELSE 'test' END"
+    )
+
+
+@query(
+    "cross_split_leakage",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    sig AS (SELECT doc_id, {_MINS} FROM __hashes GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST({_AGREE} AS INTEGER) AS n_common
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({_BAND_COND})
+    ),
+    labeled AS (
+      SELECT doc_a, doc_b, n_common,
+             {_split_of('doc_a')} AS sa, {_split_of('doc_b')} AS sb
+      FROM pairs WHERE n_common >= {_XS_AGREE_MIN}
+    )
+    SELECT least(sa, sb) AS split_a, greatest(sa, sb) AS split_b,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT CASE WHEN sa <> sb THEN doc_a END)
+                + count(DISTINCT CASE WHEN sa <> sb THEN doc_b END)
+                AS BIGINT) AS n_docs_at_risk
+    FROM labeled
+    GROUP BY least(sa, sb), greatest(sa, sb)
+    """,
+)
+def cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test leakage audit: near-duplicate pairs (MinHash
+    agreement >= 12/16 ~ Jaccard >= 0.75) that STRADDLE the
+    train/val/test assignment of ``dataset_split`` — the eval-integrity
+    check a training pipeline must run AFTER dedup and splitting,
+    because a test document with a train-side near-dup silently
+    inflates benchmark scores.  Within-split pairs are reported too
+    (split_a = split_b rows) as the honest denominator: leakage share
+    = straddling / all near-dup pairs.
+
+    Scale shape: candidate generation is the attested LSH band join
+    (operators/dedup.py — never all-pairs); split labels are pure
+    expressions of the pair's ids (the hash-based split's superpower:
+    no join against an assignment table, no extra shuffle); the final
+    aggregate is map-side-combined onto a <= 6-row frame.
+    n_docs_at_risk counts distinct docs on each side of straddling
+    pairs (a doc in k pairs is one risk, not k)."""
+    pairs = D.minhash_pairs_with_agreement(
+        table(spark, sf_dir, "documents")
+    ).filter(F.col("n_common") >= _XS_AGREE_MIN)
+    labeled = pairs.select(
+        "doc_a",
+        "doc_b",
+        F.expr(_split_of("doc_a")).alias("sa"),
+        F.expr(_split_of("doc_b")).alias("sb"),
+    )
+    straddle = F.col("sa") != F.col("sb")
+    return (
+        labeled.select(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+            F.when(straddle, F.col("doc_a")).alias("risk_a"),
+            F.when(straddle, F.col("doc_b")).alias("risk_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            (
+                F.countDistinct("risk_a") + F.countDistinct("risk_b")
+            ).alias("n_docs_at_risk"),
+        )
+    )

@@ -562,3 +562,94 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("priority"), "doc_id")
         .limit(_WS_K)
     )
+
+
+# --- staged quality-gate funnel -------------------------------------------
+
+# Gate thresholds, shared with the oracle: min tokens, min mean word
+# length (x3 cross-multiplied), max stopword share (1/5), min
+# type-token ratio (1/2).  All integer cross-multiplications — no float
+# ratio ever compares against a boundary.
+_QF_STOPWORDS = ("a", "the")
+
+
+@query(
+    "quality_filter_cascade",
+    oracle="""
+    WITH feats AS (
+      SELECT source,
+             len(string_split(text, ' ')) AS n_tok,
+             length(text) - (len(string_split(text, ' ')) - 1) AS tok_chars,
+             len(list_filter(string_split(text, ' '),
+                             x -> x IN ('a', 'the'))) AS n_stop,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct
+      FROM documents
+    ),
+    gates AS (
+      SELECT source, n_tok,
+             (n_tok >= 20) AS g1,
+             (n_tok >= 20 AND tok_chars >= 3 * n_tok) AS g2,
+             (n_tok >= 20 AND tok_chars >= 3 * n_tok
+              AND 5 * n_stop <= n_tok) AS g3,
+             (n_tok >= 20 AND tok_chars >= 3 * n_tok
+              AND 5 * n_stop <= n_tok
+              AND 2 * n_distinct >= n_tok) AS g4
+      FROM feats
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS pass_len,
+           CAST(sum(CASE WHEN g2 THEN 1 ELSE 0 END) AS BIGINT) AS pass_wordlen,
+           CAST(sum(CASE WHEN g3 THEN 1 ELSE 0 END) AS BIGINT) AS pass_stopword,
+           CAST(sum(CASE WHEN g4 THEN 1 ELSE 0 END) AS BIGINT) AS pass_all,
+           CAST(sum(CASE WHEN g4 THEN n_tok ELSE 0 END) AS BIGINT)
+             AS kept_tokens
+    FROM gates GROUP BY source
+    """,
+)
+def quality_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged quality-gate funnel (the C4/Gopher/RefinedWeb pattern):
+    four cumulative per-document gates — length, mean word length,
+    stopword share, type-token ratio — with per-source attrition counts
+    after each stage, the report a curation pipeline publishes so a
+    sudden per-source collapse at one gate is visible BEFORE training.
+    Complements ``quality_score`` (per-doc score) and
+    ``repetition_filter`` (single gate): this slug is the composed
+    funnel with stage attribution.
+
+    Exactness: every gate is an integer cross-multiplication
+    (tok_chars >= 3*n_tok; 5*n_stop <= n_tok; 2*n_distinct >= n_tok) —
+    no float ratios near thresholds.  Token character mass is
+    length(text) - (n_tok - 1): the corpus is single-space joined, so
+    chars-minus-separators needs no second pass over tokens.
+
+    Scale shape: ONE scan; all features are per-row array expressions
+    (split / filter / distinct on the token array); the funnel is a
+    map-side-combined conditional aggregate onto the bounded source
+    frame.  Zero joins, zero extra shuffles at any corpus size."""
+    stop_list = ", ".join(f"'{w}'" for w in _QF_STOPWORDS)
+    d = table(spark, sf_dir, "documents").select(
+        "source",
+        F.expr("split(text, ' ')").alias("t"),
+        F.length("text").alias("len_text"),
+    )
+    feats = d.select(
+        "source",
+        F.size("t").alias("n_tok"),
+        (F.col("len_text") - (F.size("t") - 1)).alias("tok_chars"),
+        F.size(F.expr(f"filter(t, x -> x IN ({stop_list}))")).alias("n_stop"),
+        F.size(F.array_distinct("t")).alias("n_distinct"),
+    )
+    g1 = F.col("n_tok") >= 20
+    g2 = g1 & (F.col("tok_chars") >= 3 * F.col("n_tok"))
+    g3 = g2 & (5 * F.col("n_stop") <= F.col("n_tok"))
+    g4 = g3 & (2 * F.col("n_distinct") >= F.col("n_tok"))
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return feats.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        one(g1).alias("pass_len"),
+        one(g2).alias("pass_wordlen"),
+        one(g3).alias("pass_stopword"),
+        one(g4).alias("pass_all"),
+        F.sum(F.when(g4, F.col("n_tok")).otherwise(0)).alias("kept_tokens"),
+    )

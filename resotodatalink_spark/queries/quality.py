@@ -378,3 +378,175 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_outliers"),
         )
     )
+
+
+# --- snapshot diff: CDC between two as-of states ---------------------------
+
+_T_OLD = "TIMESTAMP '2024-01-10 00:00:00'"
+_T_NEW = "TIMESTAMP '2024-01-25 00:00:00'"
+
+
+@query(
+    "snapshot_diff",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, event_type, ts, event_id,
+             CAST(round(value * 1000000) AS BIGINT) AS v
+      FROM events WHERE ts <= {_T_NEW}
+    ),
+    ranked AS (
+      SELECT user_id, event_type, v,
+             ts <= {_T_OLD} AS in_old,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             row_number() OVER (PARTITION BY user_id, event_type,
+                                           ts <= {_T_OLD}
+                                ORDER BY ts DESC, event_id DESC) AS rno
+      FROM v
+    ),
+    new AS (SELECT user_id, event_type, v FROM ranked WHERE rn = 1),
+    old AS (SELECT user_id, event_type, v FROM ranked
+            WHERE in_old AND rno = 1)
+    SELECT n.event_type,
+           CASE WHEN o.v IS NULL THEN 'added'
+                WHEN o.v = n.v THEN 'unchanged'
+                ELSE 'changed' END AS change_type,
+           CAST(count(*) AS INTEGER) AS n_keys
+    FROM new n LEFT JOIN old o
+      ON n.user_id = o.user_id AND n.event_type = o.event_type
+    GROUP BY n.event_type, 2
+    """,
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (CDC audit): compare the per-(user, event_type)
+    LATEST state as of two table versions — the added/changed/unchanged
+    breakdown a lakehouse MERGE / Change-Data-Feed consumer validates
+    before publishing an incremental table version.  "Version" here is
+    an as-of timestamp over the append-only events log (the time-travel
+    form every table format exposes); latest = argmax (ts, event_id),
+    the deterministic total order.
+
+    Scale shape: ONE shuffle on (user_id, event_type) computes BOTH
+    states — each key's old and new argmax ride the same aggregate as
+    two conditional max(struct) accumulators (no second scan, no
+    self-join of two snapshot reads, no window sort).  The diff
+    classification is then a per-row CASE; output is bounded by
+    event_type x 3.  Values compare in exact micro-units
+    (round(v*1e6), identical IEEE ops both engines)."""
+    ev = table(spark, sf_dir, "events")
+    v = ev.filter(F.expr(f"ts <= {_T_NEW}")).select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 1000000).cast("long").alias("v"),
+    )
+    st = F.struct("ts", "event_id", "v")
+    per_key = v.groupBy("user_id", "event_type").agg(
+        F.max(F.when(F.expr(f"ts <= {_T_OLD}"), st)).alias("o"),
+        F.max(st).alias("n"),
+    )
+    change = (
+        F.when(F.col("o").isNull(), F.lit("added"))
+        .when(F.col("o.v") == F.col("n.v"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        per_key.select("event_type", change.alias("change_type"))
+        .groupBy("event_type", "change_type")
+        .agg(F.count("*").cast("int").alias("n_keys"))
+    )
+
+
+# --- watermark sizing: arrival-disorder lag audit --------------------------
+
+
+@query(
+    "watermark_lag_audit",
+    oracle="""
+    WITH arr AS (
+      SELECT event_type, event_id, ts,
+             max(ts) OVER (PARTITION BY event_type ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS seen_max
+      FROM events
+    ),
+    lags AS (
+      SELECT event_type, event_id,
+             CASE WHEN seen_max IS NULL OR seen_max <= ts THEN 0
+                  ELSE date_diff('second', ts, seen_max) END AS lag_s
+      FROM arr
+    ),
+    ranked AS (
+      SELECT event_type, lag_s,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY lag_s, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM lags
+    )
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN lag_s > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_late,
+           CAST(max(lag_s) AS BIGINT) AS max_lag_s,
+           CAST(max(CASE WHEN rn = (19 * n + 19) // 20 THEN lag_s END)
+                AS BIGINT) AS p95_lag_s
+    FROM ranked GROUP BY event_type
+    """,
+)
+def watermark_lag_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-sizing audit: per event type, the distribution of
+    ARRIVAL DISORDER — how far behind the running event-time high-water
+    mark each event lands when consumed in arrival order (event_id is
+    the ingestion sequence).  p95 disorder lag is the number a
+    Structured Streaming deployment plugs into ``withWatermark``: a
+    watermark below it drops >5% of events as late, one far above it
+    holds window state longer than needed.  Complements the streaming
+    family (streaming/windows.py) by measuring, on the batch log, the
+    parameter those operators consume.
+
+    Exactness: lag is integer seconds via second-granularity
+    ``date_diff``/``timestampdiff`` on the CLAMPED branch only (the
+    seen_max <= ts case is forced to 0 before any rounding, so both
+    engines' boundary handling agrees); p95 is the exact order
+    statistic at integer position ceil(0.95 n) = (19n+19) div 20 —
+    no interpolating percentile_cont whose float math could diverge.
+
+    Scale shape: both windows partition on event_type — one exchange,
+    two sorts (arrival order, then lag rank); the aggregate is
+    map-side-combined onto the vocabulary-bounded event_type frame.
+    At cluster scale a per-(type, day) partition key would bound the
+    sort runs; the plan shape is otherwise unchanged."""
+    ev = table(spark, sf_dir, "events")
+    w_arr = (
+        W.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    arr = ev.select(
+        "event_type", "event_id", "ts", F.max("ts").over(w_arr).alias("seen_max")
+    )
+    lag = (
+        F.when(
+            F.col("seen_max").isNull() | (F.col("seen_max") <= F.col("ts")),
+            F.lit(0),
+        )
+        .otherwise(F.expr("timestampdiff(SECOND, ts, seen_max)"))
+        .cast("long")
+    )
+    lags = arr.select("event_type", "event_id", lag.alias("lag_s"))
+    w_rank = W.partitionBy("event_type").orderBy("lag_s", "event_id")
+    w_all = W.partitionBy("event_type")
+    ranked = lags.select(
+        "event_type",
+        "lag_s",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count("*").over(w_all).alias("n"),
+    )
+    p95_pos = F.expr("(19 * n + 19) div 20")
+    return ranked.groupBy("event_type").agg(
+        F.max("n").alias("n_events"),
+        F.sum(F.when(F.col("lag_s") > 0, 1).otherwise(0)).alias("n_late"),
+        F.max("lag_s").alias("max_lag_s"),
+        F.max(F.when(F.col("rn") == p95_pos, F.col("lag_s"))).alias("p95_lag_s"),
+    )

@@ -1421,3 +1421,71 @@ def bm25_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(_BM25_TOPK)
     )
+
+
+# --- per-source boilerplate/template n-gram mining -------------------------
+
+_BP_N = 5       # word n-gram width
+_BP_MIN_DOCS = 3  # template = gram present in >= this many docs of a source
+
+
+@query(
+    "boilerplate_ngrams",
+    oracle=f"""
+    WITH {H.duck_shingle_cte("documents", "doc_id", "text", _BP_N)},
+    grams AS (SELECT DISTINCT doc_id, h FROM __hashes),
+    src AS (SELECT doc_id, source FROM documents),
+    per_src AS (
+      SELECT s.source, g.h, count(*) AS n_docs
+      FROM grams g JOIN src s ON g.doc_id = s.doc_id
+      GROUP BY s.source, g.h
+      HAVING count(*) >= {_BP_MIN_DOCS}
+    ),
+    totals AS (SELECT source, count(*) AS src_docs FROM src GROUP BY source)
+    SELECT p.source, p.h AS gram_h,
+           CAST(p.n_docs AS INTEGER) AS n_docs,
+           round(p.n_docs * 1.0 / t.src_docs, 6) AS doc_share
+    FROM per_src p JOIN totals t ON p.source = t.source
+    """,
+)
+def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source template/boilerplate detection (the CCNet / C4
+    line-dedup idea at n-gram granularity): word 5-grams appearing in
+    >= 3 distinct documents OF THE SAME SOURCE are boilerplate
+    candidates — headers, footers, navigation chrome, license blurbs —
+    reported with their within-source document share so a removal pass
+    can threshold on it.  Distinct-per-doc first, so a gram repeated
+    inside one doc (dup_span_detect's territory) doesn't fake template
+    status.
+
+    Scale shape: shingling is the staged codegen explode
+    (operators/dedup.py shape); distinct (doc, gram) shuffles on the
+    gram hash; the per-(source, gram) count is map-side-combined and
+    the HAVING bound keeps the output to true templates.  The source
+    lookup joins on doc_id — at cluster scale the documents table is
+    read once with (doc_id, source, text) projected, so the join is
+    against an already-scanned slim frame, and per-source totals
+    broadcast (bounded source vocabulary)."""
+    from resotodatalink_spark.operators.dedup import shingle_hashes
+
+    d = table(spark, sf_dir, "documents")
+    src = d.select("doc_id", "source")
+    grams = shingle_hashes(d, n=_BP_N).distinct()
+    per_src = (
+        grams.join(src, "doc_id")
+        .groupBy("source", "h")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= _BP_MIN_DOCS)
+    )
+    totals = src.groupBy("source").agg(F.count("*").alias("src_docs"))
+    return (
+        per_src.join(F.broadcast(totals), "source")
+        .select(
+            "source",
+            F.col("h").alias("gram_h"),
+            F.col("n_docs").cast("int").alias("n_docs"),
+            F.round(F.col("n_docs") * 1.0 / F.col("src_docs"), 6).alias(
+                "doc_share"
+            ),
+        )
+    )
