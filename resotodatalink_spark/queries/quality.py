@@ -511,21 +511,46 @@ def watermark_lag_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines' boundary handling agrees); p95 is the exact order
     statistic at integer position ceil(0.95 n) = (19n+19) div 20 —
     no interpolating percentile_cont whose float math could diverge.
+    (The oracle states the same semantics as one row_number window —
+    a spec, not a plan.)
 
-    Scale shape: both windows partition on event_type — one exchange,
-    two sorts (arrival order, then lag rank); the aggregate is
-    map-side-combined onto the vocabulary-bounded event_type frame.
-    At cluster scale a per-(type, day) partition key would bound the
-    sort runs; the plan shape is otherwise unchanged."""
-    ev = table(spark, sf_dir, "events")
-    w_arr = (
+    Scale shape — the naive plan (windows partitioned by event_type)
+    caps parallelism at the TYPE vocabulary (~5), a cliff at 100 TB.
+    Instead:
+    * seen_max is a two-phase prefix max: per-(type, arrival-bucket)
+      maxima (hash aggregate), a window over the SMALL bucket frame
+      for cross-bucket prefixes, and a within-bucket running max —
+      parallelism = types x buckets, the classic distributed-scan
+      decomposition;
+    * the per-type windows that remain run only over BOUNDED frames:
+      the bucket frame (n/65536 rows) and the lag histogram (distinct
+      integer lags, bounded by the log's time span, not its row
+      count);
+    * n/max/p95 come from that histogram via cumulative counts —
+      corpus-sized data only ever passes through hash aggregates."""
+    ev = table(spark, sf_dir, "events").select("event_type", "event_id", "ts")
+    b = ev.withColumn("bkt", F.expr("event_id div 65536"))
+    per_bucket = b.groupBy("event_type", "bkt").agg(F.max("ts").alias("bmax"))
+    w_b = (
         W.partitionBy("event_type")
+        .orderBy("bkt")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    prev_b = per_bucket.select(
+        "event_type", "bkt", F.max("bmax").over(w_b).alias("prev_bmax")
+    )
+    w_in = (
+        W.partitionBy("event_type", "bkt")
         .orderBy("event_id")
         .rowsBetween(W.unboundedPreceding, -1)
     )
-    arr = ev.select(
-        "event_type", "event_id", "ts", F.max("ts").over(w_arr).alias("seen_max")
+    rows = b.withColumn("in_prev", F.max("ts").over(w_in)).join(
+        prev_b, ["event_type", "bkt"]
     )
+    seen = F.when(
+        F.col("in_prev").isNull(), F.col("prev_bmax")
+    ).otherwise(F.greatest(F.col("in_prev"), F.coalesce("prev_bmax", "in_prev")))
+    seen_rows = rows.select("event_type", "ts", seen.alias("seen_max"))
     lag = (
         F.when(
             F.col("seen_max").isNull() | (F.col("seen_max") <= F.col("ts")),
@@ -534,19 +559,32 @@ def watermark_lag_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.expr("timestampdiff(SECOND, ts, seen_max)"))
         .cast("long")
     )
-    lags = arr.select("event_type", "event_id", lag.alias("lag_s"))
-    w_rank = W.partitionBy("event_type").orderBy("lag_s", "event_id")
-    w_all = W.partitionBy("event_type")
-    ranked = lags.select(
-        "event_type",
-        "lag_s",
-        F.row_number().over(w_rank).alias("rn"),
-        F.count("*").over(w_all).alias("n"),
+    hist = (
+        seen_rows.select("event_type", lag.alias("lag_s"))
+        .groupBy("event_type", "lag_s")
+        .agg(F.count("*").alias("cnt"))
     )
-    p95_pos = F.expr("(19 * n + 19) div 20")
-    return ranked.groupBy("event_type").agg(
-        F.max("n").alias("n_events"),
-        F.sum(F.when(F.col("lag_s") > 0, 1).otherwise(0)).alias("n_late"),
+    tot = hist.groupBy("event_type").agg(
+        F.sum("cnt").alias("n_events"),
+        F.sum(F.when(F.col("lag_s") > 0, F.col("cnt")).otherwise(0)).alias(
+            "n_late"
+        ),
         F.max("lag_s").alias("max_lag_s"),
-        F.max(F.when(F.col("rn") == p95_pos, F.col("lag_s"))).alias("p95_lag_s"),
+    )
+    w_c = (
+        W.partitionBy("event_type")
+        .orderBy("lag_s")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = hist.select(
+        "event_type", "lag_s", F.sum("cnt").over(w_c).alias("cum")
+    )
+    p95 = (
+        cum.join(F.broadcast(tot.select("event_type", "n_events")), "event_type")
+        .filter(F.col("cum") >= F.expr("(19 * n_events + 19) div 20"))
+        .groupBy("event_type")
+        .agg(F.min("lag_s").alias("p95_lag_s"))
+    )
+    return tot.join(p95, "event_type").select(
+        "event_type", "n_events", "n_late", "max_lag_s", "p95_lag_s"
     )
