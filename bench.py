@@ -176,6 +176,13 @@ EXTENDED = [
     "compaction_bin_packing",
     # privacy governance: the k-anonymity release gate
     "k_anonymity_audit",
+    # round 9: CDC snapshot diff, watermark-sizing audit, staged
+    # quality funnel, cross-split leakage, per-source boilerplate
+    "snapshot_diff",
+    "watermark_lag_audit",
+    "quality_filter_cascade",
+    "cross_split_leakage",
+    "boilerplate_ngrams",
 ]
 
 
@@ -277,6 +284,14 @@ SF1_SUBSET = [
     # scan-speed norm audit (integer-moment stats + broadcast band):
     # cheap at sf1 and the only wave-7 slug otherwise without sf1 rows
     "embedding_norm_outliers",
+    # round-9 newcomers with real volume knees: the 5-gram distinct
+    # shuffle (boilerplate), the LSH band join + id-expression labels
+    # (leakage), and the bucketed two-phase prefix max over 1M events
+    # (watermark).  snapshot_diff / quality_filter_cascade are
+    # scan+agg-bound and ride the sf0.1 headline section.
+    "boilerplate_ngrams",
+    "cross_split_leakage",
+    "watermark_lag_audit",
     # embedding_pca_power deliberately NOT here: its wall is plan-
     # compile-constant (8.5s sf0.01 vs 8.7s sf0.1 — the 64-dim unrolled
     # chains dominate, not data), so sf1 would add ~26s of bench wall
