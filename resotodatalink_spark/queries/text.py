@@ -1459,25 +1459,39 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     status.
 
     Scale shape: shingling is the staged codegen explode
-    (operators/dedup.py shape); distinct (doc, gram) shuffles on the
-    gram hash; the per-(source, gram) count is map-side-combined and
-    the HAVING bound keeps the output to true templates.  The source
-    lookup joins on doc_id — at cluster scale the documents table is
-    read once with (doc_id, source, text) projected, so the join is
-    against an already-scanned slim frame, and per-source totals
-    broadcast (bounded source vocabulary)."""
-    from resotodatalink_spark.operators.dedup import shingle_hashes
+    (operators/dedup.py shape) with ``source`` CARRIED THROUGH the
+    explode — one row-local extra column instead of a corpus-sized
+    doc_id join to label grams afterwards; distinct (doc, gram,
+    source) shuffles once on the gram hash; the per-(source, gram)
+    count is map-side-combined and the HAVING bound keeps the output
+    to true templates; per-source totals broadcast (bounded source
+    vocabulary)."""
+    from resotodatalink_spark.functions.hashing import str_hash_sql
 
     d = table(spark, sf_dir, "documents")
-    src = d.select("doc_id", "source")
-    grams = shingle_hashes(d, n=_BP_N).distinct()
+    toks = d.select("doc_id", "source", F.split("text", " ").alias("__toks"))
+    pos = toks.select(
+        "doc_id",
+        "source",
+        "__toks",
+        F.explode(
+            F.expr(f"sequence(1, greatest(size(__toks) - {_BP_N - 1}, 1))")
+        ).alias("__i"),
+    )
+    sh = pos.select(
+        "doc_id",
+        "source",
+        F.expr(f"array_join(slice(__toks, __i, {_BP_N}), ' ')").alias("__sh"),
+    )
+    grams = sh.select(
+        "doc_id", "source", F.expr(str_hash_sql("__sh")).alias("h")
+    ).distinct()
     per_src = (
-        grams.join(src, "doc_id")
-        .groupBy("source", "h")
+        grams.groupBy("source", "h")
         .agg(F.count("*").alias("n_docs"))
         .filter(F.col("n_docs") >= _BP_MIN_DOCS)
     )
-    totals = src.groupBy("source").agg(F.count("*").alias("src_docs"))
+    totals = d.groupBy("source").agg(F.count("*").alias("src_docs"))
     return (
         per_src.join(F.broadcast(totals), "source")
         .select(
