@@ -88,6 +88,7 @@ _NEW_THIS_ROUND = [
     "snapshot_diff",
     "watermark_lag_audit",
     "cross_split_leakage",
+    "bigram_lm_perplexity",
 ]
 
 _R6_TIER = [

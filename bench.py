@@ -183,6 +183,7 @@ EXTENDED = [
     "quality_filter_cascade",
     "cross_split_leakage",
     "boilerplate_ngrams",
+    "bigram_lm_perplexity",
 ]
 
 
@@ -292,6 +293,9 @@ SF1_SUBSET = [
     "boilerplate_ngrams",
     "cross_split_leakage",
     "watermark_lag_audit",
+    # bigram LM: vocab-squared LM-table joins — the volume knee is the
+    # bigram table's growth, invisible at sf0.1
+    "bigram_lm_perplexity",
     # embedding_pca_power deliberately NOT here: its wall is plan-
     # compile-constant (8.5s sf0.01 vs 8.7s sf0.1 — the 64-dim unrolled
     # chains dominate, not data), so sf1 would add ~26s of bench wall

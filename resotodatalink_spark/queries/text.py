@@ -1503,3 +1503,121 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- CCNet-style LM perplexity gate ---------------------------------------
+
+_LM_TOPK = 150
+
+
+@query(
+    "bigram_lm_perplexity",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    uni AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+    vocab AS (
+      SELECT count(DISTINCT {H.str_hash_sql('tok')}) AS v FROM uni
+    ),
+    pos AS (
+      SELECT doc_id, t,
+             unnest(generate_series(1, len(t) - 1))::BIGINT AS i
+      FROM toks WHERE len(t) >= 2
+    ),
+    big AS (
+      SELECT doc_id,
+             {H.str_hash_sql("array_to_string(list_slice(t, i, i + 1), ' ')")} AS h,
+             {H.str_hash_sql('t[i]')} AS hu
+      FROM pos
+    ),
+    cb AS (SELECT h, count(*) AS cb FROM big GROUP BY h),
+    cu AS (SELECT hu, count(*) AS cu FROM big GROUP BY hu),
+    terms AS (
+      SELECT b.doc_id,
+             CAST(floor(ln((c2.cu + v.v) * 1.0 / (c1.cb + 1)) * 1000000
+                        + 0.5) AS BIGINT) AS s_micro
+      FROM big b
+      JOIN cb c1 ON b.h = c1.h
+      JOIN cu c2 ON b.hu = c2.hu
+      CROSS JOIN vocab v
+    ),
+    scored AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             round(sum(s_micro) * 1.0 / count(*) / 1000000.0, 6) AS xent
+      FROM terms GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, xent FROM scored
+    ORDER BY xent DESC, doc_id LIMIT {_LM_TOPK}
+    """,
+)
+def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model perplexity gate (the CCNet / RefinedWeb idea: a
+    cheap LM scores every document, and the tail of the
+    cross-entropy distribution is junk — OCR noise, boilerplate soup,
+    non-language).  The LM is a corpus-self-trained add-one-smoothed
+    bigram model: p(w2|w1) = (c(w1 w2)+1) / (c(w1)+V); a doc's score
+    is mean surprisal in nats (xent = perplexity's log), highest-xent
+    docs reported first.  Self-training makes the slug fully
+    deterministic — no external model artifact.
+
+    Float discipline: per-bigram surprisal ln((cu+V)/(cb+1)) is ONE
+    libm call on exact-integer inputs, immediately quantized to
+    integer MICRO-NATS (floor(s*1e6+0.5)) — the same
+    quantize-then-sum trick as embedding_norm_outliers — so the
+    per-doc aggregation is an order-free exact BIGINT sum; a float
+    sum over engine-chosen addend order would violate the house rule
+    (see bm25_scoring).  xent is one division of identical integers,
+    rounded on output; the top-k orders by the rounded value with a
+    doc_id tiebreak.
+
+    Scale shape: bigram generation is the staged codegen explode;
+    the bigram/context LM tables are vocabulary-bounded aggregates
+    (map-side combined) joined back on hash keys — both equi-joins,
+    broadcastable when the vocab is small, shuffled when it isn't
+    (Catalyst's call); V is a ONE-ROW broadcast; the per-doc combine
+    keys on doc_id; the gate output is TakeOrdered top-k."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("__toks"))
+    uni = toks.select(F.explode("__toks").alias("tok"))
+    vocab = uni.agg(
+        F.countDistinct(F.expr(H.str_hash_sql("tok"))).alias("v")
+    )
+    pos = toks.filter(F.size("__toks") >= 2).select(
+        "doc_id",
+        "__toks",
+        F.explode(F.expr("sequence(1, size(__toks) - 1)")).alias("__i"),
+    )
+    big = pos.select(
+        "doc_id",
+        F.expr(H.str_hash_sql("array_join(slice(__toks, __i, 2), ' ')")).alias("h"),
+        F.expr(H.str_hash_sql("element_at(__toks, __i)")).alias("hu"),
+    )
+    cb = big.groupBy("h").agg(F.count("*").alias("cb"))
+    cu = big.groupBy("hu").agg(F.count("*").alias("cu"))
+    terms = (
+        big.join(cb, "h")
+        .join(cu, "hu")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.floor(
+                F.log((F.col("cu") + F.col("v")) * 1.0 / (F.col("cb") + 1))
+                * 1000000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("s_micro"),
+        )
+    )
+    return (
+        terms.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.sum("s_micro") * 1.0 / F.count("*") / 1000000.0, 6
+            ).alias("xent"),
+        )
+        .orderBy(F.desc("xent"), "doc_id")
+        .limit(_LM_TOPK)
+    )

@@ -99,6 +99,10 @@ CARTESIAN_OK = {
     # stats via broadcast to the scan-time norm expression; constant
     # append per row.
     "embedding_norm_outliers",
+    # bigram_lm_perplexity — attaches the ONE-ROW vocabulary size to
+    # the per-bigram surprisal projection via broadcast; constant
+    # append per row (unigram_logprob's pattern).
+    "bigram_lm_perplexity",
 }
 
 

@@ -180,3 +180,22 @@ def test_boilerplate_ngrams_threshold_and_isolation(spark, tmp_path):
     # 1-2 (tokens 1-5, 2-6) are shared by all three docs of s1; from
     # position 3 on, each doc's distinct tail enters the gram
     assert len(rows) == 2
+
+
+def test_bigram_lm_perplexity_ranks_junk_highest(spark, tmp_path):
+    """A doc of corpus-common bigrams must score LOWER cross-entropy
+    than a doc of rare/unseen bigrams (the junk the gate exists to
+    catch ranks first)."""
+    common = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [(i, common, "s") for i in range(1, 9)]
+    docs.append((100, "zxq wvut qqqq plif xonk zzyx marg", "s"))
+    _write_documents(spark, tmp_path, docs)
+    rows = registry.QUERIES["bigram_lm_perplexity"](
+        spark, str(tmp_path)
+    ).collect()
+    assert rows[0].doc_id == 100, rows[:3]
+    junk, typical = rows[0].xent, rows[-1].xent
+    assert junk > typical
+    # every bigram of the junk doc is unseen elsewhere: surprisal
+    # ln((cu+V)/(cb+1)) with cb=1, cu=1 is identical for all 6 bigrams
+    assert rows[0].n_bigrams == 6
