@@ -80,8 +80,12 @@ def test_attest_window_consistency():
     assert len(af) == len(set(af)), "duplicate slug in _ATTEST_FIRST"
     unknown = set(af) - set(registry.QUERIES)
     assert not unknown, f"unknown slugs in _ATTEST_FIRST: {unknown}"
-    # changed/new slugs must sit inside the 50-slot window
-    assert set(entry._CHANGED_THIS_ROUND) <= set(names[:50])
+    # the never-attested backlog and this round's new slugs must sit
+    # inside the 50-slot window (round-9 policy: no driver row ever =>
+    # head of window, unconditionally)
+    window = set(names[:50])
+    assert set(entry._NEVER_ATTESTED) <= window
+    assert set(entry._NEW_THIS_ROUND) <= window
 
 
 def test_bench_names_registered():
