@@ -303,12 +303,29 @@ SF1_SUBSET = [
 ]
 
 
+def _drop_persistent_blocks(spark) -> None:
+    """Unpersist every cached/localCheckpointed RDD left behind by the
+    previous query.  localCheckpoint blocks are only reclaimed when a
+    DRIVER GC lets ContextCleaner notice the RDD is unreachable — in a
+    single-JVM local[32] session running three 5M-doc checkpointing
+    queries back-to-back, the heap fills faster than that (round-9
+    OOM with the sf10 section first).  Explicit unpersist makes bench
+    memory deterministic instead of GC-timing-dependent."""
+    try:
+        it = spark._jsparkSession.sparkContext().getPersistentRDDs().iterator()
+        while it.hasNext():
+            it.next()._2().unpersist(False)
+    except Exception as exc:  # best-effort; a py4j API shift must not kill bench
+        print(f"# unpersist sweep failed: {exc}", file=sys.stderr)
+
+
 def _run(
     spark, names: list[str], sf_dir: str, runs: int = 1
 ) -> tuple[dict[str, float], dict[str, int]]:
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name in names:
+        _drop_persistent_blocks(spark)
         samples = []
         n = 0
         for _ in range(runs):

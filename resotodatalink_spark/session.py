@@ -52,7 +52,15 @@ def get_spark(app_name: str = "resotodatalink-spark", cpus: int | None = None) -
         # per-expression codegen (small, JIT-able methods): measured
         # 3.4x on a 1M-row cosine scan; normal stages keep WSCG.
         .config("spark.sql.codegen.hugeMethodLimit", "8000")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[32] packs ALL executor threads into this single JVM, so
+        # the heap is 32 concurrent tasks' working memory plus the
+        # block manager (localCheckpoint blocks live here too).  8g
+        # gave ~256 MB per concurrent task and OOMed when the sf10
+        # decade section ran FIRST in a fresh session (round 9: three
+        # back-to-back 5M-doc checkpointing queries before any GC
+        # pressure let ContextCleaner reap) — 16g is still far below a
+        # real 32-core executor fleet's aggregate heap.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         # JVM unified logging defaults to STDOUT; a GC warning landing
         # on fd 1 mid-bench contaminated bench.py's one-JSON-line
         # contract (observed: "[gc,alloc] ... Retried waiting for
