@@ -642,7 +642,11 @@ def record_linkage_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     ck = keys(table(spark, sf_dir, "customer"), "c_name", "n_c")
     sk = keys(table(spark, sf_dir, "supplier"), "s_name", "n_s")
     cand = (
-        ck.join(F.broadcast(sk.withColumnsRenamed({"name": "s_name", "n": "n_s"})),
+        # no broadcast hint: the supplier key frame is SF-linear (x9
+        # deletion patterns), so the build strategy is Catalyst's size
+        # call — broadcast at bench SFs, shuffle on a cluster where
+        # supplier is GBs (the tpch.py round-9 hint rule)
+        ck.join(sk.withColumnsRenamed({"name": "s_name", "n": "n_s"}),
                 ["i", "pat"])
         .select(F.col("name").alias("c_name"), F.col("n").alias("n_c"),
                 "s_name", "n_s")

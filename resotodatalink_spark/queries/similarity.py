@@ -904,7 +904,11 @@ def sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = big.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
     df = tf.groupBy("tok").agg(F.count("*").alias("df"))
-    # vocab is alphabet^2-bounded -> broadcast the idf table
+    # the idf table is word-bigram-vocabulary-sized — bounded for this
+    # corpus (alphabet^2), hence the pinned broadcast; on an open-vocab
+    # 100 TB corpus the bigram vocab is NOT broadcastable: drop the
+    # hint there and Catalyst shuffles the join (plan shape otherwise
+    # unchanged)
     w = tf.join(F.broadcast(df), "tok").select(
         "doc_id",
         "tok",
