@@ -262,3 +262,47 @@ def test_tpch_join_strategies(spark, slug):
         assert "BroadcastHashJoin" in plan, (
             f"{slug} no longer broadcasts its hinted dimension side"
         )
+
+
+# Pinned broadcasts of CONSTANT-BOUNDED frames: slugs whose hinted
+# build side is a scan of a scale-growing table restricted to a fixed
+# sample/benchmark by a constant predicate (vec_id < 10 query sets and
+# their derivations) — bounded by construction, not by SF.
+BOUNDED_BROADCAST_OK = {
+    "ann_cosine_topk", "ann_lsh_bucketed", "ann_lsh_multiprobe",
+    "ann_ivf_cells", "ann_recall_at_k", "hard_negatives",
+    "dedup_embedding", "ivf_cell_balance",
+    # k=8 seed centroids (vec_id < k) — constant-bounded by the
+    # cluster count, not by SF
+    "kmeans_lloyd",
+}
+ALL_SCALE_GROWING = SCALE_GROWING + (
+    "documents.parquet", "embeddings.parquet", "events.parquet",
+)
+
+
+@pytest.mark.parametrize("slug", sorted(registry.QUERIES))
+def test_no_pinned_broadcast_of_unbounded_frame(spark, slug):
+    """Repo-wide extension of the TPC-H hint rule: with size-based
+    broadcast disabled, the only BroadcastExchanges left are
+    hint-pinned — and a pinned broadcast must be a bounded frame
+    (nation/region, an aggregate-reduced scalar/histogram, or an
+    allowlisted constant-bounded sample).  A hint on an SF-growing
+    frame is invisible at bench SFs and an executor OOM at 100 TB."""
+    if slug in BOUNDED_BROADCAST_OK:
+        return
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = registry.QUERIES[slug](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    for sub in _broadcast_subtrees(plan):
+        if "HashAggregate" in sub or "SortAggregate" in sub:
+            continue  # scalar/histogram frame reduced before broadcast
+        for fact in ALL_SCALE_GROWING:
+            assert fact not in sub, (
+                f"{slug} hint-broadcasts an un-aggregated {fact} frame:"
+                f"\n{sub[:800]}"
+            )
