@@ -91,6 +91,14 @@ _NEW_THIS_ROUND = [
     "bigram_lm_perplexity",
 ]
 
+_R10_PENDING = [
+    # Landed AFTER the round-9 window filled (44 backlog + 6 new = 50):
+    # the one slug whose first driver row will be r10 — it LEADS that
+    # window, ahead of the staleness tiers.  Locally value-hash-green
+    # at sf0.001/sf0.01/sf0.1 on arrival (tools/check_queries.py).
+    "multimodal_ppm_resize",
+]
+
 _R6_TIER = [
     # Newest driver row is CORRECTNESS_r06 — first in line once the
     # never-attested backlog drains (r10 window), unless changed
@@ -195,7 +203,9 @@ _R7_TIER = [
     "window_lag_lead",
 ]
 
-_ATTEST_FIRST = _NEVER_ATTESTED + _NEW_THIS_ROUND + _R6_TIER + _R7_TIER
+_ATTEST_FIRST = (
+    _NEVER_ATTESTED + _NEW_THIS_ROUND + _R10_PENDING + _R6_TIER + _R7_TIER
+)
 
 
 def _ordered(mapping: dict) -> dict:

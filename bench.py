@@ -184,6 +184,7 @@ EXTENDED = [
     "cross_split_leakage",
     "boilerplate_ngrams",
     "bigram_lm_perplexity",
+    "multimodal_ppm_resize",
 ]
 
 

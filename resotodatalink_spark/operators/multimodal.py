@@ -374,3 +374,70 @@ def decode_wav(df: DataFrame) -> DataFrame:
             yield _pd.DataFrame(out)
 
     return df.mapInPandas(decode, schema=WAV_SCHEMA)
+
+
+PPM_RESIZE_SCHEMA = (
+    "doc_id long, src_height int, out_w int, out_h int, "
+    "checksum long, mean_r double, mean_g double, mean_b double"
+)
+
+
+def resize_ppm(df: DataFrame, out_w: int = 4, out_h: int = 4) -> DataFrame:
+    """REAL image resize (decode_ppm's sibling): parse the binary P6
+    payload and NEAREST-NEIGHBOR resample the raster to (out_w, out_h)
+    with numpy fancy indexing — src row of output row r is
+    (r * h) // out_h, the classic floor-mapped NN grid, well-defined
+    for both down- and up-sampling.  Emits the resized raster's exact
+    integer checksum plus per-channel means, so the oracle can verify
+    the SAMPLED PIXEL SET bit-for-bit (a wrong index map changes the
+    checksum even when the means hardly move).
+
+    Same malformed-payload posture as decode_ppm: corrupt objects
+    yield null rows, never failed batches."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        def parse(payload: bytes):
+            try:
+                if not payload.startswith(b"P6"):
+                    return None
+                parts = payload.split(b"\n", 3)
+                w, h = (int(x) for x in parts[1].split())
+                maxval = int(parts[2])
+                raster = parts[3][: w * h * 3]
+                if maxval != 255 or len(raster) < w * h * 3:
+                    return None
+                img = _np.frombuffer(raster, dtype=_np.uint8).reshape(h, w, 3)
+                rr = (_np.arange(out_h) * h) // out_h
+                cc = (_np.arange(out_w) * w) // out_w
+                small = img[rr][:, cc].astype(_np.int64)
+                means = small.reshape(-1, 3).mean(axis=0)
+                return (
+                    h, int(small.sum()),
+                    float(means[0]), float(means[1]), float(means[2]),
+                )
+            except (ValueError, IndexError):
+                return None
+
+        for pdf in batches:
+            out = {
+                "doc_id": pdf["doc_id"], "src_height": [],
+                "out_w": [], "out_h": [], "checksum": [],
+                "mean_r": [], "mean_g": [], "mean_b": [],
+            }
+            for payload in pdf["payload"]:
+                p = parse(payload)
+                if p is None:
+                    p = (None, None, None, None, None)
+                out["src_height"].append(p[0])
+                out["out_w"].append(out_w)
+                out["out_h"].append(out_h)
+                out["checksum"].append(p[1])
+                out["mean_r"].append(p[2])
+                out["mean_g"].append(p[3])
+                out["mean_b"].append(p[4])
+            yield _pd.DataFrame(out)
+
+    return df.mapInPandas(resize, schema=PPM_RESIZE_SCHEMA)

@@ -239,3 +239,63 @@ def multimodal_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return decode_wav(attach_wav_payload(d))
+
+
+@query(
+    "multimodal_ppm_resize",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id,
+             rpad(text,
+                  CAST(ceil(length(text) / 24.0) * 24 AS INTEGER),
+                  chr(0)) AS p,
+             CAST(length(rpad(text,
+                  CAST(ceil(length(text) / 24.0) * 24 AS INTEGER),
+                  chr(0))) / 24 AS BIGINT) AS h
+      FROM documents WHERE doc_id < 200
+    ),
+    sampled AS (
+      SELECT doc_id, h, ch.i AS ch,
+             ascii(substring(p,
+               CAST(((r.i * h) // 4) * 24 + (c.i * 2) * 3 + ch.i + 1
+                    AS INTEGER), 1)) AS v
+      FROM px, range(0, 4) r(i), range(0, 4) c(i), range(0, 3) ch(i)
+    )
+    SELECT doc_id,
+           CAST(max(h) AS INTEGER) AS src_height,
+           4 AS out_w, 4 AS out_h,
+           CAST(sum(v) AS BIGINT) AS checksum,
+           round(avg(CASE WHEN ch = 0 THEN v * 1.0 END), 6) AS mean_r,
+           round(avg(CASE WHEN ch = 1 THEN v * 1.0 END), 6) AS mean_g,
+           round(avg(CASE WHEN ch = 2 THEN v * 1.0 END), 6) AS mean_b
+    FROM sampled GROUP BY doc_id
+    """,
+)
+def multimodal_ppm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image-resize path (the brief's decode/feature/RESIZE/frame
+    quartet, now all real or oracle-stubbed): synthesize binary P6
+    payloads, nearest-neighbor resample to 4x4 with numpy fancy
+    indexing inside mapInPandas (operators/multimodal.resize_ppm),
+    emit the resized raster's exact integer checksum + channel means.
+    The oracle replays the SAME floor-mapped NN grid as byte
+    arithmetic — src row (r*h)//4, src col c*2 for the fixed width-8
+    raster — so a wrong index map flips the checksum even when means
+    barely move.  uint8 sums are exact in int64/float64; /16 means
+    are exact power-of-two divisions before the cosmetic round."""
+    from resotodatalink_spark.operators.multimodal import (
+        attach_ppm_payload,
+        resize_ppm,
+    )
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    out = resize_ppm(attach_ppm_payload(d))
+    return out.select(
+        "doc_id",
+        "src_height",
+        "out_w",
+        "out_h",
+        "checksum",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )

@@ -152,3 +152,45 @@ def test_wav_decoder_tolerates_corrupt_payloads(spark):
     rows = {r["doc_id"]: r for r in decode_wav(df).collect()}
     for i in (1, 2, 3):
         assert rows[i]["sample_rate"] is None, i
+
+
+def test_resize_ppm_corrupt_payload_yields_null_row(spark):
+    from resotodatalink_spark.operators.multimodal import resize_ppm
+
+    df = spark.createDataFrame(
+        [(1, b"P6\n8 2\n255\n" + bytes(range(48))), (2, b"NOTPPM")],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in resize_ppm(df).collect()}
+    assert rows[2].checksum is None and rows[2].src_height is None
+    good = rows[1]
+    assert (good.src_height, good.out_w, good.out_h) == (2, 4, 4)
+    # h=2 < out_h=4: NN UPSAMPLES — rows map (0,0,1,1); cols 0,2,4,6.
+    # checksum = sum over sampled pixels of byte values
+    import numpy as np
+
+    img = np.arange(48, dtype=np.uint8).reshape(2, 8, 3)
+    rr = (np.arange(4) * 2) // 4
+    cc = (np.arange(4) * 8) // 4
+    assert good.checksum == int(img[rr][:, cc].astype(np.int64).sum())
+
+
+def test_resize_ppm_downsample_grid(spark):
+    """16x8 image down to 4x4: src rows (0,4,8,12), src cols (0,2,4,6)
+    — the floor-mapped NN grid, hand-checked."""
+    from resotodatalink_spark.operators.multimodal import resize_ppm
+
+    import numpy as np
+
+    h, w = 16, 8
+    raster = np.random.RandomState(7).randint(
+        0, 256, size=(h, w, 3)
+    ).astype(np.uint8)
+    payload = b"P6\n8 16\n255\n" + raster.tobytes()
+    df = spark.createDataFrame([(9, payload)], "doc_id long, payload binary")
+    row = resize_ppm(df).collect()[0]
+    rr = (np.arange(4) * h) // 4
+    cc = (np.arange(4) * w) // 4
+    small = raster[rr][:, cc].astype(np.int64)
+    assert row.checksum == int(small.sum())
+    assert abs(row.mean_r - small.reshape(-1, 3)[:, 0].mean()) < 1e-9
