@@ -1467,8 +1467,12 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     to true templates; per-source totals broadcast (bounded source
     vocabulary)."""
     from resotodatalink_spark.functions.hashing import str_hash_sql
+    from resotodatalink_spark.operators.spread import spread_partitions
 
-    d = table(spark, sf_dir, "documents")
+    # byte-small scan feeding 16-term hash chains per 5-gram — spread
+    # to session parallelism first (operators/spread.py rule; no-op on
+    # a wide cluster scan)
+    d = spread_partitions(table(spark, sf_dir, "documents"), "doc_id")
     toks = d.select("doc_id", "source", F.split("text", " ").alias("__toks"))
     pos = toks.select(
         "doc_id",
@@ -1583,7 +1587,13 @@ def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     passes.  V is a ONE-ROW broadcast onto the type table; per-doc
     sums are exact integer m x s_micro products; the gate output is
     TakeOrdered top-k."""
-    d = table(spark, sf_dir, "documents")
+    from resotodatalink_spark.operators.spread import spread_partitions
+
+    # byte-small scan (2 partitions at sf1) feeding ~60x exploded
+    # 16-term hash chains — the operators/spread.py rule: one keyed
+    # shuffle of input bytes buys full parallel compute; no-op when
+    # the scan is already wide (100 TB)
+    d = spread_partitions(table(spark, sf_dir, "documents"), "doc_id")
     toks = d.select("doc_id", F.split("text", " ").alias("__toks"))
     uni = toks.select(F.explode("__toks").alias("tok"))
     vocab = uni.agg(
