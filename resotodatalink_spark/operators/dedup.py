@@ -63,7 +63,14 @@ def shingle_hashes(
     measured 10x slower at sf0.1.  Here each level is a materialized
     column and the 16-term hash projection codegens with CSE."""
     from resotodatalink_spark.functions.hashing import str_hash_sql
+    from resotodatalink_spark.operators.spread import spread_partitions
 
+    # byte-small scans feed a ~50x explode of 16-term hash chains: at
+    # sf1 documents.parquet scans as TWO partitions, so the whole
+    # shingle+hash stage ran on 2 of 32 cores (round-9 find, measured
+    # on the bigram LM slug first: 31.4s -> 8.1s).  spread is a no-op
+    # on a wide cluster scan.
+    docs = spread_partitions(docs, id_col)
     toks = docs.select(F.col(id_col), F.split(text_col, " ").alias("__toks"))
     pos = toks.select(
         F.col(id_col),
@@ -89,7 +96,9 @@ def shingle_hashes_pos(
     has no meaningful position.  Same staged explode-then-project shape
     as :func:`shingle_hashes` (codegen + CSE, no lambda interpretation)."""
     from resotodatalink_spark.functions.hashing import str_hash_sql
+    from resotodatalink_spark.operators.spread import spread_partitions
 
+    docs = spread_partitions(docs, id_col)  # same rule as shingle_hashes
     toks = docs.select(F.col(id_col), F.split(text_col, " ").alias("__toks"))
     pos = toks.filter(F.size("__toks") >= n).select(
         F.col(id_col),
