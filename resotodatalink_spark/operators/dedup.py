@@ -242,7 +242,12 @@ def simhash_signatures(
         raise ValueError(f"hash_fn must be portable|xxhash64, got {hash_fn!r}")
     if not 1 <= n_bits <= max_bits:
         raise ValueError(f"n_bits must be 1..{max_bits}, got {n_bits}")
-    toks = docs.select(
+    from resotodatalink_spark.operators.spread import spread_partitions
+
+    # same narrow-scan rule as shingle_hashes: the per-token vote
+    # expressions are 2 x 16-term chains and the scan is 2 partitions
+    # at sf1
+    toks = spread_partitions(docs, id_col).select(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
     )

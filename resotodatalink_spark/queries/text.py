@@ -690,7 +690,11 @@ def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k is TakeOrderedAndProject over those bounded counts, then the
     20 survivors get ranked (global window over a provably tiny
     frame)."""
-    d = table(spark, sf_dir, "documents")
+    from resotodatalink_spark.operators.spread import spread_partitions
+
+    # ~250M exploded char pairs off a 2-partition scan at sf1 — the
+    # operators/spread.py narrow-scan rule (no-op on wide scans)
+    d = spread_partitions(table(spark, sf_dir, "documents"), "doc_id")
     # Guard texts shorter than 2 chars: Spark's sequence(1, 0) is
     # DESCENDING ([1, 0]), so an unguarded 1-char text would emit two
     # bogus pairs (and an empty text three) where the oracle's
