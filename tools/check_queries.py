@@ -102,6 +102,15 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        # deterministic block-manager hygiene between slugs: dead
+        # localCheckpoint blocks otherwise wait on a driver GC for
+        # ContextCleaner to reap them (bench.py round-9 OOM lesson)
+        try:
+            it = spark._jsparkSession.sparkContext().getPersistentRDDs().iterator()
+            while it.hasNext():
+                it.next()._2().unpersist(False)
+        except Exception:
+            pass
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
