@@ -416,6 +416,18 @@ def main() -> None:
             ]
         if os.path.exists(os.path.join(sf10_dir, "documents.parquet")):
             sf10_candidates.append("bm25_scoring")
+        if os.path.exists(os.path.join(sf10_dir, "embeddings.parquet")):
+            # embeddings-family decade rep (round 9; tools/
+            # make_scaled_data.py benchdata/sf10 100 embeddings): the
+            # bucketed query path over 200k vectors.  dedup_embedding
+            # is deliberately NOT here: on the generator's fresh-random
+            # copies, P(cos >= 0.35) ~ 2.6e-3 for independent 64-dim
+            # vectors, so the slug's OUTPUT is quadratic by data
+            # construction (measured: 426k pairs / 81.6s at sf1's 20k
+            # vectors) — a property of random-copy scaling at that
+            # threshold, not of the plan; see DESIGN_NOTES round-9
+            # embeddings-ledger note.
+            sf10_candidates.append("ann_lsh_bucketed")
         sf10_names = [n for n in sf10_candidates if n in registry.QUERIES]
         sf10, sf10_rows = _run(spark, sf10_names, sf10_dir)
         out["sf10_queries"] = sf10

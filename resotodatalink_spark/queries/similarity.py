@@ -248,6 +248,15 @@ def dedup_embedding(
 
     ``exact=True`` opts into the brute-force all-pairs scan — the
     validation path for recall audits, O(n^2), never the default.
+
+    SIZE THRESHOLD AND SIGNATURE TO THE CORPUS (the dedup_simhash
+    rule): at theta=0.35, independent 64-dim vectors pair at
+    P ~ 2.6e-3, so on a corpus with substantial mutually-random mass
+    the QUALIFYING-PAIR SET itself is ~n^2/400 — measured 426k pairs
+    at 20k scaled-random vectors (round-9 ledger probe).  Corpus-wide
+    dedup wants theta >= ~0.8 (near-twin territory) and a signature/
+    band width grown with log2(n); the 16-bit/4-band config here is
+    the oracle-portable test configuration.
     """
     e = _spread(table(spark, sf_dir, "embeddings"), "vec_id")
     slim = e.select(
