@@ -199,3 +199,103 @@ def test_bigram_lm_perplexity_ranks_junk_highest(spark, tmp_path):
     # every bigram of the junk doc is unseen elsewhere: surprisal
     # ln((cu+V)/(cb+1)) with cb=1, cu=1 is identical for all 6 bigrams
     assert rows[0].n_bigrams == 6
+
+
+def _watermark_reference(df):
+    """Independent numpy reference for watermark_lag_audit semantics."""
+    import numpy as np
+
+    out = {}
+    for et, g in df.groupby("event_type"):
+        g = g.sort_values("event_id")
+        ts = g["ts"].values.astype("datetime64[us]").astype("int64")
+        seen = np.maximum.accumulate(ts)
+        prev = np.concatenate(([np.iinfo("int64").min], seen[:-1]))
+        lag_us = np.where(prev > ts, prev - ts, 0)
+        lag_s = lag_us // 1_000_000
+        n = len(lag_s)
+        srt = np.sort(lag_s)
+        p95 = int(srt[(19 * n + 19) // 20 - 1])
+        out[et] = (n, int((lag_s > 0).sum()), int(lag_s.max()), p95)
+    return out
+
+
+def test_watermark_lag_audit_vs_numpy_reference(spark, tmp_path):
+    """Random event logs, three seeds: the bucketed two-phase plan must
+    equal an independent numpy running-max reference exactly."""
+    import numpy as np
+    import pandas as pd
+
+    for seed in (0, 1, 2):
+        rng = np.random.RandomState(seed)
+        n = 400
+        base = pd.Timestamp("2024-01-01").value // 1000
+        ts_us = base + rng.randint(0, 3_000_000_000, size=n).astype("int64")
+        pdf = pd.DataFrame(
+            {
+                "event_id": np.arange(n, dtype="int64"),
+                "ts": pd.to_datetime(ts_us, unit="us"),
+                "user_id": rng.randint(0, 20, size=n).astype("int64"),
+                "event_type": rng.choice(["a", "b", "c"], size=n),
+                "value": rng.rand(n),
+                "props": [""] * n,
+            }
+        )
+        spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+            f"{tmp_path}/events.parquet"
+        )
+        got = {
+            r.event_type: (r.n_events, r.n_late, r.max_lag_s, r.p95_lag_s)
+            for r in registry.QUERIES["watermark_lag_audit"](
+                spark, str(tmp_path)
+            ).collect()
+        }
+        assert got == _watermark_reference(pdf), f"seed {seed}"
+
+
+def test_snapshot_diff_vs_pandas_reference(spark, tmp_path):
+    """Random event logs, three seeds: the single-shuffle dual-argmax
+    must equal an independent pandas as-of reference exactly."""
+    import numpy as np
+    import pandas as pd
+
+    t_old = pd.Timestamp("2024-01-10")
+    t_new = pd.Timestamp("2024-01-25")
+    for seed in (3, 4, 5):
+        rng = np.random.RandomState(seed)
+        n = 500
+        base = pd.Timestamp("2024-01-01").value // 1000
+        ts_us = base + rng.randint(0, 2_500_000_000_000 // 1000, size=n).astype("int64") * 1000
+        pdf = pd.DataFrame(
+            {
+                "event_id": np.arange(n, dtype="int64"),
+                "ts": pd.to_datetime(ts_us, unit="us"),
+                "user_id": rng.randint(0, 40, size=n).astype("int64"),
+                "event_type": rng.choice(["x", "y"], size=n),
+                "value": np.round(rng.rand(n) * 100, 3),
+                "props": [""] * n,
+            }
+        )
+        spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+            f"{tmp_path}/events.parquet"
+        )
+        ref = {}
+        w = pdf[pdf["ts"] <= t_new]
+        for (u, et), g in w.groupby(["user_id", "event_type"]):
+            g = g.sort_values(["ts", "event_id"])
+            newest = round(g.iloc[-1]["value"] * 1e6)
+            old_g = g[g["ts"] <= t_old]
+            if len(old_g) == 0:
+                cls = "added"
+            elif round(old_g.iloc[-1]["value"] * 1e6) == newest:
+                cls = "unchanged"
+            else:
+                cls = "changed"
+            ref[(et, cls)] = ref.get((et, cls), 0) + 1
+        got = {
+            (r.event_type, r.change_type): r.n_keys
+            for r in registry.QUERIES["snapshot_diff"](
+                spark, str(tmp_path)
+            ).collect()
+        }
+        assert got == ref, f"seed {seed}"
