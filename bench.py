@@ -397,6 +397,13 @@ def main() -> None:
             # quality family decade rep over events: the lead-window
             # shuffle on user_id must stay linear at 10M rows
             sf10_candidates.append("time_weighted_avg")
+            # round-9 family reps over events: the event-time window
+            # aggregate (output calendar-bounded at 3600 rows — the
+            # wall measures scan throughput) and the iterative
+            # random-surfer ranking (rows 10.0x-linear, wall flat at
+            # 3.5s — per-round exchanges reuse one shuffle layout)
+            sf10_candidates.append("stream_tumbling_window")
+            sf10_candidates.append("graph_pagerank")
         if os.path.exists(os.path.join(sf10_dir, "lineitem.parquet")):
             # TPC-H decade reps (dir carries the full star schema):
             # the scan-bound aggregate and the one-shuffle
