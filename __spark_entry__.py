@@ -99,6 +99,31 @@ _R10_PENDING = [
     "multimodal_ppm_resize",
 ]
 
+_R9_CHANGED_OUTSIDE_WINDOW = [
+    # Implementation changed in round 9 (the narrow-scan
+    # spread_partitions wave in operators/dedup.py — plan-only: an
+    # added repartition, values identical, verified 194/194 at
+    # sf0.001/0.01/0.1) but the 50-slot window was already full with
+    # the never-attested backlog, which the r8 verdict ranked first.
+    # These therefore lead the r10 window right after _R10_PENDING so
+    # the changed-slug re-attestation rule is only DEFERRED one round,
+    # never dropped.
+    "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "dedup_incremental",
+    "dedup_clusters",
+    "dedup_survivors",
+    "dedup_simhash",
+    "decontamination",
+    "novelty_score",
+    "dup_span_detect",
+    "winnow_fingerprints",
+    "minhash_estimate_vs_exact",
+    "bpe_pair_stats",
+    "record_linkage_blocked",
+]
+
 _R6_TIER = [
     # Newest driver row is CORRECTNESS_r06 — first in line once the
     # never-attested backlog drains (r10 window), unless changed
@@ -110,12 +135,9 @@ _R6_TIER = [
     "ann_lsh_multiprobe",
     "corpus_stats",
     "dataset_split",
-    "decontamination",
     "dedup_embedding",
     "dedup_exact",
-    "dedup_minhash",
     "dedup_paragraph",
-    "dedup_simhash",
     "embedding_centroids",
     "embedding_quantize",
     "global_shuffle",
@@ -163,7 +185,6 @@ _R7_TIER = [
     "class_rebalance",
     "curation_pipeline",
     "date_functions",
-    "dedup_clusters",
     "dedup_levenshtein",
     "distinct_kmv_estimate",
     "doc_fingerprint",
@@ -204,7 +225,12 @@ _R7_TIER = [
 ]
 
 _ATTEST_FIRST = (
-    _NEVER_ATTESTED + _NEW_THIS_ROUND + _R10_PENDING + _R6_TIER + _R7_TIER
+    _NEVER_ATTESTED
+    + _NEW_THIS_ROUND
+    + _R10_PENDING
+    + _R9_CHANGED_OUTSIDE_WINDOW
+    + _R6_TIER
+    + _R7_TIER
 )
 
 
