@@ -78,9 +78,14 @@ def decode_media(df: DataFrame) -> DataFrame:
         for pdf in batches:
             payloads = pdf["payload"]
             decoded = [stub(p) for p in payloads]
+            # .to_numpy() in every decoder's output frame: mixing a
+            # pandas Series (which keeps the input batch's index) with
+            # plain lists would misalign doc_id if an Arrow batch ever
+            # arrived with a non-RangeIndex (r9 ADVICE — latent, made
+            # index-independent here).
             yield _pd.DataFrame(
                 {
-                    "doc_id": pdf["doc_id"],
+                    "doc_id": pdf["doc_id"].to_numpy(),
                     "n_bytes": [len(p) for p in payloads],
                     "header_byte": [d[0] for d in decoded],
                     "fake_width": [d[1] for d in decoded],
@@ -153,7 +158,7 @@ def resize_media(df: DataFrame, target_w: int = 32, target_h: int = 32) -> DataF
             out = [shrink(p) for p in pdf["payload"]]
             yield _pd.DataFrame(
                 {
-                    "doc_id": pdf["doc_id"],
+                    "doc_id": pdf["doc_id"].to_numpy(),
                     "payload": out,
                     "width": [target_w] * len(out),
                     "height": [target_h] * len(out),
@@ -265,7 +270,7 @@ def decode_ppm(df: DataFrame) -> DataFrame:
 
         for pdf in batches:
             out = {
-                "doc_id": pdf["doc_id"], "width": [], "height": [],
+                "doc_id": pdf["doc_id"].to_numpy(), "width": [], "height": [],
                 "mean_r": [], "mean_g": [], "mean_b": [],
             }
             for payload in pdf["payload"]:
@@ -361,7 +366,7 @@ def decode_wav(df: DataFrame) -> DataFrame:
 
         for pdf in batches:
             out = {
-                "doc_id": pdf["doc_id"], "sample_rate": [], "n_samples": [],
+                "doc_id": pdf["doc_id"].to_numpy(), "sample_rate": [], "n_samples": [],
                 "n_channels": [], "mean_amp": [], "rms_amp": [],
             }
             for payload in pdf["payload"]:
@@ -423,7 +428,7 @@ def resize_ppm(df: DataFrame, out_w: int = 4, out_h: int = 4) -> DataFrame:
 
         for pdf in batches:
             out = {
-                "doc_id": pdf["doc_id"], "src_height": [],
+                "doc_id": pdf["doc_id"].to_numpy(), "src_height": [],
                 "out_w": [], "out_h": [], "checksum": [],
                 "mean_r": [], "mean_g": [], "mean_b": [],
             }

@@ -743,11 +743,11 @@ def _split_of(col: str) -> str:
       FROM pairs WHERE n_common >= {_XS_AGREE_MIN}
     )
     SELECT least(sa, sb) AS split_a, greatest(sa, sb) AS split_b,
-           CAST(count(*) AS BIGINT) AS n_pairs,
-           CAST(count(DISTINCT CASE WHEN sa <> sb THEN doc_a END)
-                + count(DISTINCT CASE WHEN sa <> sb THEN doc_b END)
-                AS BIGINT) AS n_docs_at_risk
-    FROM labeled
+           CAST(count(*) // 2 AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT risk_id) AS BIGINT) AS n_docs_at_risk
+    FROM labeled,
+         UNNEST([CASE WHEN sa <> sb THEN doc_a END,
+                 CASE WHEN sa <> sb THEN doc_b END]) AS u(risk_id)
     GROUP BY least(sa, sb), greatest(sa, sb)
     """,
 )
@@ -766,8 +766,12 @@ def cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions of the pair's ids (the hash-based split's superpower:
     no join against an assignment table, no extra shuffle); the final
     aggregate is map-side-combined onto a <= 6-row frame.
-    n_docs_at_risk counts distinct docs on each side of straddling
-    pairs (a doc in k pairs is one risk, not k)."""
+    n_docs_at_risk counts distinct docs over the UNION of both sides
+    of straddling pairs (a doc in k pairs — on either side — is one
+    risk, not k; the per-side-sum form double-counted a doc appearing
+    as doc_a in one pair and doc_b in another, r9 ADVICE).  Each pair
+    is exploded into its two sides before the aggregate, so the single
+    distinct rides the same shuffle as the pair count (count(*)/2)."""
     pairs = D.minhash_pairs_with_agreement(
         table(spark, sf_dir, "documents")
     ).filter(F.col("n_common") >= _XS_AGREE_MIN)
@@ -782,14 +786,16 @@ def cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         labeled.select(
             F.least("sa", "sb").alias("split_a"),
             F.greatest("sa", "sb").alias("split_b"),
-            F.when(straddle, F.col("doc_a")).alias("risk_a"),
-            F.when(straddle, F.col("doc_b")).alias("risk_b"),
+            F.explode(
+                F.array(
+                    F.when(straddle, F.col("doc_a")),
+                    F.when(straddle, F.col("doc_b")),
+                )
+            ).alias("risk_id"),
         )
         .groupBy("split_a", "split_b")
         .agg(
-            F.count("*").alias("n_pairs"),
-            (
-                F.countDistinct("risk_a") + F.countDistinct("risk_b")
-            ).alias("n_docs_at_risk"),
+            (F.count("*") / 2).cast("long").alias("n_pairs"),
+            F.countDistinct("risk_id").alias("n_docs_at_risk"),
         )
     )

@@ -474,7 +474,8 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     lags AS (
       SELECT event_type, event_id,
              CASE WHEN seen_max IS NULL OR seen_max <= ts THEN 0
-                  ELSE date_diff('second', ts, seen_max) END AS lag_s
+                  ELSE CAST(floor(date_diff('microsecond', ts, seen_max)
+                                  / 1000000.0) AS BIGINT) END AS lag_s
       FROM arr
     ),
     ranked AS (
@@ -505,12 +506,19 @@ def watermark_lag_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     family (streaming/windows.py) by measuring, on the batch log, the
     parameter those operators consume.
 
-    Exactness: lag is integer seconds via second-granularity
-    ``date_diff``/``timestampdiff`` on the CLAMPED branch only (the
-    seen_max <= ts case is forced to 0 before any rounding, so both
-    engines' boundary handling agrees); p95 is the exact order
-    statistic at integer position ceil(0.95 n) = (19n+19) div 20 —
-    no interpolating percentile_cont whose float math could diverge.
+    Exactness: lag is TRUNCATED integer seconds on both engines — Spark
+    ``timestampdiff(SECOND, ...)`` truncates, so the oracle floors the
+    exact microsecond difference (``floor(date_diff('microsecond',
+    ...) / 1e6)``, the quality.py house pattern) rather than using
+    second-granularity ``date_diff``, whose boundary-crossing count
+    differs by 1 on ~half of real sub-second-jittered lags (r9 ADVICE);
+    the seen_max <= ts branch is forced to 0 before any arithmetic.
+    p95 is the exact order statistic at integer position ceil(0.95 n)
+    = (19n+19) div 20 — no interpolating percentile_cont whose float
+    math could diverge.  The late branch's truncation agreement is
+    attested on a disorder-bearing fixture in tests/test_quality.py
+    (the shipped events corpus has zero per-type arrival disorder, so
+    the tri-SF sweep alone only exercises the clamped branch).
     (The oracle states the same semantics as one row_number window —
     a spec, not a plan.)
 

@@ -118,3 +118,80 @@ def test_time_weighted_avg_hand_computed(spark, tmp_path):
     # tie-broken by event_id: v=5 gets dt=0 (excluded), v=7 holds 4s
     assert view.n_intervals == 1
     assert abs(view.twa - 7.0) < 1e-9
+
+
+def test_watermark_lag_audit_disorder_fixture(spark, tmp_path):
+    """The shipped events corpus has ZERO per-type arrival disorder
+    (every lag takes the clamped-to-0 branch), so the tri-SF oracle
+    sweep never attested the late branch (r9 ADVICE).  This fixture
+    plants real disorder with sub-second jitter that CROSSES second
+    boundaries — the exact case where boundary-counting
+    date_diff('second') and truncating timestampdiff(SECOND) disagree
+    by 1 — and checks the Spark result against BOTH a hand computation
+    and the registered DuckDB oracle."""
+    import duckdb
+
+    t0 = datetime.datetime(2024, 3, 1)
+
+    def at(us):
+        return t0 + datetime.timedelta(microseconds=us)
+
+    rows = [
+        # type 'a': boundary-crossing sub-second lag.  seen_max=1.1s,
+        # ts=0.2s => true lag 0.9s => truncated 0 (date_diff('second')
+        # would claim 1: NOT late).
+        (0, at(1_100_000), 1, "a", 1.0, "{}"),
+        (1, at(200_000), 1, "a", 1.0, "{}"),
+        # type 'a': 2.5s behind a new high-water mark => lag 2.
+        (2, at(5_000_000), 1, "a", 1.0, "{}"),
+        (3, at(2_500_000), 1, "a", 1.0, "{}"),
+        # type 'b': perfectly ordered => all clamped to 0.
+        (4, at(0), 2, "b", 1.0, "{}"),
+        (5, at(3_000_000), 2, "b", 1.0, "{}"),
+        # type 'c': exact whole-second lag (no jitter) => lag 3, and a
+        # tie (seen_max == ts) that must clamp to 0, not count as late.
+        (6, at(10_000_000), 3, "c", 1.0, "{}"),
+        (7, at(7_000_000), 3, "c", 1.0, "{}"),
+        (8, at(10_000_000), 3, "c", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    out = {
+        r.event_type: r
+        for r in registry.QUERIES["watermark_lag_audit"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    a, b, c = out["a"], out["b"], out["c"]
+    # hand computation: lags a=[0,0,0,2] (0.9s truncates to 0 => the
+    # boundary event is NOT late), b=[0,0], c=[0,3,0]
+    assert (a.n_events, a.n_late, a.max_lag_s, a.p95_lag_s) == (4, 1, 2, 2)
+    assert (b.n_events, b.n_late, b.max_lag_s, b.p95_lag_s) == (2, 0, 0, 0)
+    assert (c.n_events, c.n_late, c.max_lag_s, c.p95_lag_s) == (3, 1, 3, 3)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{tmp_path}/events.parquet/*.parquet'"
+    )
+    odf = con.execute(registry.ORACLES["watermark_lag_audit"]).df()
+    con.close()
+    ora = {r.event_type: r for r in odf.itertuples()}
+    for t in ("a", "b", "c"):
+        got = (
+            ora[t].n_events,
+            ora[t].n_late,
+            ora[t].max_lag_s,
+            ora[t].p95_lag_s,
+        )
+        want = (
+            out[t].n_events,
+            out[t].n_late,
+            out[t].max_lag_s,
+            out[t].p95_lag_s,
+        )
+        assert got == want, f"oracle disagrees on type {t}: {got} != {want}"
