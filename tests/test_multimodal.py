@@ -56,21 +56,58 @@ def test_resize_media_contract(spark):
     assert all(bytes(r.payload) == again[r.doc_id] for r in rows)
 
 
+def test_sample_frames_real_demux(spark):
+    """The demuxer walks REAL P6 headers: hand-built two-frame
+    container with DIFFERENT heights — checksums must come from the
+    header-derived offsets, and a corrupt container yields no rows."""
+    from resotodatalink_spark.operators.multimodal import sample_frames
+
+    f0 = b"P6\n2 1\n255\n" + bytes(range(10, 16))          # 2x1: 6 bytes
+    f1 = b"P6\n2 2\n255\n" + bytes(range(100, 112))        # 2x2: 12 bytes
+    good = f0 + f1
+    truncated = f0 + b"P6\n2 2\n255\n" + b"\x01\x02"       # raster short
+    badmagic = f0 + b"XX\n2 1\n255\n" + bytes(6)
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(truncated)),
+         (3, bytearray(badmagic))],
+        "doc_id long, payload binary",
+    )
+    out = {(r.doc_id, r.frame_idx): r for r in sample_frames(df, every_n=1).collect()}
+    # corrupt containers (2: truncated raster, 3: bad magic mid-walk)
+    # contribute no rows at all
+    assert set(out) == {(1, 0), (1, 1)}
+    a, b = out[(1, 0)], out[(1, 1)]
+    assert (a.frame_h, a.n_frame_bytes, a.frame_head) == (1, 6, 10)
+    assert a.checksum == sum(range(10, 16))
+    assert (b.frame_h, b.n_frame_bytes, b.frame_head) == (2, 12, 100)
+    assert b.checksum == sum(range(100, 112))
+
+
 def test_sample_frames_fanout(spark):
-    from resotodatalink_spark.operators.multimodal import attach_payload, sample_frames
+    from resotodatalink_spark.operators.multimodal import (
+        attach_frame_container,
+        sample_frames,
+    )
     from resotodatalink_spark.sources.tables import table
     from tests.conftest import SF_DIR
 
-    d = attach_payload(table(spark, SF_DIR, "documents"))
-    out = sample_frames(d, every_n=4).collect()
-    # 1 -> N fan-out: every doc yields ceil(max(len//64,1)/4) frames
-    lens = {r.doc_id: r for r in d.select("doc_id", F.length("payload").alias("n")).collect()}
-    import math
-    expected = sum(
-        math.ceil(max(r.n // 64, 1) / 4) for r in lens.values()
-    )
+    doc = table(spark, SF_DIR, "documents")
+    d = attach_frame_container(doc)
+    out = sample_frames(d, every_n=2).collect()
+    # 1 -> N fan-out: frames 0 and (when n_frames > 2) 2 are sampled
+    lens = {
+        r.doc_id: r.L
+        for r in doc.select("doc_id", F.length("text").alias("L")).collect()
+    }
+    expected = sum(1 if L % 3 == 0 else 2 for L in lens.values())
     assert len(out) == expected
-    assert all(r.frame_idx % 4 == 0 for r in out)
+    assert all(r.frame_idx in (0, 2) for r in out)
+    # parsed geometry matches the synthesizer's height formula
+    assert all(
+        r.frame_h == 1 + (lens[r.doc_id] + 7 * r.frame_idx) % 5
+        and r.n_frame_bytes == 24 * r.frame_h
+        for r in out
+    )
 
 
 def test_ppm_real_codec_roundtrip(spark):

@@ -86,6 +86,14 @@ def test_attest_window_consistency():
     window = set(names[:50])
     assert set(entry._NEVER_ATTESTED) <= window
     assert set(entry._NEW_THIS_ROUND) <= window
+    # changed slugs are always re-attested the round they change (the
+    # r9 spread wave's deferral was the one sanctioned exception)
+    assert set(entry._CHANGED_THIS_ROUND) <= window
+    assert set(entry._R9_CHANGED_DEFERRED) <= window
+    # the r11 cohort is exactly the staleness-tier slugs the r10
+    # window spills (r8/r9-fresh slugs rotate later, r12+)
+    assert set(entry._R11_COHORT) == set(entry._ATTEST_FIRST) - window
+    assert not set(entry._R11_COHORT) & window
 
 
 def test_bench_names_registered():
