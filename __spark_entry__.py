@@ -50,12 +50,16 @@ _CHANGED_THIS_ROUND = [
     # * multimodal_decode / multimodal_wav_stats / multimodal_ppm_stats:
     #   decoder doc_id alignment hardened via .to_numpy() (r9 ADVICE,
     #   low; value-identical, re-attested on principle)
+    # * dedup_embedding: gained threshold/band_config knobs (defaults
+    #   and oracle unchanged — the bench-only t80 variant uses them;
+    #   re-attested on principle)
     "watermark_lag_audit",
     "cross_split_leakage",
     "multimodal_frames",
     "multimodal_decode",
     "multimodal_wav_stats",
     "multimodal_ppm_stats",
+    "dedup_embedding",
 ]
 
 _R9_CHANGED_DEFERRED = [
@@ -94,7 +98,6 @@ _R6_TIER = [
     "ann_lsh_multiprobe",
     "corpus_stats",
     "dataset_split",
-    "dedup_embedding",
     "dedup_exact",
     "dedup_paragraph",
     "embedding_centroids",

@@ -297,6 +297,10 @@ SF1_SUBSET = [
     # bigram LM: vocab-squared LM-table joins — the volume knee is the
     # bigram table's growth, invisible at sf0.1
     "bigram_lm_perplexity",
+    # round-10 (r9 verdict item 4): the banded-LSH embedding dedup at
+    # its production threshold over the planted-near-twin corpus —
+    # the sf1 anchor for the decade ledger's linearity ratio
+    "dedup_embedding_t80",
     # embedding_pca_power deliberately NOT here: its wall is plan-
     # compile-constant (8.5s sf0.01 vs 8.7s sf0.1 — the 64-dim unrolled
     # chains dominate, not data), so sf1 would add ~26s of bench wall
@@ -320,20 +324,91 @@ def _drop_persistent_blocks(spark) -> None:
         print(f"# unpersist sweep failed: {exc}", file=sys.stderr)
 
 
+# Bench-only query variants that are NOT registry slugs: production
+# parameterizations whose scale evidence the decade ledger wants but
+# whose registered defaults are pinned by the oracle (r9 verdict item
+# 4 — dedup_embedding at a dedup-sensible threshold over the planted-
+# near-twin corpus; the registered slug keeps threshold 0.35).
+def _dedup_embedding_t80(spark, sf_dir):
+    from resotodatalink_spark.queries.similarity import dedup_embedding
+
+    # production shape: threshold 0.8 + wide bands (6x16) — see the
+    # slug docstring; the planted corpus carries exactly n//100
+    # near-twin pairs per copy, so rows must read 10.0x sf1 -> sf10
+    return dedup_embedding(spark, sf_dir, threshold=0.8, band_config=(6, 16))
+
+
+BENCH_VARIANTS = {
+    "dedup_embedding_t80": _dedup_embedding_t80,
+}
+
+
+def _stage_snapshot(spark) -> list | None:
+    """All stages the UI status store currently retains, via the REST
+    API (the documented stable surface; spark.ui.enabled must be true —
+    bench re-enables it via get_spark(extra_conf=...)).  Returns None
+    when the UI is off or the scrape fails: telemetry is best-effort
+    and must never fail the bench."""
+    try:
+        import urllib.request
+
+        base = spark.sparkContext.uiWebUrl
+        if not base:
+            return None
+        app_id = spark.sparkContext.applicationId
+        url = f"{base}/api/v1/applications/{app_id}/stages"
+        with urllib.request.urlopen(url, timeout=10) as resp:
+            return json.loads(resp.read())
+    except Exception as exc:
+        print(f"# stage-metrics scrape failed: {exc}", file=sys.stderr)
+        return None
+
+
 def _run(
-    spark, names: list[str], sf_dir: str, runs: int = 1
+    spark,
+    names: list[str],
+    sf_dir: str,
+    runs: int = 1,
+    telemetry: dict | None = None,
 ) -> tuple[dict[str, float], dict[str, int]]:
+    """Time each query; when ``telemetry`` is a dict, also record the
+    per-query shuffle/spill stage metrics (r9 verdict item 6: the sf10
+    posting joins swing 38-164s across sessions — wall alone cannot
+    distinguish a plan regression from session noise; shuffle volume
+    and spill can, without a re-run)."""
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name in names:
         _drop_persistent_blocks(spark)
         samples = []
         n = 0
+        before = _stage_snapshot(spark) if telemetry is not None else None
+        prev_max = max((s["stageId"] for s in before), default=-1) if before else -1
         for _ in range(runs):
             t0 = time.time()
-            df = registry.QUERIES[name](spark, sf_dir)
+            df = (BENCH_VARIANTS.get(name) or registry.QUERIES[name])(spark, sf_dir)
             n = df.count()
             samples.append(time.time() - t0)
+        if telemetry is not None:
+            after = _stage_snapshot(spark)
+            if after is not None:
+                new = [s for s in after if s["stageId"] > prev_max]
+                telemetry[name] = {
+                    "n_stages": len(new),
+                    "n_tasks": sum(s.get("numCompleteTasks", 0) for s in new),
+                    "shuffle_write_bytes": sum(
+                        s.get("shuffleWriteBytes", 0) for s in new
+                    ),
+                    "shuffle_read_bytes": sum(
+                        s.get("shuffleReadBytes", 0) for s in new
+                    ),
+                    "mem_spill_bytes": sum(
+                        s.get("memoryBytesSpilled", 0) for s in new
+                    ),
+                    "disk_spill_bytes": sum(
+                        s.get("diskBytesSpilled", 0) for s in new
+                    ),
+                }
         timings[name] = round(sorted(samples)[len(samples) // 2], 3)
         rows[name] = n
         shots = "/".join(f"{s:.2f}" for s in sorted(samples))
@@ -343,7 +418,16 @@ def _run(
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark("bench")
+    # UI server ON for bench only (tests/driver keep it off): its REST
+    # API is the stage-metrics source for the sf10 telemetry record
+    spark = get_spark(
+        "bench",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.port": os.environ.get("SPARK_GRAFT_UI_PORT", "4047"),
+            "spark.ui.retainedStages": "5000",
+        },
+    )
     names = [n for n in HEADLINE + EXTENDED if n in registry.QUERIES]
 
     # warmup: spin up executors plus the three codegen/JIT families the
@@ -404,6 +488,9 @@ def main() -> None:
             # 3.5s — per-round exchanges reuse one shuffle layout)
             sf10_candidates.append("stream_tumbling_window")
             sf10_candidates.append("graph_pagerank")
+            # round-10 (r9 verdict item 5): the bucketed two-phase
+            # prefix max IS a scale claim — prove it at 10M events
+            sf10_candidates.append("watermark_lag_audit")
         if os.path.exists(os.path.join(sf10_dir, "lineitem.parquet")):
             # TPC-H decade reps (dir carries the full star schema):
             # the scan-bound aggregate and the one-shuffle
@@ -423,6 +510,10 @@ def main() -> None:
             ]
         if os.path.exists(os.path.join(sf10_dir, "documents.parquet")):
             sf10_candidates.append("bm25_scoring")
+            # round-10 (r9 verdict item 5): the 5-gram distinct
+            # shuffle and the vocab-squared LM-table join at 500k docs
+            sf10_candidates.append("boilerplate_ngrams")
+            sf10_candidates.append("bigram_lm_perplexity")
         if os.path.exists(os.path.join(sf10_dir, "embeddings.parquet")):
             # embeddings-family decade rep (round 9; tools/
             # make_scaled_data.py benchdata/sf10 100 embeddings): the
@@ -433,13 +524,27 @@ def main() -> None:
             # construction (measured: 426k pairs / 81.6s at sf1's 20k
             # vectors) — a property of random-copy scaling at that
             # threshold, not of the plan; see DESIGN_NOTES round-9
-            # embeddings-ledger note.
+            # embeddings-ledger note.  Round-10 (r9 verdict item 4):
+            # dedup_embedding_t80 converts that veto into positive
+            # evidence — the SAME banded-LSH builder at the docstring's
+            # production threshold (0.8) over the regenerated corpus
+            # with planted near-twin pairs (tools/make_scaled_data.py
+            # _scale_embeddings): qualifying-pair mass is linear by
+            # construction, so rows must read ~10.0x sf1 -> sf10.
             sf10_candidates.append("ann_lsh_bucketed")
-        sf10_names = [n for n in sf10_candidates if n in registry.QUERIES]
-        sf10, sf10_rows = _run(spark, sf10_names, sf10_dir)
+            sf10_candidates.append("dedup_embedding_t80")
+        sf10_names = [
+            n for n in sf10_candidates
+            if n in registry.QUERIES or n in BENCH_VARIANTS
+        ]
+        sf10_telemetry: dict = {}
+        sf10, sf10_rows = _run(spark, sf10_names, sf10_dir, telemetry=sf10_telemetry)
         out["sf10_queries"] = sf10
         out["sf10_total"] = round(sum(sf10.values()), 3)
         out["sf10_rows"] = sf10_rows
+        if sf10_telemetry:
+            out["sf10_stage_metrics"] = sf10_telemetry
+        out["shuffle_partitions"] = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings, _ = _run(spark, names, sf_dir, runs=runs)
@@ -456,7 +561,8 @@ def main() -> None:
         sf1_runs = int(os.environ.get("SPARK_GRAFT_SF1_RUNS", "3"))
         sf1, sf1_rows = _run(
             spark,
-            [n for n in SF1_SUBSET if n in registry.QUERIES],
+            [n for n in SF1_SUBSET
+             if n in registry.QUERIES or n in BENCH_VARIANTS],
             sf1_dir,
             runs=sf1_runs,
         )

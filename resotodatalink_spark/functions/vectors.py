@@ -115,10 +115,20 @@ DEDUP_PLANES: list[list[float]] = [
 ]
 
 
-def band_keys_udf() -> Column:
-    """Arrow-batched Pandas UDF: embedding -> array of N_DEDUP_BANDS
-    bucket keys (R sign bits each).  Explode the result to get the
-    (vec, band, bucket) rows the candidate equi-join runs on.
+def band_keys_udf(
+    n_bands: int = N_DEDUP_BANDS, rows_per_band: int = DEDUP_ROWS_PER_BAND
+) -> Column:
+    """Arrow-batched Pandas UDF: embedding -> array of ``n_bands``
+    bucket keys (``rows_per_band`` sign bits each).  Explode the result
+    to get the (vec, band, bucket) rows the candidate equi-join runs
+    on.  The band shape is THE log2(n)-scaling knob: the default
+    (32x3, 8 buckets/band) is the full-recall-at-0.35 test
+    configuration, which on mutually-random corpora admits nearly
+    every pair as a candidate (1-(1-0.125)^32 ~ 0.99 for orthogonal
+    pairs) — production near-twin dedup wants wide bands (e.g. 6x16:
+    65k buckets/band, orthogonal-pair collision ~1e-4 total) so
+    candidate mass tracks true-pair mass, not n^2.  Requires
+    ``n_bands * rows_per_band <= len(DEDUP_PLANES)``.
 
     A codegen'd expression form of this (96 plane dots x 64 terms in
     one projection) OOMs janino compiling the generated method, so this
@@ -127,8 +137,8 @@ def band_keys_udf() -> Column:
     expression nodes.  The closure is self-contained (planes captured
     by value, imports local) so executors don't need this package on
     their PYTHONPATH."""
-    planes = [list(p) for p in DEDUP_PLANES]
-    n_bands, rows_per_band = N_DEDUP_BANDS, DEDUP_ROWS_PER_BAND
+    assert n_bands * rows_per_band <= len(DEDUP_PLANES)
+    planes = [list(p) for p in DEDUP_PLANES[: n_bands * rows_per_band]]
 
     from pyspark.sql.functions import pandas_udf
 

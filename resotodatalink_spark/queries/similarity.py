@@ -232,7 +232,9 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_embedding(
-    spark: SparkSession, sf_dir: str, exact: bool = False
+    spark: SparkSession, sf_dir: str, exact: bool = False,
+    threshold: float = 0.35,
+    band_config: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (threshold 0.35).
 
@@ -256,7 +258,19 @@ def dedup_embedding(
     at 20k scaled-random vectors (round-9 ledger probe).  Corpus-wide
     dedup wants theta >= ~0.8 (near-twin territory) and a signature/
     band width grown with log2(n); the 16-bit/4-band config here is
-    the oracle-portable test configuration.
+    the oracle-portable test configuration.  ``threshold`` is the
+    production knob (bench.py's sf10 decade rep runs this builder at
+    0.8 over a planted-near-twin corpus — tools/make_scaled_data.py
+    — converting the round-9 quadratic-pair-mass veto into linear
+    scale evidence); the slug's registered default stays 0.35 to
+    match the oracle.  ``band_config`` = (n_bands, rows_per_band) is
+    the matching signature knob: the default 32x3 shape is the
+    full-recall-at-0.35 oracle configuration, which on random corpora
+    admits ~ALL pairs as candidates (the ACTUAL quadratic wall the r9
+    probe hit — candidate mass, not just output mass); production
+    near-twin dedup passes a wide-band shape like (6, 16), whose
+    orthogonal-pair collision rate is ~1e-4 total while near-twin
+    (cos >= ~0.99) recall stays ~1 (miss ~ (1-0.994^16)^6 ~ 1e-6).
     """
     e = _spread(table(spark, sf_dir, "embeddings"), "vec_id")
     slim = e.select(
@@ -281,14 +295,15 @@ def dedup_embedding(
             .withColumn(
                 "cosine", V.dot_spark("ea", "eb") / (F.col("na") * F.col("nb"))
             )
-            .filter(F.col("cosine") >= 0.35)
+            .filter(F.col("cosine") >= threshold)
             .select("vec_a", "vec_b", "cosine")
         )
     # slim is read three times (banded + both re-check sides); the band
     # bits are 96 plane dots per vector, so materialize each once
     slim = slim.localCheckpoint(eager=False)
+    band_udf = V.band_keys_udf(*band_config) if band_config else V.band_keys_udf()
     banded = (
-        slim.select("vec_id", F.posexplode(V.band_keys_udf()("embedding")).alias("band", "bkt"))
+        slim.select("vec_id", F.posexplode(band_udf("embedding")).alias("band", "bkt"))
         .localCheckpoint(eager=False)
     )
     x, y = banded.alias("x"), banded.alias("y")
@@ -316,7 +331,7 @@ def dedup_embedding(
         cand.join(a, "vec_a")
         .join(b, "vec_b")
         .withColumn("cosine", V.dot_spark("ea", "eb") / (F.col("na") * F.col("nb")))
-        .filter(F.col("cosine") >= 0.35)
+        .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
     )
 

@@ -16,12 +16,18 @@ import os
 from pyspark.sql import SparkSession
 
 
-def get_spark(app_name: str = "resotodatalink-spark", cpus: int | None = None) -> SparkSession:
+def get_spark(
+    app_name: str = "resotodatalink-spark",
+    cpus: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
     """Return (or create) the tuned session.
 
     ``SPARK_GRAFT_CPUS`` controls local parallelism (driver contract);
     shuffle partitions match it so local runs don't over-partition tiny
-    shuffles — AQE coalescing handles the rest.
+    shuffles — AQE coalescing handles the rest.  ``extra_conf`` lets a
+    caller override builder configs (bench.py re-enables the UI server
+    to scrape per-query stage metrics from its REST API).
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -72,6 +78,8 @@ def get_spark(app_name: str = "resotodatalink-spark", cpus: int | None = None) -
         )
         .config("spark.ui.enabled", "false")
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -102,8 +102,12 @@ def test_bench_names_registered():
     registry.QUERIES directly)."""
     import bench
 
+    known = set(registry.QUERIES) | set(bench.BENCH_VARIANTS)
     for group in (bench.HEADLINE, bench.EXTENDED, bench.SF1_SUBSET):
-        unknown = set(group) - set(registry.QUERIES)
+        unknown = set(group) - known
         assert not unknown, f"bench names not in registry: {unknown}"
         assert len(group) == len(set(group)), "duplicate bench entry"
     assert not set(bench.HEADLINE) & set(bench.EXTENDED)
+    # bench-only variants must never shadow a registered slug (the
+    # _run lookup prefers BENCH_VARIANTS)
+    assert not set(bench.BENCH_VARIANTS) & set(registry.QUERIES)

@@ -28,9 +28,11 @@ Scaling rules (10 copies, copy 0 == the original rows):
   first and rejected: it shifts every shingle's 16-char hash window
   and inflated the minhash pair count 8x through truncation
   collisions.)
-* embeddings for copies >= 1 are fresh seeded-random unit-ish vectors:
-  cross-copy cosine ~ 0 for 64-dim random data, so near-dup pair
-  density again scales linearly.
+* embeddings for copies >= 1 are fresh seeded-random unit-ish vectors
+  (cross-copy cosine ~ 0 for 64-dim random data), and EVERY copy gets
+  n//100 planted near-twin pairs (per-coordinate scale noise, cosine
+  ~ 0.9998) so qualifying-pair mass at a dedup threshold >= 0.8 is
+  exactly linear in copies — see _scale_embeddings.
 * events shift event_id/user_id and keep the timestamp distribution.
 
 Usage: python tools/make_scaled_data.py [dest_dir] [n_copies] [tables]
@@ -159,18 +161,55 @@ def main(
 
 
 def _scale_embeddings(con, src, dest: str, copies: int) -> None:
-    # embeddings: copy 0 original; further copies fresh random vectors
+    # embeddings: copy 0 original; further copies fresh random vectors.
+    #
+    # PLANTED NEAR-DUPLICATES (round-10, VERDICT r9 item 4): every
+    # copy — including copy 0 — gets n//100 vectors overwritten as a
+    # noisy twin of the immediately preceding vector (per-coordinate
+    # scale drawn from U[0.97, 1.03]).  Two properties make this the
+    # realistic dedup corpus the r9 ledger veto asked for: (a)
+    # cosine(v, v*s) ~ 1 - var(s)/2 ~ 0.99985, so each planted pair
+    # qualifies at any dedup-sensible threshold (>= 0.8) while
+    # independent 64-dim pairs at that threshold occur with
+    # probability ~(1-0.8^2)^31 ~ 1e-14 — the qualifying-pair set IS
+    # the planted set; and (b) the twin's angle to its source is ~1
+    # degree, so a random-hyperplane sign bit flips with p ~ 0.006 and
+    # a 16-bit/4-band signature misses the pair with p ~ (1-0.994^16)
+    # ^4 ~ 6e-5 — ~0.1 expected misses across the full sf10 planted
+    # set, and deterministic given the fixed seeds, so the banded
+    # slug's recall is measurably exact.  Pairs per copy are constant
+    # (n//100), cross-copy cosines ~ 0, so qualifying-pair mass is
+    # exactly linear in copies: 10x copies => 10.0x pairs.
     emb = con.execute(
         f"SELECT vec_id, embedding, label FROM {src('embeddings')} ORDER BY vec_id"
     ).fetchall()
     n, dim = len(emb), len(emb[0][1])
     vid_shift = max(r[0] for r in emb) + 1
     rng = np.random.default_rng(0xBEEF)
+    n_plant = n // 100
+    # twin targets: vector (stride*j + 1) copies vector (stride*j) —
+    # disjoint source/target index sets, so pairs never chain and the
+    # planted-pair count per copy is exactly n_plant.
+    stride = max(2, n // max(1, n_plant))
+    plant_at = [(stride * j, stride * j + 1) for j in range(n_plant)
+                if stride * j + 1 < n]
+
+    def plant(mat: "np.ndarray", copy_seed: int) -> None:
+        prng = np.random.default_rng(0xD0D0 + copy_seed)
+        for src_i, dst_i in plant_at:
+            scale = prng.uniform(0.97, 1.03, size=dim).astype(np.float32)
+            mat[dst_i] = mat[src_i] * scale
+
+    base = np.array(
+        [np.asarray(r[1], dtype=np.float32) for r in emb], dtype=np.float32
+    )
+    plant(base, 0)
     ids, vecs, labels = [], [], []
-    for r in emb:
-        ids.append(r[0]); vecs.append(np.asarray(r[1], dtype=np.float32)); labels.append(r[2])
+    for i, r in enumerate(emb):
+        ids.append(r[0]); vecs.append(base[i]); labels.append(r[2])
     for k in range(1, copies):
         fresh = rng.standard_normal((n, dim)).astype(np.float32)
+        plant(fresh, k)
         for i in range(n):
             ids.append(emb[i][0] + k * vid_shift)
             vecs.append(fresh[i])
