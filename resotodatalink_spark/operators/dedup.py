@@ -365,6 +365,40 @@ def simhash_pairs(
     ).filter(F.col("hamming") <= max_hamming)
 
 
+def posting_join_width(g2: DataFrame, rows_per_task: int = 100_000) -> int | None:
+    """Partition count for a corpus posting self-join, sized to the
+    posting frame instead of the session default.
+
+    The join's OUTPUT (candidate pairs) is what costs memory: the
+    per-task pair aggregate holds its partition's distinct (doc_a,
+    doc_b) keys, and with the session's default width (32 locally) the
+    sf10 run spilled 25.8 GB / 3.7 GB mem/disk on a 2.4 GB shuffle
+    (round-10 telemetry, BENCH_LOCAL sf10_stage_metrics) — the cause
+    of the 38-164s cross-session swing the r9 verdict flagged.  Wider
+    tasks shrink each concurrent hash map: peak concurrent memory is
+    (running tasks) x (total pair keys / n_partitions), so 8x the
+    partitions is ~8x less concurrent footprint at the same
+    parallelism.  ~100k posting rows per task keeps the fan-out's
+    working set in-memory at any measured SF; on a real cluster this
+    is the "size shuffle partitions so tasks fit" rule applied to the
+    one join whose fan-out outgrows its input.
+
+    Returns None when the session default already suffices — driver
+    SFs keep a bit-identical plan; the count() materializes the lazy
+    checkpoint the join is about to reuse, so it adds no duplicated
+    compute.  Capped at 4096 (the cap is ~410M posting rows per 4096
+    tasks; past that, raise rows_per_task with executor memory)."""
+    import math
+
+    n = g2.count()
+    spark = g2.sparkSession
+    default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    target = math.ceil(n / rows_per_task)
+    if target <= default:
+        return None
+    return min(target, 4096)
+
+
 def jaccard_pairs(
     docs: DataFrame,
     threshold: float,
@@ -459,6 +493,13 @@ def jaccard_pairs(
     else:
         a = g2.select(F.col(id_col).alias("doc_a"), "h", F.col("sz").alias("sza"))
         b = g2.select(F.col(id_col).alias("doc_b"), "h", F.col("sz").alias("szb"))
+        width = posting_join_width(g2)
+        if width:
+            # explicit hash distribution on the join key: the SMJ
+            # reuses it (no extra exchange), each task's pair
+            # aggregate shrinks by default/width
+            a = a.repartition(width, "h")
+            b = b.repartition(width, "h")
         common = (
             # NEVER broadcast the posting self-join: both sides are the
             # full corpus shingle frame, which only looks small in the
@@ -512,6 +553,11 @@ def containment_pairs(
     ).localCheckpoint(eager=False)
     a = g2.select(F.col(id_col).alias("doc_a"), "h", F.col("sz").alias("sza"))
     b = g2.select(F.col(id_col).alias("doc_b"), "h", F.col("sz").alias("szb"))
+    width = posting_join_width(g2)
+    if width:
+        # fan-out-sized join width — see posting_join_width
+        a = a.repartition(width, "h")
+        b = b.repartition(width, "h")
     common = (
         # posting self-join: never broadcast, sort-merge for spill
         # safety (see jaccard_pairs)

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from resotodatalink_spark.operators.traversal import reachable
 from resotodatalink_spark.registry import query
+from resotodatalink_spark.operators.checkpoint import ckpt as _ckpt
 from resotodatalink_spark.sources.tables import table
 
 
@@ -942,7 +943,7 @@ def _ckpt_lazy(df: DataFrame) -> DataFrame:
     would pass vacuously for the expensive self-joins here.  The
     builders below therefore take the hook as a parameter; the guard
     test re-builds with an identity hook and sweeps the FULL plan."""
-    return df.localCheckpoint(eager=False)
+    return _ckpt(df)
 
 
 def _triangle_build(spark: SparkSession, sf_dir: str, ckpt=_ckpt_lazy) -> DataFrame:

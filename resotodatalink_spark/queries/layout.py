@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from resotodatalink_spark.registry import query
+from resotodatalink_spark.operators.checkpoint import ckpt as _ckpt
 from resotodatalink_spark.sources.tables import table
 
 # --- exact per-key quantiles --------------------------------------------
@@ -243,7 +244,7 @@ def zorder_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("day").alias("d_hi"),
         F.min("pk").alias("p_lo"),
         F.max("pk").alias("p_hi"),
-    ).localCheckpoint()  # bounded frame; one scan feeds both branches
+    ).transform(lambda d: _ckpt(d, eager=True))  # bounded frame; one scan feeds both branches
 
     def spans(bucket: str, label: str) -> DataFrame:
         per = partial.groupBy(bucket).agg(

@@ -22,6 +22,7 @@ from resotodatalink_spark.functions.hashing import (
     duck_shingle_cte,
 )
 from resotodatalink_spark.registry import query
+from resotodatalink_spark.operators.checkpoint import ckpt as _ckpt
 from resotodatalink_spark.sources.tables import table
 
 # deterministic doc_id -> pseudo-uniform value, shared with the oracle
@@ -418,7 +419,7 @@ def bloom_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialization each arm re-runs shingling+distinct — measured
     # 18.0s -> 12.2s at sf1 with the checkpoint (the rest is the two
     # post-checkpoint distinct exchanges + three probe semi-joins)
-    grams = shingle_hashes(d).distinct().localCheckpoint(eager=False)
+    grams = _ckpt(shingle_hashes(d).distinct())
     bench = grams.filter(F.col("doc_id") % 13 == 0).select("h").distinct()
     probes = grams.filter(F.col("doc_id") % 13 != 0).select("h").distinct()
     bits = (
@@ -430,7 +431,7 @@ def bloom_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pos")
         )
         .distinct()
-        .localCheckpoint(eager=False)  # probed k times below
+        .transform(_ckpt)  # probed k times below
     )
     hit = probes
     for i in range(_BLOOM_K):

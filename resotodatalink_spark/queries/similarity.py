@@ -23,6 +23,7 @@ from resotodatalink_spark.functions import vectors as V
 
 # canonical home + rationale: operators/spread.py
 from resotodatalink_spark.operators.spread import spread_partitions as _spread
+from resotodatalink_spark.operators.checkpoint import ckpt as _ckpt
 from resotodatalink_spark.registry import query
 from resotodatalink_spark.sources.tables import table
 
@@ -108,9 +109,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _spread(table(spark, sf_dir, "embeddings"), "vec_id")
     # bucket expr is a 512-term chain; materialize once — both the query
     # and candidate branches reuse it instead of recomputing per branch
-    b = e.withColumn("bucket", V.lsh_bucket_spark("embedding")).localCheckpoint(
-        eager=False
-    )
+    b = e.withColumn("bucket", V.lsh_bucket_spark("embedding")).transform(_ckpt)
     q = b.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
@@ -185,9 +184,7 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     explodes the tiny QUERY side only — candidates still join on an
     equi-key, so the scale shape is unchanged."""
     e = _spread(table(spark, sf_dir, "embeddings"), "vec_id")
-    b = e.withColumn("bucket", V.lsh_bucket_spark("embedding")).localCheckpoint(
-        eager=False
-    )
+    b = e.withColumn("bucket", V.lsh_bucket_spark("embedding")).transform(_ckpt)
     probes = F.array(
         F.col("bucket"),
         *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(V.N_HYPERPLANES)],
@@ -300,11 +297,11 @@ def dedup_embedding(
         )
     # slim is read three times (banded + both re-check sides); the band
     # bits are 96 plane dots per vector, so materialize each once
-    slim = slim.localCheckpoint(eager=False)
+    slim = _ckpt(slim)
     band_udf = V.band_keys_udf(*band_config) if band_config else V.band_keys_udf()
     banded = (
         slim.select("vec_id", F.posexplode(band_udf("embedding")).alias("band", "bkt"))
-        .localCheckpoint(eager=False)
+        .transform(_ckpt)
     )
     x, y = banded.alias("x"), banded.alias("y")
     cand = (
@@ -447,7 +444,7 @@ def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell",
         "embedding",
         F.sqrt(V.dot_spark("embedding", "embedding")).alias("nrm"),
-    ).localCheckpoint(eager=False)  # assignment argmax reused by q and c
+    ).transform(_ckpt)  # assignment argmax reused by q and c
     q = b.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         "cell",
@@ -752,7 +749,7 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         sims.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("vec_id", "cluster_id", "embedding")
-        .localCheckpoint(eager=False)
+        .transform(_ckpt)
     )
     x = a.select(
         F.col("cluster_id"),
@@ -937,7 +934,7 @@ def sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "tok",
         (F.col("tf") * F.log(F.lit(float(n)) / F.col("df"))).alias("w"),
-    ).localCheckpoint(eager=False)
+    ).transform(_ckpt)
     nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
     # join shingles by 64-bit hash, not the ~60-char string: 8x less
     # shuffle volume for the distinct + self-join.  A hash collision
@@ -1051,7 +1048,7 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _spread(table(spark, sf_dir, "embeddings"), "vec_id")
     b = e.select(
         "vec_id", V.lsh_bucket_spark("embedding").alias("bucket")
-    ).localCheckpoint(eager=False)
+    ).transform(_ckpt)
     qb = b.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "bucket"
     )

@@ -15,6 +15,7 @@ from pyspark.sql import Window as W
 
 from resotodatalink_spark.functions import hashing as H
 from resotodatalink_spark.registry import query
+from resotodatalink_spark.operators.checkpoint import ckpt as _ckpt
 from resotodatalink_spark.sources.tables import table
 
 STOPWORDS = {
@@ -786,12 +787,12 @@ def ngram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     n1 = (
         tok.groupBy("tok")
         .agg(F.count("*").alias("n_w"))
-        .localCheckpoint(eager=False)
+        .transform(_ckpt)
     )
     n2 = (
         bg.groupBy("bigram")
         .agg(F.count("*").alias("n_ab"))
-        .localCheckpoint(eager=False)
+        .transform(_ckpt)
     )
     surv = n2.filter(F.col("n_ab") >= 5).select(
         "bigram",

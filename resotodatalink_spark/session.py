@@ -5,8 +5,9 @@ cluster: AQE on (runtime re-plan, skew-join handling, partition
 coalescing), Arrow for any Python exchange, UTC session time zone so
 timestamp semantics match the reference's UTC string round-trip
 (reference sql.py:43-55).  ``spark.sql.shuffle.partitions`` is sized to
-the core count locally; on a 1000-executor cluster it would be sized to
-2-3x total cores and AQE coalesces the rest.
+4x the core count (the 2-4x-total-cores cluster rule) and the AQE
+advisory partition size to local per-task memory; AQE coalesces the
+rest.
 """
 
 from __future__ import annotations
@@ -34,9 +35,24 @@ def get_spark(
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(cpus))
+        # 4x cores pre-AQE (the cluster rule: 2-4x total cores, AQE
+        # coalesces the rest).  1x cores (rounds 1-9) under-partitioned
+        # exactly the exchanges whose rows EXPAND after the shuffle:
+        # the sf10 posting-pair aggregate read 1.9 GB compressed into
+        # 32 tasks and spilled 10+ GB deserialized (round-10 telemetry).
+        .config("spark.sql.shuffle.partitions", str(4 * cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's coalesce/skew target, sized to LOCAL task memory: 32
+        # concurrent tasks share 0.6 x 16g, so ~300 MB execution memory
+        # per task; the default 64 MB advisory admits ~64 MB COMPRESSED
+        # shuffle per task, which deserializes to 300-500 MB for
+        # integer-pair frames (lz4 ~5-8x on longs) and spills.  16 MB
+        # keeps post-coalesce working sets in-memory (measured on the
+        # sf10 posting join: 71s/25.8 GB spill -> 30.3s/zero spill).
+        # On a real cluster with fatter per-task memory, raise it back
+        # toward 64 MB — the knob tracks memory per task slot.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # runtime bloom-filter pushdown: big shuffle joins get a bloom
         # filter from the small side applied at the big side's scan

@@ -117,9 +117,11 @@ def running_type_profiles(events: DataFrame) -> DataFrame:
     the RocksDB state store provider
     (``spark.sql.streaming.stateStore.providerClass`` =
     ``...state.RocksDBStateStoreProvider``).  protobuf is not
-    installed in this sandbox, so the operator is exercised by a
-    skip-gated test (tests/test_streaming.py) and the oracle-attested
-    stateful slug remains the ``applyInPandasWithState`` path
+    installed in this sandbox (re-checked rounds 7-10: ``import
+    google.protobuf`` still raises and installs are not possible), so
+    the operator is exercised by a skip-gated test
+    (tests/test_streaming.py) and the oracle-attested stateful slug
+    remains the ``applyInPandasWithState`` path
     (``stream_stateful_totals``), which has no proto dependency.
     """
     from pyspark.sql.streaming.stateful_processor import (

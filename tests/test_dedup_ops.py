@@ -419,3 +419,52 @@ def test_levenshtein_pairs_auto_salt_cold_path_falls_back(spark):
         for r in levenshtein_pairs(docs, max_distance=2, salt="auto").collect()
     }
     assert got == {(1, 2, 1)}
+
+
+def test_posting_join_width_sizing(spark):
+    """posting_join_width: None when the session default suffices (the
+    driver-SF plans stay bit-identical), frame-proportional above it,
+    capped at 4096."""
+    from resotodatalink_spark.operators.dedup import posting_join_width
+
+    default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    small = spark.range(10)
+    assert posting_join_width(small) is None
+
+    big = spark.range(1000)
+    # shrink the per-task budget instead of generating a giant frame
+    w = posting_join_width(big, rows_per_task=10)
+    assert w == 100 if 100 > default else w is None
+    w2 = posting_join_width(big, rows_per_task=1)
+    assert w2 == min(1000, 4096) if 1000 > default else w2 is None
+    # cap
+    w3 = posting_join_width(spark.range(10_000), rows_per_task=1)
+    assert w3 == 4096
+
+
+def test_jaccard_pairs_width_invariance(spark, docs_df=None):
+    """The fan-out-sized posting join is a PLAN change only: forcing
+    the wide path on a tiny corpus returns the identical pair set."""
+    import functools
+
+    from resotodatalink_spark.operators import dedup as D
+
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "a b c d e f g h i j"),          # exact dup of 1
+        (3, "a b c d e f g h i k"),          # near dup
+        (4, "z y x w v u t s r q"),          # unrelated
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    base = sorted(
+        tuple(r) for r in D.jaccard_pairs(docs, threshold=0.5).collect()
+    )
+    orig = D.posting_join_width
+    D.posting_join_width = functools.partial(orig, rows_per_task=1)
+    try:
+        wide = sorted(
+            tuple(r) for r in D.jaccard_pairs(docs, threshold=0.5).collect()
+        )
+    finally:
+        D.posting_join_width = orig
+    assert base == wide and len(base) >= 1

@@ -37,9 +37,12 @@ The allowlist is intentional, not historical:
 * ann_recall_at_k — the recall audit's exact baseline IS
   ann_cosine_topk's allowlisted constant-query-set broadcast; an eval
   op runs on a fixed query sample by construction.
-* ivf_cell_balance — shares ann_ivf_cells' coarse-quantize step
+* ivf_cell_balance / ann_ivf_cells — share the coarse-quantize step
   (_ivf_assign): the n x k centroid-broadcast E-step with constant
-  k ~ 32, linear in corpus (kmeans_lloyd's pattern).
+  k ~ 32, linear in corpus (kmeans_lloyd's pattern).  ann_ivf_cells
+  was invisible to the main sweep until round 10 (its checkpoint hid
+  the assignment subtree); the identity-hook sweep sees the full
+  plan.
 * embedding_pca_power — each power-iteration step re-enters the
   corpus with a ONE-ROW broadcast (the 64-float v1 array, then the
   scalar count): unigram_logprob's constant-append pattern, twice.
@@ -73,6 +76,7 @@ CARTESIAN_OK = {
     "anomaly_zscore_hours",
     "ann_recall_at_k",
     "ivf_cell_balance",
+    "ann_ivf_cells",
     "embedding_pca_power",
     "bloom_prefilter_audit",
     "tpch_q11_shape",
@@ -306,3 +310,60 @@ def test_no_pinned_broadcast_of_unbounded_frame(spark, slug):
                 f"{slug} hint-broadcasts an un-aggregated {fact} frame:"
                 f"\n{sub[:800]}"
             )
+
+
+def test_no_direct_checkpoint_in_queries_source():
+    """Meta-guard (r9 verdict item 7): every lineage truncation in
+    queries/ must route through operators/checkpoint.ckpt — a direct
+    .localCheckpoint() call would blind every sweep above to the
+    subtree upstream of it, and the identity-hook re-sweep below could
+    not reopen it.  Source-level, so a FUTURE slug cannot ship a
+    blinded plan even if its author never reads this file."""
+    import pathlib
+
+    qdir = pathlib.Path(__file__).parent.parent / "resotodatalink_spark" / "queries"
+    offenders = [
+        f"{p.name}:{i}"
+        for p in sorted(qdir.glob("*.py"))
+        for i, line in enumerate(p.read_text().splitlines(), 1)
+        if ".localCheckpoint(" in line.split("#")[0]
+    ]
+    assert not offenders, f"direct localCheckpoint in queries/: {offenders}"
+
+
+def test_full_plan_sweep_under_identity_checkpoint_hook(spark):
+    """Re-sweep the FULL plan of every slug whose build actually
+    truncates lineage, with the shared ckpt seam flipped to identity
+    (generalizes test_iterative_graph_slugs_full_plan_no_cartesian from
+    the two graph builders to ALL checkpoint users, discovered at run
+    time rather than listed).  The recording hook makes the coverage
+    self-maintaining: a new slug that calls ckpt() is swept here
+    automatically."""
+    from resotodatalink_spark.operators import checkpoint as cp
+
+    bad = []
+    swept = []
+    calls = {"n": 0}
+
+    def recording_identity(df):
+        calls["n"] += 1
+        return df
+
+    prev = cp._HOOK
+    cp._HOOK = recording_identity
+    try:
+        for slug in sorted(registry.QUERIES):
+            calls["n"] = 0
+            df = registry.QUERIES[slug](spark, SF_DIR)
+            if calls["n"] == 0:
+                continue  # no lineage truncation; the main sweep covers it
+            swept.append(slug)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            if slug in CARTESIAN_OK:
+                continue
+            if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+                bad.append(slug)
+    finally:
+        cp._HOOK = prev
+    assert swept, "recording hook saw no ckpt() calls — seam broken?"
+    assert not bad, f"full (unblinded) plan has cartesian/BNLJ: {bad}"
