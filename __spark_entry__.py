@@ -53,7 +53,11 @@ _CHANGED_THIS_ROUND = [
     # * dedup_embedding: gained threshold/band_config knobs (defaults
     #   and oracle unchanged — the bench-only t80 variant uses them;
     #   re-attested on principle)
+    # * bigram_lm_perplexity: vocab pass folded into the bigram
+    #   explode + post-collapse checkpoint (5 corpus pipelines -> 1;
+    #   sf10 88 -> 39s); values oracle-identical at sf0.001/0.01
     "watermark_lag_audit",
+    "bigram_lm_perplexity",
     "cross_split_leakage",
     "multimodal_frames",
     "multimodal_decode",

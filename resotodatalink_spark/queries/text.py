@@ -1600,22 +1600,34 @@ def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the scan is already wide (100 TB)
     d = spread_partitions(table(spark, sf_dir, "documents"), "doc_id")
     toks = d.select("doc_id", F.split("text", " ").alias("__toks"))
-    uni = toks.select(F.explode("__toks").alias("tok"))
-    vocab = uni.agg(
-        F.countDistinct(F.expr(H.str_hash_sql("tok"))).alias("v")
-    )
-    pos = toks.filter(F.size("__toks") >= 2).select(
+    # ONE corpus explode feeds everything: position i <= n-1 emits a
+    # bigram row (h, hu); position i == n emits a vocab-only row
+    # (h NULL, hu = last token's hash) so the distinct-unigram count V
+    # sees every token without a second tokenize pass.  CASE WHEN
+    # short-circuits in codegen, so the discarded bigram hash is never
+    # computed on the extra row.  Round-10 stage profile motivated
+    # this: the plan ran FIVE ~400s-CPU corpus pipelines at sf10 (four
+    # un-materialized perdoc consumers + the separate vocab pass); one
+    # post-collapse checkpoint + the folded vocab row make it ONE.
+    pos = toks.select(
         "doc_id",
         "__toks",
-        F.explode(F.expr("sequence(1, size(__toks) - 1)")).alias("__i"),
+        F.explode(F.expr("sequence(1, size(__toks))")).alias("__i"),
     )
     big = pos.select(
         "doc_id",
-        F.expr(H.str_hash_sql("array_join(slice(__toks, __i, 2), ' ')")).alias("h"),
+        F.when(
+            F.col("__i") < F.size("__toks"),
+            F.expr(H.str_hash_sql("array_join(slice(__toks, __i, 2), ' ')")),
+        ).alias("h"),
         F.expr(H.str_hash_sql("element_at(__toks, __i)")).alias("hu"),
     )
-    perdoc = big.groupBy("doc_id", "h", "hu").agg(F.count("*").alias("m"))
-    types = perdoc.groupBy("h", "hu").agg(F.sum("m").alias("m_tot"))
+    allgrams = _ckpt(
+        big.groupBy("doc_id", "h", "hu").agg(F.count("*").alias("m"))
+    )
+    vocab = allgrams.agg(F.countDistinct("hu").alias("v"))
+    perdoc = allgrams.filter(F.col("h").isNotNull())
+    types = _ckpt(perdoc.groupBy("h", "hu").agg(F.sum("m").alias("m_tot")))
     cb = types.groupBy("h").agg(F.sum("m_tot").alias("cb"))
     cu = types.groupBy("hu").agg(F.sum("m_tot").alias("cu"))
     typed = (
