@@ -923,6 +923,12 @@ def sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.array().cast("array<string>"))
         ).alias("tok"),
     )
+    # tf feeds BOTH the df aggregate and the weight join below.  A
+    # post-collapse checkpoint was A/B-tested here in round 10 (the
+    # bigram_lm_perplexity win suggested it) and REJECTED: sf10
+    # same-session medians 53.3s WITH vs 39.7s WITHOUT — the 555 MB
+    # block write + read and its GC pressure cost more than the
+    # re-run explode, whose exchange Spark already partially reuses.
     tf = big.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
     df = tf.groupBy("tok").agg(F.count("*").alias("df"))
     # the idf table is word-bigram-vocabulary-sized — bounded for this
