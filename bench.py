@@ -538,13 +538,30 @@ def main() -> None:
             if n in registry.QUERIES or n in BENCH_VARIANTS
         ]
         sf10_telemetry: dict = {}
-        sf10, sf10_rows = _run(spark, sf10_names, sf10_dir, telemetry=sf10_telemetry)
+        # sf10-only width: exchanges whose rows EXPAND after the
+        # shuffle (the posting-pair aggregates) need 4x-cores reduce
+        # width and a per-task-memory-sized AQE advisory (compressed
+        # bytes x ~5-8x lz4 expansion on integer pairs vs the ~300 MB
+        # per-slot budget).  Runtime SQL confs, restored right after:
+        # the same width taxes sf1/headline +47% (session.py A/B).
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        prev_adv = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+        spark.conf.set("spark.sql.shuffle.partitions", str(4 * int(prev_parts)))
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+        try:
+            sf10, sf10_rows = _run(
+                spark, sf10_names, sf10_dir, telemetry=sf10_telemetry
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+            spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", prev_adv)
         out["sf10_queries"] = sf10
         out["sf10_total"] = round(sum(sf10.values()), 3)
         out["sf10_rows"] = sf10_rows
         if sf10_telemetry:
             out["sf10_stage_metrics"] = sf10_telemetry
-        out["shuffle_partitions"] = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        out["sf10_shuffle_partitions"] = 4 * int(prev_parts)
+        out["shuffle_partitions"] = int(prev_parts)
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings, _ = _run(spark, names, sf_dir, runs=runs)

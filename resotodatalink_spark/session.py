@@ -4,10 +4,10 @@ Local-mode defaults mirror what we would set fleet-wide on a real
 cluster: AQE on (runtime re-plan, skew-join handling, partition
 coalescing), Arrow for any Python exchange, UTC session time zone so
 timestamp semantics match the reference's UTC string round-trip
-(reference sql.py:43-55).  ``spark.sql.shuffle.partitions`` is sized to
-4x the core count (the 2-4x-total-cores cluster rule) and the AQE
-advisory partition size to local per-task memory; AQE coalesces the
-rest.
+(reference sql.py:43-55).  ``spark.sql.shuffle.partitions`` is sized
+to the core count for local-bench scale (see the config comment for
+the measured A/B and the cluster sizing rule); the sections that need
+more width raise the runtime conf around themselves (bench.py sf10).
 """
 
 from __future__ import annotations
@@ -35,24 +35,21 @@ def get_spark(
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
-        # 4x cores pre-AQE (the cluster rule: 2-4x total cores, AQE
-        # coalesces the rest).  1x cores (rounds 1-9) under-partitioned
-        # exactly the exchanges whose rows EXPAND after the shuffle:
-        # the sf10 posting-pair aggregate read 1.9 GB compressed into
-        # 32 tasks and spilled 10+ GB deserialized (round-10 telemetry).
-        .config("spark.sql.shuffle.partitions", str(4 * cpus))
+        # 1x cores at LOCAL bench scale — a round-10 fresh-session A/B
+        # measured 4x cores at +47% on an sf1 subset (iterative
+        # checkpoint loops and streaming state pay fixed per-task cost
+        # on byte-small partitions; AQE's parallelism-first coalescing
+        # keeps reduce width near cores either way).  On a real cluster
+        # size this to 2-4x TOTAL cores.  Both this and the AQE
+        # advisory are RUNTIME SQL confs: bench.py raises them to
+        # 4x cores / 16m around its sf10 section only, where exchanges
+        # whose rows EXPAND after the shuffle (the posting-pair
+        # aggregate: 1.9 GB compressed in, ~5-8x deserialized) need
+        # width, not the default — measured 71s/25.8 GB spill ->
+        # 30.3s/zero spill there with no sf1/headline tax.
+        .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # AQE's coalesce/skew target, sized to LOCAL task memory: 32
-        # concurrent tasks share 0.6 x 16g, so ~300 MB execution memory
-        # per task; the default 64 MB advisory admits ~64 MB COMPRESSED
-        # shuffle per task, which deserializes to 300-500 MB for
-        # integer-pair frames (lz4 ~5-8x on longs) and spills.  16 MB
-        # keeps post-coalesce working sets in-memory (measured on the
-        # sf10 posting join: 71s/25.8 GB spill -> 30.3s/zero spill).
-        # On a real cluster with fatter per-task memory, raise it back
-        # toward 64 MB — the knob tracks memory per task slot.
-        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # runtime bloom-filter pushdown: big shuffle joins get a bloom
         # filter from the small side applied at the big side's scan
