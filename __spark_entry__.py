@@ -200,7 +200,12 @@ _ATTEST_FIRST = (
 # The r11 cohort, named explicitly (r9 verdict item 3): everything the
 # 50-slot r10 window cannot hold — the _R6_TIER tail plus _R7_TIER —
 # rotates next, oldest tier first, unless changed earlier (changed
-# slugs always jump to the head of their round's window).
+# slugs always jump to the head of their round's window).  CAPACITY
+# FACT: the cohort is 59 slugs (14 r6-stale + 45 r7-stale) against a
+# 50-slot window, so ~9 r7-tier slugs will spill to r12 even with zero
+# r11 changes — the steady-state floor of a 194-slug registry attested
+# 50/round is a ~4-round rotation, and local tri-SF value-hash sweeps
+# cover every slug every round meanwhile.
 _R11_COHORT = _ATTEST_FIRST[50:]
 
 
