@@ -185,6 +185,9 @@ EXTENDED = [
     "boilerplate_ngrams",
     "bigram_lm_perplexity",
     "multimodal_ppm_resize",
+    # round-10: the real P6 demuxer (variable-geometry header walk in
+    # mapInPandas) — the Arrow fan-out path's wall belongs on record
+    "multimodal_frames",
 ]
 
 
@@ -560,6 +563,15 @@ def main() -> None:
         out["sf10_rows"] = sf10_rows
         if sf10_telemetry:
             out["sf10_stage_metrics"] = sf10_telemetry
+            for name, t in sf10_telemetry.items():
+                if t["mem_spill_bytes"] > 1 << 30:
+                    # visibility only (not a gate): a returning spiller
+                    # is the first thing to check on a wall regression
+                    print(
+                        f"# SPILL WARNING {name}: "
+                        f"{t['mem_spill_bytes']/1e9:.1f} GB mem spill",
+                        file=sys.stderr,
+                    )
         out["sf10_shuffle_partitions"] = 4 * int(prev_parts)
         out["shuffle_partitions"] = int(prev_parts)
 
@@ -576,16 +588,23 @@ def main() -> None:
     sf1_rows: dict[str, int] = {}
     if os.path.isdir(sf1_dir):
         sf1_runs = int(os.environ.get("SPARK_GRAFT_SF1_RUNS", "3"))
+        sf1_telemetry: dict = {}
         sf1, sf1_rows = _run(
             spark,
             [n for n in SF1_SUBSET
              if n in registry.QUERIES or n in BENCH_VARIANTS],
             sf1_dir,
             runs=sf1_runs,
+            telemetry=sf1_telemetry,
         )
         out["sf1_queries"] = sf1
         out["sf1_total"] = round(sum(sf1.values()), 3)
         out["sf1_runs_per_query"] = sf1_runs
+        if sf1_telemetry:
+            # same attribution record as sf10 (shuffle bytes + spill
+            # distinguish plan regressions from the +-20-40% session
+            # noise the sf1 section also shows round-to-round)
+            out["sf1_stage_metrics"] = sf1_telemetry
     if sf1_rows and sf10_rows:
         out["sf10_row_linearity"] = {
             n: round(sf10_rows[n] / sf1_rows[n], 4)
