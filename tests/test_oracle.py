@@ -111,3 +111,21 @@ def test_bench_names_registered():
     # bench-only variants must never shadow a registered slug (the
     # _run lookup prefers BENCH_VARIANTS)
     assert not set(bench.BENCH_VARIANTS) & set(registry.QUERIES)
+
+
+def test_bench_variants_build_and_run(spark):
+    """Every bench-only variant must build a plan and return rows on
+    the tiny SF — a broken variant would otherwise only fail inside a
+    30-minute bench session.  Value sanity for the t80 variant: the
+    planted corpus recipe guarantees every returned pair clears the
+    production threshold."""
+    import bench
+
+    for name, fn in bench.BENCH_VARIANTS.items():
+        df = fn(spark, "/root/testdata/sf0.001")
+        rows = df.collect()
+        assert isinstance(rows, list), name
+    t80 = bench.BENCH_VARIANTS["dedup_embedding_t80"](
+        spark, "/root/testdata/sf0.001"
+    )
+    assert all(r["cosine"] >= 0.8 for r in t80.collect())
