@@ -24,105 +24,43 @@ registry.load_all()
 # with a fresh green row from last round and no changes this round are
 # the ones that may fall past the cap.  All slugs stay registered.
 _NEVER_ATTESTED = [
-    # Slugs with NO driver CORRECTNESS row ever lead the window
-    # UNCONDITIONALLY ("driver-green" is the contract; a slug must not
-    # ship two rounds without a driver row).  After the r9 sweep the
-    # 44-slug backlog is drained; the sole remaining member landed
-    # after the r9 window filled (r9 verdict item 1 names it first).
-    "multimodal_ppm_resize",
+    # Drained: every registered slug has at least one green driver
+    # CORRECTNESS row (union r01..r10 covers all 194; r10 verdict).
 ]
 
-_NEW_THIS_ROUND = [
-    # Round-10 additions (never-attested by construction): kept within
-    # the window's spare capacity so nothing ships un-attested.
+_R10_SEAM_CHANGED = [
+    # r10 verdict item 1 (the round's TOP priority): these 8 got the
+    # mechanical checkpoint-seam rewire (localCheckpoint ->
+    # operators/checkpoint.ckpt, production-identical passthrough)
+    # AFTER their last driver rows (r7-r9).  Changed-slug policy says
+    # window-first, so they lead r11 unconditionally.
+    "sparse_cosine_pairs",
+    "semdedup",
+    "ngram_collocations",
+    "ann_recall_at_k",
+    "zorder_pruning_audit",
+    "bloom_prefilter_audit",
+    "graph_triangle_count",
+    "graph_kcore",
 ]
 
 _CHANGED_THIS_ROUND = [
-    # Implementation or oracle changed in round 10 — changed slugs are
-    # always inside the window (round-2 ADVICE policy):
-    # * watermark_lag_audit: oracle late-branch truncation fix +
-    #   disorder-bearing fixture (r9 ADVICE, medium)
-    # * cross_split_leakage: n_docs_at_risk now distinct over the
-    #   union of pair sides (r9 ADVICE, low)
-    # * multimodal_frames: the stub frame sampler replaced by a REAL
-    #   concatenated-P6 demuxer with checksum-pinned oracle (r9
-    #   verdict item 2)
-    # * multimodal_decode / multimodal_wav_stats / multimodal_ppm_stats:
-    #   decoder doc_id alignment hardened via .to_numpy() (r9 ADVICE,
-    #   low; value-identical, re-attested on principle)
-    # * dedup_embedding: gained threshold/band_config knobs (defaults
-    #   and oracle unchanged — the bench-only t80 variant uses them;
-    #   re-attested on principle)
-    # * bigram_lm_perplexity: vocab pass folded into the bigram
-    #   explode + post-collapse checkpoint (5 corpus pipelines -> 1;
-    #   sf10 88 -> 39s); values oracle-identical at sf0.001/0.01
-    "watermark_lag_audit",
-    "bigram_lm_perplexity",
-    "cross_split_leakage",
-    "multimodal_frames",
+    # Round-11 changes (r10 verdict item 2 — the last stub codecs
+    # retired): both slugs migrated onto REAL parsers with new
+    # byte-arithmetic oracles, so both re-attest this round.
+    # * multimodal_decode: stub arithmetic -> real P6 decode at
+    #   width 16 (header-driven geometry, disjoint doc slice)
+    # * multimodal_features: stub ascii-floats -> real RIFF/WAVE
+    #   amplitude moments (min/max/abs-mean/zero-cross) via the new
+    #   operators/multimodal.wav_features stage
     "multimodal_decode",
-    "multimodal_wav_stats",
-    "multimodal_ppm_stats",
-    "dedup_embedding",
-]
-
-_R9_CHANGED_DEFERRED = [
-    # Implementation changed in round 9 (the narrow-scan
-    # spread_partitions wave in operators/dedup.py — plan-only: an
-    # added repartition, values identical, verified 194/194 at
-    # sf0.001/0.01/0.1) but the r9 window was already full with the
-    # never-attested backlog.  They lead the r10 window right after
-    # the groups above so the changed-slug re-attestation rule is only
-    # DEFERRED one round, never dropped.
-    "dedup_minhash",
-    "dedup_ngram_jaccard",
-    "dedup_containment",
-    "dedup_incremental",
-    "dedup_clusters",
-    "dedup_survivors",
-    "dedup_simhash",
-    "decontamination",
-    "novelty_score",
-    "dup_span_detect",
-    "winnow_fingerprints",
-    "minhash_estimate_vs_exact",
-    "bpe_pair_stats",
-    "record_linkage_blocked",
+    "multimodal_features",
 ]
 
 _R6_TIER = [
-    # Newest driver row is CORRECTNESS_r06 — the stalest tier, filling
-    # the window slots left after the change-driven groups (the first
-    # ~29 of these 42 fit in r10; the tail spills to the r11 cohort
-    # below).  Local tools/check_queries.py full sweeps keep every
-    # slug value-hash-verified at sf0.01+sf0.1 meanwhile.
-    "ann_cosine_topk",
-    "ann_ivf_cells",
-    "ann_lsh_bucketed",
-    "ann_lsh_multiprobe",
-    "corpus_stats",
-    "dataset_split",
-    "dedup_exact",
-    "dedup_paragraph",
-    "embedding_centroids",
-    "embedding_quantize",
-    "global_shuffle",
-    "graph_components",
-    "graph_reachability_min2",
-    "graph_search_aggregate",
-    "graph_search_dsl",
-    "graph_search_edge_typed",
-    "graph_search_fulltext",
-    "graph_search_has_key",
-    "graph_search_in_subnet",
-    "graph_search_inbound",
-    "graph_search_nested_with",
-    "graph_search_not",
-    "graph_search_sorted",
-    "graph_search_with",
-    "grouping_sets",
-    "hard_negatives",
-    "join_asof",
+    # Newest driver row is CORRECTNESS_r06 — the stalest tier (the 14
+    # the r10 window could not hold); all inside the r11 window, so
+    # after r11 no slug's newest row predates r7.
     "join_lateral",
     "median_stats",
     "pii_redaction",
@@ -140,7 +78,10 @@ _R6_TIER = [
 ]
 
 _R7_TIER = [
-    # Newest driver row is CORRECTNESS_r07; rotates after _R6_TIER.
+    # Newest driver row is CORRECTNESS_r07 (semdedup and
+    # sparse_cosine_pairs moved up into _R10_SEAM_CHANGED).  The first
+    # 26 fill the r11 window's remaining slots; the tail spills to
+    # _R12_COHORT below.
     "agg_bool_ops",
     "agg_filter_clause",
     "agg_sum_avg_min_max",
@@ -165,9 +106,7 @@ _R7_TIER = [
     "retention_cohorts",
     "sample_hash_stratified",
     "scd2_intervals",
-    "semdedup",
     "sequence_packing",
-    "sparse_cosine_pairs",
     "stream_dedup",
     "stream_distinct_users",
     "stream_interval_join",
@@ -190,23 +129,20 @@ _R7_TIER = [
 
 _ATTEST_FIRST = (
     _NEVER_ATTESTED
-    + _NEW_THIS_ROUND
+    + _R10_SEAM_CHANGED
     + _CHANGED_THIS_ROUND
-    + _R9_CHANGED_DEFERRED
     + _R6_TIER
     + _R7_TIER
 )
 
-# The r11 cohort, named explicitly (r9 verdict item 3): everything the
-# 50-slot r10 window cannot hold — the _R6_TIER tail plus _R7_TIER —
-# rotates next, oldest tier first, unless changed earlier (changed
-# slugs always jump to the head of their round's window).  CAPACITY
-# FACT: the cohort is 59 slugs (14 r6-stale + 45 r7-stale) against a
-# 50-slot window, so ~9 r7-tier slugs will spill to r12 even with zero
-# r11 changes — the steady-state floor of a 194-slug registry attested
-# 50/round is a ~4-round rotation, and local tri-SF value-hash sweeps
-# cover every slug every round meanwhile.
-_R11_COHORT = _ATTEST_FIRST[50:]
+# The r12 cohort, named explicitly (capacity arithmetic continued from
+# r10: a 194-slug registry attested 50/round floors at a ~4-round
+# rotation).  r11's window holds 8 seam + 2 changed + 14 r6 + 26 r7 =
+# 50 exactly, so these 17 r7-tier slugs spill to r12 — after r11 they
+# are the ONLY slugs whose newest driver row is r7, and with zero r12
+# changes they all fit r12's window with 33 slots to spare, ending the
+# staleness tail entirely.
+_R12_COHORT = _ATTEST_FIRST[50:]
 
 
 def _ordered(mapping: dict) -> dict:

@@ -300,6 +300,11 @@ SF1_SUBSET = [
     # bigram LM: vocab-squared LM-table joins — the volume knee is the
     # bigram table's growth, invisible at sf0.1
     "bigram_lm_perplexity",
+    # round-11 (r10 verdict item 4): the mapInPandas/Arrow codec
+    # family's decade anchor — Python-worker throughput is the open
+    # 100 TB question for multimodal; rows are (1 + [L%3>0]) per doc,
+    # length-distribution-determined, so copies scale them exactly 10x
+    "multimodal_frames",
     # round-10 (r9 verdict item 4): the banded-LSH embedding dedup at
     # its production threshold over the planted-near-twin corpus —
     # the sf1 anchor for the decade ledger's linearity ratio
@@ -392,25 +397,35 @@ def _run(
             df = (BENCH_VARIANTS.get(name) or registry.QUERIES[name])(spark, sf_dir)
             n = df.count()
             samples.append(time.time() - t0)
-        if telemetry is not None:
+        # Telemetry needs BOTH snapshots (r10 ADVICE): without the
+        # 'before' one, prev_max=-1 would attribute every retained
+        # stage since app start (warmup + prior queries) to this
+        # query — skip instead of recording garbage.  Metrics are
+        # per-run averages so runs=1 and runs=3 sections compare.
+        if telemetry is not None and before is not None:
             after = _stage_snapshot(spark)
             if after is not None:
                 new = [s for s in after if s["stageId"] > prev_max]
                 telemetry[name] = {
-                    "n_stages": len(new),
-                    "n_tasks": sum(s.get("numCompleteTasks", 0) for s in new),
+                    "n_stages": len(new) // runs,
+                    "n_tasks": sum(s.get("numCompleteTasks", 0) for s in new)
+                    // runs,
                     "shuffle_write_bytes": sum(
                         s.get("shuffleWriteBytes", 0) for s in new
-                    ),
+                    )
+                    // runs,
                     "shuffle_read_bytes": sum(
                         s.get("shuffleReadBytes", 0) for s in new
-                    ),
+                    )
+                    // runs,
                     "mem_spill_bytes": sum(
                         s.get("memoryBytesSpilled", 0) for s in new
-                    ),
+                    )
+                    // runs,
                     "disk_spill_bytes": sum(
                         s.get("diskBytesSpilled", 0) for s in new
-                    ),
+                    )
+                    // runs,
                 }
         timings[name] = round(sorted(samples)[len(samples) // 2], 3)
         rows[name] = n
@@ -431,6 +446,23 @@ def main() -> None:
             "spark.ui.retainedStages": "5000",
         },
     )
+    # Squelch the benign DAGScheduler accumulator-update warning (r10
+    # verdict "What's wrong" #2): a task-completion accumulator race
+    # logs a multi-line stack at WARN that can land as the LAST stderr
+    # bytes, so the driver's captured tail opens with a stack fragment
+    # instead of query lines.  The run itself is unaffected (rc=0,
+    # adjacent queries complete); the race is logged at ERROR, so raise
+    # just that logger to FATAL — a REAL job failure still surfaces as
+    # a Python exception from the query call, so nothing actionable is
+    # hidden.  log4j2 Configurator — bench only, session default WARN.
+    try:
+        spark._jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.scheduler.DAGScheduler",
+            spark._jvm.org.apache.logging.log4j.Level.FATAL,
+        )
+    except Exception as exc:  # best-effort; a log4j API shift must not kill bench
+        print(f"# DAGScheduler log squelch failed: {exc}", file=sys.stderr)
+
     names = [n for n in HEADLINE + EXTENDED if n in registry.QUERIES]
 
     # warmup: spin up executors plus the three codegen/JIT families the
@@ -517,6 +549,12 @@ def main() -> None:
             # shuffle and the vocab-squared LM-table join at 500k docs
             sf10_candidates.append("boilerplate_ngrams")
             sf10_candidates.append("bigram_lm_perplexity")
+            # round-11 (r10 verdict item 4): the Arrow-worker decade
+            # row — concatenated-P6 demux over 500k containers; the
+            # JVM families all had sf10 evidence, the mapInPandas
+            # path didn't.  Rows (1-2 per doc by L%3) are exactly
+            # 10.0x sf1; telemetry records the Python-worker stages.
+            sf10_candidates.append("multimodal_frames")
         if os.path.exists(os.path.join(sf10_dir, "embeddings.parquet")):
             # embeddings-family decade rep (round 9; tools/
             # make_scaled_data.py benchdata/sf10 100 embeddings): the

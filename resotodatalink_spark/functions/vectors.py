@@ -137,7 +137,15 @@ def band_keys_udf(
     expression nodes.  The closure is self-contained (planes captured
     by value, imports local) so executors don't need this package on
     their PYTHONPATH."""
-    assert n_bands * rows_per_band <= len(DEDUP_PLANES)
+    if n_bands * rows_per_band > len(DEDUP_PLANES):
+        # ValueError, not assert: under ``python -O`` an assert is
+        # stripped and an oversized band_config would silently slice
+        # fewer planes than requested, producing wrong bucket keys.
+        raise ValueError(
+            f"band shape {n_bands}x{rows_per_band} needs "
+            f"{n_bands * rows_per_band} planes; only "
+            f"{len(DEDUP_PLANES)} available"
+        )
     planes = [list(p) for p in DEDUP_PLANES[: n_bands * rows_per_band]]
 
     from pyspark.sql.functions import pandas_udf

@@ -1,59 +1,81 @@
-"""Multimodal plumbing: the Pandas-UDF decode stage has no SQL oracle,
-so its values are asserted here instead."""
+"""Multimodal codec paths: every stage is a REAL stdlib+numpy parser
+(the round-5 stubs were retired in round 11); values are asserted here
+against hand-built containers in addition to the DuckDB oracles."""
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from resotodatalink_spark.operators.multimodal import attach_payload, decode_media
 from resotodatalink_spark.sources.tables import table
 from tests.conftest import SF_DIR
 
 
-def test_decode_schema_and_values(spark):
-    d = table(spark, SF_DIR, "documents")
-    out = decode_media(attach_payload(d))
-    assert out.columns == [
-        "doc_id",
-        "n_bytes",
-        "header_byte",
-        "fake_width",
-        "fake_height",
-    ]
-    rows = {r["doc_id"]: r for r in out.collect()}
-    docs = {r["doc_id"]: r["text"] for r in d.collect()}
-    assert len(rows) == len(docs)
-    for doc_id, text in list(docs.items())[:20]:
-        r = rows[doc_id]
-        payload = text.encode("utf-8")
-        assert r["n_bytes"] == len(payload)
-        assert r["header_byte"] == payload[0]
-        assert r["fake_width"] == 1 + payload[0] % 64
-        assert r["fake_height"] == 1 + len(payload) % 64
+def test_decode_ppm_reads_width_from_header(spark):
+    """The width-16 slug geometry: the parser must take dims from the
+    HEADER, not assume the sibling slug's width 8 — one 16-pixel row
+    vs two 8-pixel rows changes height while channel means stay
+    offset-mod-3."""
+    from resotodatalink_spark.operators.multimodal import (
+        attach_ppm_payload,
+        decode_ppm,
+    )
+
+    text = "abcdefghijklmnopqrstuvwxyz0123456789ABCDEFGHIJKL"  # 48 bytes
+    df = spark.createDataFrame([(1, text)], "doc_id: long, text: string")
+    r16 = decode_ppm(attach_ppm_payload(df, width=16)).collect()[0]
+    r8 = decode_ppm(attach_ppm_payload(df, width=8)).collect()[0]
+    assert (r16["width"], r16["height"]) == (16, 1)
+    assert (r8["width"], r8["height"]) == (8, 2)
+    px = [ord(c) for c in text]
+    for r in (r16, r8):  # channel = byte offset mod 3, width-independent
+        assert r["mean_r"] == sum(px[0::3]) / 16
+        assert r["mean_g"] == sum(px[1::3]) / 16
+        assert r["mean_b"] == sum(px[2::3]) / 16
 
 
-def test_payload_metadata_struct(spark):
-    d = table(spark, SF_DIR, "documents")
-    p = attach_payload(d)
-    row = p.select("media_meta.mime", "media_meta.content_length").first()
-    assert row[0] == "image/fake" and row[1] > 0
+def test_wav_features_roundtrip(spark):
+    """The REAL feature extractor: hand-computed amplitude moments,
+    including a negative sample and its zero crossings."""
+    import struct
+
+    from resotodatalink_spark.operators.multimodal import (
+        WAV_HEADER_HEX,
+        wav_features,
+    )
+
+    samples = [100, -200, 300, -1, 0, 5]
+    header = bytearray.fromhex(WAV_HEADER_HEX)
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    header[40:44] = len(data).to_bytes(4, "little")  # data-chunk size
+    df = spark.createDataFrame(
+        [(1, bytearray(bytes(header) + data))], "doc_id: long, payload: binary"
+    )
+    r = wav_features(df).collect()[0]
+    assert (r["min_amp"], r["max_amp"]) == (-200, 300)
+    assert r["abs_mean"] == round(sum(abs(s) for s in samples) / len(samples), 6)
+    # sign flips (>=0 boundary): 100/-200, -200/300, 300/-1, -1/0 => 4
+    assert r["zero_cross"] == 4
 
 
-def test_resize_media_contract(spark):
-    from resotodatalink_spark.operators.multimodal import attach_payload, resize_media
-    from resotodatalink_spark.sources.tables import table
-    from tests.conftest import SF_DIR
+def test_wav_features_tolerate_corrupt_payloads(spark):
+    from resotodatalink_spark.operators.multimodal import (
+        WAV_HEADER_HEX,
+        wav_features,
+    )
 
-    d = attach_payload(table(spark, SF_DIR, "documents"))
-    out = resize_media(d, 8, 8)
-    assert [f.name for f in out.schema.fields] == ["doc_id", "payload", "width", "height"]
-    rows = out.collect()
-    assert len(rows) == d.count()
-    assert all(len(r.payload) <= 64 for r in rows)  # capped at target area
-    assert all(r.width == 8 and r.height == 8 for r in rows)
-    # deterministic: re-run produces identical bytes
-    again = {r.doc_id: bytes(r.payload) for r in resize_media(d, 8, 8).collect()}
-    assert all(bytes(r.payload) == again[r.doc_id] for r in rows)
+    good_header = bytes.fromhex(WAV_HEADER_HEX)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(b"RIFFnotawave")),
+            (2, bytearray(good_header + b"x" * 10)),  # truncated data
+            (3, bytearray(good_header.replace(b"fmt ", b"tmf ") + b"x" * 64)),
+        ],
+        "doc_id: long, payload: binary",
+    )
+    rows = {r["doc_id"]: r for r in wav_features(df).collect()}
+    for i in (1, 2, 3):
+        assert rows[i]["min_amp"] is None, i
+        assert rows[i]["zero_cross"] is None, i
 
 
 def test_sample_frames_real_demux(spark):

@@ -85,15 +85,17 @@ def test_attest_window_consistency():
     # head of window, unconditionally)
     window = set(names[:50])
     assert set(entry._NEVER_ATTESTED) <= window
-    assert set(entry._NEW_THIS_ROUND) <= window
-    # changed slugs are always re-attested the round they change (the
-    # r9 spread wave's deferral was the one sanctioned exception)
+    # changed slugs are always re-attested the round they change; the
+    # r10 checkpoint-seam group leads the r11 window (r10 verdict
+    # item 1)
+    assert set(entry._R10_SEAM_CHANGED) <= window
     assert set(entry._CHANGED_THIS_ROUND) <= window
-    assert set(entry._R9_CHANGED_DEFERRED) <= window
-    # the r11 cohort is exactly the staleness-tier slugs the r10
-    # window spills (r8/r9-fresh slugs rotate later, r12+)
-    assert set(entry._R11_COHORT) == set(entry._ATTEST_FIRST) - window
-    assert not set(entry._R11_COHORT) & window
+    # after r11 the r6 staleness tier must be fully drained
+    assert set(entry._R6_TIER) <= window
+    # the r12 cohort is exactly the staleness-tier slugs the r11
+    # window spills (r8/r9/r10-fresh slugs rotate later)
+    assert set(entry._R12_COHORT) == set(entry._ATTEST_FIRST) - window
+    assert not set(entry._R12_COHORT) & window
 
 
 def test_bench_names_registered():
@@ -116,16 +118,52 @@ def test_bench_names_registered():
 def test_bench_variants_build_and_run(spark):
     """Every bench-only variant must build a plan and return rows on
     the tiny SF — a broken variant would otherwise only fail inside a
-    30-minute bench session.  Value sanity for the t80 variant: the
-    planted corpus recipe guarantees every returned pair clears the
-    production threshold."""
+    30-minute bench session."""
     import bench
 
     for name, fn in bench.BENCH_VARIANTS.items():
         df = fn(spark, "/root/testdata/sf0.001")
         rows = df.collect()
         assert isinstance(rows, list), name
-    t80 = bench.BENCH_VARIANTS["dedup_embedding_t80"](
-        spark, "/root/testdata/sf0.001"
+
+
+def test_t80_variant_finds_planted_twins(spark, tmp_path):
+    """Value sanity for the t80 variant on a corpus KNOWN to contain
+    near-twins (r10 ADVICE: the driver sf0.001 testdata has none, so
+    the old ``all(cosine >= 0.8)`` assertion was vacuously true on an
+    empty result).  Replays the make_scaled_data planting recipe —
+    every even vector 2j+1 is vector 2j scaled per-coordinate by
+    U[0.97, 1.03], cosine ~0.99985 — and asserts the production
+    threshold/band shape recovers EXACTLY the planted pairs."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import bench
+
+    rng = np.random.default_rng(7)
+    n, dim, n_plant = 200, 64, 20
+    mat = rng.standard_normal((n, dim)).astype(np.float32)
+    for j in range(n_plant):
+        scale = rng.uniform(0.97, 1.03, size=dim).astype(np.float32)
+        mat[2 * j + 1] = mat[2 * j] * scale
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(
+                    [v.tolist() for v in mat], pa.list_(pa.float32())
+                ),
+                "label": pa.array([0] * n, pa.int32()),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
     )
-    assert all(r["cosine"] >= 0.8 for r in t80.collect())
+    rows = bench.BENCH_VARIANTS["dedup_embedding_t80"](
+        spark, str(tmp_path)
+    ).collect()
+    assert len(rows) == n_plant
+    assert all(r["cosine"] >= 0.8 for r in rows)
+    assert {(r["vec_a"], r["vec_b"]) for r in rows} == {
+        (2 * j, 2 * j + 1) for j in range(n_plant)
+    }

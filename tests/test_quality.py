@@ -195,3 +195,65 @@ def test_watermark_lag_audit_disorder_fixture(spark, tmp_path):
             out[t].p95_lag_s,
         )
         assert got == want, f"oracle disagrees on type {t}: {got} != {want}"
+
+
+def test_snapshot_diff_unchanged_branch_fixture(spark, tmp_path):
+    """The shipped events corpus never produces an 'unchanged' key
+    (r11 branch-coverage sweep: sf0.01 yields 735 changed / 15 added /
+    0 unchanged — every surviving key's latest value moves between the
+    two as-of timestamps), so the tri-SF oracle sweep never attested
+    that CASE arm.  This fixture plants all three change types plus
+    the two subtle shapes — a key whose latest event PREDATES the old
+    snapshot (its new state IS its old state => unchanged) and an
+    equal-timestamp tie broken by event_id — and checks Spark against
+    both a hand computation and the registered DuckDB oracle."""
+    import duckdb
+
+    def ts(day):
+        return datetime.datetime(2024, 1, day)
+
+    rows = [
+        # user 1 / x: value identical across snapshots => unchanged
+        (10, ts(5), 1, "x", 1.0, "{}"),
+        (11, ts(20), 1, "x", 1.0, "{}"),
+        # user 2 / x: value moves => changed
+        (20, ts(5), 2, "x", 1.0, "{}"),
+        (21, ts(20), 2, "x", 2.0, "{}"),
+        # user 3 / x: key only exists after T_OLD => added
+        (30, ts(20), 3, "x", 3.0, "{}"),
+        # user 4 / x: latest event PREDATES T_OLD — new state == old
+        # state => unchanged (the rn=1 row is itself the old row)
+        (40, ts(5), 4, "x", 4.0, "{}"),
+        # user 5 / x: same-timestamp tie at ts(20) — argmax must take
+        # event_id 52 (v=6.0), so the key reads changed vs v=5.0
+        (50, ts(5), 5, "x", 5.0, "{}"),
+        (51, ts(20), 5, "x", 5.0, "{}"),
+        (52, ts(20), 5, "x", 6.0, "{}"),
+        # user 6 / x: events AFTER T_NEW are outside both snapshots —
+        # the key must not appear at all
+        (60, datetime.datetime(2024, 1, 28), 6, "x", 9.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    got = {
+        (r.event_type, r.change_type): r.n_keys
+        for r in registry.QUERIES["snapshot_diff"](spark, str(tmp_path)).collect()
+    }
+    want = {("x", "unchanged"): 2, ("x", "changed"): 2, ("x", "added"): 1}
+    assert got == want
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{tmp_path}/events.parquet/*.parquet'"
+    )
+    odf = con.execute(registry.ORACLES["snapshot_diff"]).df()
+    con.close()
+    ora = {
+        (r.event_type, r.change_type): r.n_keys for r in odf.itertuples()
+    }
+    assert ora == want
