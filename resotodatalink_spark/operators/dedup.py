@@ -678,9 +678,36 @@ def levenshtein_pairs(
     w = bucket_width or (max_distance + 1)
     if w <= max_distance:
         raise ValueError("bucket_width must exceed max_distance")
-    base = docs.select(
-        F.col(id_col), F.col(text_col), *[F.col(c) for c in block_cols]
-    ).withColumn("len", F.length(text_col))
+    base = (
+        docs.select(
+            F.col(id_col), F.col(text_col), *[F.col(c) for c in block_cols]
+        )
+        .withColumn("len", F.length(text_col))
+        # Per-doc letter histogram for the exactness-preserving L1
+        # prune (round 11): one edit changes each letter's count by at
+        # most 1 and at most two letters' counts total (substitution),
+        # so dist <= d forces sum_c |cnt_a(c) - cnt_b(c)| <= 2d over
+        # ANY subset of characters (ignoring a character only weakens
+        # the necessary condition).  Computed ONCE per doc (26
+        # replace-scans, codegen, pre-explode); the per-PAIR check is
+        # then ~26 integer ops vs the banded levenshtein's
+        # O(len * d) ~ 10^4 — and for unrelated same-length-bucket
+        # texts the expected L1 is ~hundreds >> 2d, so nearly every
+        # false candidate dies before the expensive verify.  Measured
+        # sf10 (500k docs, ~2e9 candidates — quadratic in copies
+        # because the scaled corpus stacks identical length
+        # histograms): 838.8s -> 204.5s wall, 19,789 -> 3,410
+        # executor-CPU-s, identical 7,900 pairs, zero spill.  The
+        # residual CPU is ~1.7us/candidate — the hash-join
+        # enumeration floor, reducible only by a finer blocking key.
+        .withColumn(
+            "hst",
+            F.expr(
+                f"transform(sequence(97, 122), a -> "
+                f"length({text_col}) - length(replace({text_col}, char(a), '')))"
+            ),
+        )
+    )
     e = base.withColumn(
         "bk",
         F.explode(
@@ -710,6 +737,7 @@ def levenshtein_pairs(
         F.col(id_col).alias("doc_a"),
         F.col(text_col).alias("text_a"),
         F.col("len").alias("len_a"),
+        F.col("hst").alias("hst_a"),
         "bk",
         *[F.col(c) for c in block_cols],
     )
@@ -717,6 +745,7 @@ def levenshtein_pairs(
         F.col(id_col).alias("doc_b"),
         F.col(text_col).alias("text_b"),
         F.col("len").alias("len_b"),
+        F.col("hst").alias("hst_b"),
         "bk",
         *[F.col(c) for c in block_cols],
     )
@@ -779,6 +808,31 @@ def _levenshtein_join_filter(max_distance: int, w: int):
             == F.greatest(
                 F.floor(F.col("len_a") / w), F.floor(F.col("len_b") / w)
             )
+        )
+        # letter-histogram L1 prune (necessary condition for
+        # dist <= d; see levenshtein_pairs docstring) — ordered LAST
+        # among the cheap conjuncts so codegen short-circuits the
+        # id/len/bucket checks first, and BEFORE the banded
+        # levenshtein, which only runs on survivors.  Spelled as 26
+        # explicit element_at terms, NOT aggregate(zip_with(...)):
+        # higher-order functions drop out of whole-stage codegen and
+        # pay per-element lambda dispatch, and this expression runs
+        # once per CANDIDATE — the A/B at sf10 (500k docs) measured
+        # the HOF form at 6,046s executor-CPU vs 3,376s for the
+        # unrolled form (301s vs 173s wall).
+        & (
+            sum(
+                (
+                    F.abs(
+                        F.element_at("hst_a", i) - F.element_at("hst_b", i)
+                    )
+                    for i in range(2, 27)
+                ),
+                start=F.abs(
+                    F.element_at("hst_a", 1) - F.element_at("hst_b", 1)
+                ),
+            )
+            <= F.lit(2 * max_distance)
         )
     )
 

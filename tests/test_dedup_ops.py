@@ -468,3 +468,33 @@ def test_jaccard_pairs_width_invariance(spark, docs_df=None):
     finally:
         D.posting_join_width = orig
     assert base == wide and len(base) >= 1
+
+
+def test_levenshtein_histogram_prune_boundary(spark):
+    """The r11 letter-histogram L1 prune at its tight boundary: d
+    substitutions all on ONE letter pair drive the histogram L1 to
+    exactly 2d — the pair must SURVIVE (<=, not <).  Also: edits on
+    characters OUTSIDE the a-z histogram (spaces) move the L1 by 1 per
+    edit only, and must survive too."""
+    from resotodatalink_spark.operators.dedup import levenshtein_pairs
+
+    d = 4
+    s = "abcdabcdabcdabcdabcd"
+    # exactly d substitutions a->b: L1 = 2d (the boundary)
+    boundary = s.replace("a", "b", d)
+    # d+1 substitutions: distance d+1 => correctly excluded
+    over = s.replace("a", "b", d + 1)
+    rows = [
+        (0, s, "en"),
+        (1, boundary, "en"),
+        (2, over, "en"),
+        (3, s[:4] + " " * d + s[4:], "en"),  # d pure space insertions
+    ]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string, lang: string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["edit_distance"]
+        for r in levenshtein_pairs(docs, max_distance=d).collect()
+    }
+    assert got[(0, 1)] == d  # L1 == 2d boundary survives
+    assert (0, 2) not in got  # distance d+1 excluded by the verify
+    assert got[(0, 3)] == d  # out-of-histogram edits survive
