@@ -435,6 +435,13 @@ def _run(
 
 
 def main() -> None:
+    # Python workers inherit the driver env in local mode: silence the
+    # pandas empty/all-NA concat FutureWarning the Arrow serializer
+    # trips once per stateful-flush/empty batch (third-party path —
+    # pyspark serializers.py — so it can't be fixed at the source like
+    # our own closures).  Bench-only, same tail-hygiene rationale as
+    # the DAGScheduler squelch below.
+    os.environ.setdefault("PYTHONWARNINGS", "ignore::FutureWarning")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # UI server ON for bench only (tests/driver keep it off): its REST
     # API is the stage-metrics source for the sf10 telemetry record

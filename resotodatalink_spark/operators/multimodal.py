@@ -135,7 +135,12 @@ def sample_frames(df: DataFrame, every_n: int = 4) -> DataFrame:
                 for idx, h, dlen, raster in parsed[::every_n]:
                     a = _np.frombuffer(raster, dtype=_np.uint8)
                     rows.append((d, idx, h, dlen, int(a.sum()), raster[0]))
-            yield _pd.DataFrame(rows, columns=cols)
+            # never yield an EMPTY frame (possible when every payload
+            # in a batch is corrupt): object-dtype empties trip a
+            # pandas concat FutureWarning per batch in the Arrow
+            # serializer, flooding executor stderr
+            if rows:
+                yield _pd.DataFrame(rows, columns=cols)
 
     return df.mapInPandas(frames, schema=FRAME_SCHEMA)
 
