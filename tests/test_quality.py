@@ -257,3 +257,73 @@ def test_snapshot_diff_unchanged_branch_fixture(spark, tmp_path):
         (r.event_type, r.change_type): r.n_keys for r in odf.itertuples()
     }
     assert ora == want
+
+
+def test_quality_cascade_gate_rejections_fixture(spark, tmp_path):
+    """The r11 branch-coverage sweep found the cascade's word-length
+    and stopword gates NEVER REJECT a corpus doc (sf0.01: r2=0, r3=0 —
+    every >=20-token doc has mean word length >= 3 and stopword share
+    <= 1/5), so a flipped inequality in either gate could pass the
+    oracle sweep unnoticed.  Plants one rejector per gate plus
+    exact-boundary passers, checks Spark against hand counts AND the
+    registered DuckDB oracle."""
+    import duckdb
+
+    docs = [
+        # passes every gate: 20 long distinct-ish tokens
+        ("pass", " ".join(f"word{i:02d}" for i in range(20))),
+        # g1 reject: under 20 tokens
+        ("r_len", "only five short tokens here"),
+        # g2 reject ONLY: 20 tokens of 2 chars => tok_chars 40 < 60
+        ("r_wordlen", " ".join(["ab"] * 20)),
+        # g3 reject ONLY: 6 'the' in 20 tokens => 30 > 20; words long
+        ("r_stop", " ".join(["the"] * 6 + [f"abcdef{i}" for i in range(14)])),
+        # g4 reject ONLY: one long word repeated => distinct 1, 2 < 20
+        ("r_ttr", " ".join(["abcd"] * 20)),
+        # boundary passer, EXACT on all three thresholds: 20 tokens of
+        # 3 chars each (tok_chars == 60 == 3*n_tok), 4 'the'
+        # (5*n_stop == 20 == n_tok), 10 distinct values
+        # (2*n_distinct == 20 == n_tok) — all must PASS (inclusive
+        # >=, <=, >=)
+        ("edge", " ".join(["the"] * 4 + ["aaa"] * 8 + [f"ab{i}" for i in range(8)])),
+    ]
+    rows = [(i, t, s, "en", len(t)) for i, (s, t) in enumerate(docs)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string, n_chars int"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    got = {
+        r.source: r
+        for r in registry.QUERIES["quality_filter_cascade"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # hand check per planted source
+    assert (got["pass"].pass_len, got["pass"].pass_all) == (1, 1)
+    assert got["r_len"].pass_len == 0
+    assert (got["r_wordlen"].pass_len, got["r_wordlen"].pass_wordlen) == (1, 0)
+    assert (got["r_stop"].pass_wordlen, got["r_stop"].pass_stopword) == (1, 0)
+    assert (got["r_ttr"].pass_stopword, got["r_ttr"].pass_all) == (1, 0)
+    # the edge doc sits EXACTLY on all three thresholds and passes
+    e = got["edge"]
+    assert (e.pass_len, e.pass_wordlen, e.pass_stopword, e.pass_all) == (
+        1, 1, 1, 1,
+    )
+    assert e.kept_tokens == 20
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    odf = con.execute(registry.ORACLES["quality_filter_cascade"]).df()
+    con.close()
+    for r in odf.itertuples():
+        g = got[r.source]
+        assert (
+            r.pass_len, r.pass_wordlen, r.pass_stopword, r.pass_all,
+            r.kept_tokens,
+        ) == (
+            g.pass_len, g.pass_wordlen, g.pass_stopword, g.pass_all,
+            g.kept_tokens,
+        ), r.source
