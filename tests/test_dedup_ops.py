@@ -498,3 +498,41 @@ def test_levenshtein_histogram_prune_boundary(spark):
     assert got[(0, 1)] == d  # L1 == 2d boundary survives
     assert (0, 2) not in got  # distance d+1 excluded by the verify
     assert got[(0, 3)] == d  # out-of-histogram edits survive
+
+
+def test_histogram_prune_invariant_hypothesis():
+    """The mathematical no-drop guarantee behind the r11 prune, checked
+    property-style WITHOUT Spark: for ANY two strings (mixed alphabet,
+    incl. characters outside the a-z histogram) within edit distance d,
+    the 26-bin letter-histogram L1 distance is <= 2d.  A counterexample
+    here would mean the blocked join can drop a true pair."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    alphabet = "abcz XYZ09"
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    def hist_l1(a: str, b: str) -> int:
+        return sum(
+            abs(a.count(chr(c)) - b.count(chr(c)))
+            for c in range(ord("a"), ord("z") + 1)
+        )
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.text(alphabet=alphabet, max_size=24),
+        st.text(alphabet=alphabet, max_size=24),
+    )
+    def check(a, b):
+        assert hist_l1(a, b) <= 2 * lev(a, b)
+
+    check()
