@@ -53,13 +53,23 @@ _CHANGED_THIS_ROUND = [
     # * multimodal_features: stub ascii-floats -> real RIFF/WAVE
     #   amplitude moments (min/max/abs-mean/zero-cross) via the new
     #   operators/multimodal.wav_features stage
-    # * multimodal_frames: value-identical hygiene change (the demuxer
-    #   no longer yields EMPTY pandas frames for all-corrupt batches —
-    #   they tripped a per-batch concat FutureWarning in the Arrow
-    #   serializer); re-attested on the changed-slug principle
+    # * multimodal_frames: value-identical hygiene changes (the
+    #   demuxer no longer yields EMPTY pandas frames for all-corrupt
+    #   batches — they tripped a per-batch concat FutureWarning in the
+    #   Arrow serializer — and rejects zero-area frames that would
+    #   IndexError the batch); re-attested on the changed-slug
+    #   principle
+    # * multimodal_ppm_stats / multimodal_wav_stats /
+    #   multimodal_ppm_resize: value-identical robustness guards in
+    #   their shared parsers (zero-dim PPM headers -> null row instead
+    #   of NaN means; zero-length WAV data chunks -> null row instead
+    #   of ZeroDivisionError); re-attested on principle
     "multimodal_decode",
     "multimodal_features",
     "multimodal_frames",
+    "multimodal_ppm_stats",
+    "multimodal_wav_stats",
+    "multimodal_ppm_resize",
 ]
 
 _R6_TIER = [
@@ -85,7 +95,7 @@ _R6_TIER = [
 _R7_TIER = [
     # Newest driver row is CORRECTNESS_r07 (semdedup and
     # sparse_cosine_pairs moved up into _R10_SEAM_CHANGED).  The first
-    # 25 fill the r11 window's remaining slots; the tail spills to
+    # 22 fill the r11 window's remaining slots; the tail spills to
     # _R12_COHORT below.
     "agg_bool_ops",
     "agg_filter_clause",
@@ -142,10 +152,10 @@ _ATTEST_FIRST = (
 
 # The r12 cohort, named explicitly (capacity arithmetic continued from
 # r10: a 194-slug registry attested 50/round floors at a ~4-round
-# rotation).  r11's window holds 8 seam + 3 changed + 14 r6 + 25 r7 =
-# 50 exactly, so these 18 r7-tier slugs spill to r12 — after r11 they
+# rotation).  r11's window holds 8 seam + 6 changed + 14 r6 + 22 r7 =
+# 50 exactly, so these 21 r7-tier slugs spill to r12 — after r11 they
 # are the ONLY slugs whose newest driver row is r7, and with zero r12
-# changes they all fit r12's window with 32 slots to spare, ending the
+# changes they all fit r12's window with 29 slots to spare, ending the
 # staleness tail entirely.
 _R12_COHORT = _ATTEST_FIRST[50:]
 

@@ -108,6 +108,12 @@ def sample_frames(df: DataFrame, every_n: int = 4) -> DataFrame:
                         return None
                     nl1 = payload.index(b"\n", off + 3)
                     w, h = (int(x) for x in payload[off + 3:nl1].split())
+                    # zero/negative dims => corrupt: a 0-area frame
+                    # would emit raster[0] on empty bytes (IndexError
+                    # kills the batch) and lets an adversarial header
+                    # stream emit unbounded empty frames
+                    if w <= 0 or h <= 0:
+                        return None
                     nl2 = payload.index(b"\n", nl1 + 1)
                     if int(payload[nl1 + 1:nl2]) != 255:
                         return None
@@ -200,6 +206,8 @@ def decode_ppm(df: DataFrame) -> DataFrame:
                 # header: magic, dims, maxval — whitespace-separated
                 parts = payload.split(b"\n", 3)
                 w, h = (int(x) for x in parts[1].split())
+                if w <= 0 or h <= 0:  # 0-area => NaN means; treat as corrupt
+                    return None
                 maxval = int(parts[2])
                 raster = parts[3][: w * h * 3]
                 if maxval != 255 or len(raster) < w * h * 3:
@@ -291,7 +299,11 @@ def decode_wav(df: DataFrame) -> DataFrame:
                     return None
                 n_bytes = int.from_bytes(payload[40:44], "little")
                 data = payload[44 : 44 + n_bytes]
-                if len(data) < n_bytes or n_bytes % 2:
+                # zero-length data or zero channels => corrupt, not a
+                # ZeroDivisionError that fails the batch
+                if len(data) < n_bytes or n_bytes % 2 or not n_bytes:
+                    return None
+                if channels <= 0:
                     return None
                 samples = _np.frombuffer(data, dtype="<i2").astype(_np.float64)
                 mean = samples.sum() / len(samples)
@@ -415,6 +427,8 @@ def resize_ppm(df: DataFrame, out_w: int = 4, out_h: int = 4) -> DataFrame:
                     return None
                 parts = payload.split(b"\n", 3)
                 w, h = (int(x) for x in parts[1].split())
+                if w <= 0 or h <= 0:  # 0-area => NaN means; treat as corrupt
+                    return None
                 maxval = int(parts[2])
                 raster = parts[3][: w * h * 3]
                 if maxval != 255 or len(raster) < w * h * 3:

@@ -253,3 +253,43 @@ def test_resize_ppm_downsample_grid(spark):
     small = raster[rr][:, cc].astype(np.int64)
     assert row.checksum == int(small.sum())
     assert abs(row.mean_r - small.reshape(-1, 3)[:, 0].mean()) < 1e-9
+
+
+def test_zero_dimension_payloads_are_corrupt_not_crashes(spark):
+    """r11 robustness sweep: zero-area/zero-data containers must take
+    the corrupt-payload path, not fail the batch or emit NaN rows —
+    before the guards, a 'P6\\n0 5' frame raised IndexError on
+    raster[0] in the demuxer, a zero-length WAV data chunk divided by
+    zero, and a zero-dim PPM emitted NaN means."""
+    from resotodatalink_spark.operators.multimodal import (
+        WAV_HEADER_HEX,
+        decode_ppm,
+        decode_wav,
+        sample_frames,
+        wav_features,
+    )
+
+    # demuxer: a valid frame followed by a 0-height frame => whole
+    # container corrupt => no rows at all
+    f0 = b"P6\n2 1\n255\n" + bytes(6)
+    zero_frame = b"P6\n2 0\n255\n"
+    frames_df = spark.createDataFrame(
+        [(1, bytearray(f0 + zero_frame))], "doc_id long, payload binary"
+    )
+    assert sample_frames(frames_df, every_n=1).collect() == []
+
+    # PPM decode + 0-dim header => null row, no NaN
+    ppm_df = spark.createDataFrame(
+        [(1, bytearray(b"P6\n0 0\n255\n"))], "doc_id long, payload binary"
+    )
+    row = decode_ppm(ppm_df).collect()[0]
+    assert row.width is None and row.mean_r is None
+
+    # WAV with a zero-length data chunk => null row, no ZeroDivision
+    hdr = bytearray.fromhex(WAV_HEADER_HEX)
+    hdr[40:44] = (0).to_bytes(4, "little")
+    wav_df = spark.createDataFrame(
+        [(1, bytearray(bytes(hdr)))], "doc_id long, payload binary"
+    )
+    assert decode_wav(wav_df).collect()[0].sample_rate is None
+    assert wav_features(wav_df).collect()[0].min_amp is None
