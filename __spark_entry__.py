@@ -64,12 +64,17 @@ _CHANGED_THIS_ROUND = [
     #   their shared parsers (zero-dim PPM headers -> null row instead
     #   of NaN means; zero-length WAV data chunks -> null row instead
     #   of ZeroDivisionError); re-attested on principle
+    # * pandas_udaf_zscore: degenerate groups (1-row / constant) now
+    #   emit NULL like the SQL oracle instead of pandas NaN — a latent
+    #   hash divergence no shipped corpus group exposes (planted
+    #   fixture attests all three group shapes on both engines)
     "multimodal_decode",
     "multimodal_features",
     "multimodal_frames",
     "multimodal_ppm_stats",
     "multimodal_wav_stats",
     "multimodal_ppm_resize",
+    "pandas_udaf_zscore",
 ]
 
 _R6_TIER = [
@@ -95,7 +100,7 @@ _R6_TIER = [
 _R7_TIER = [
     # Newest driver row is CORRECTNESS_r07 (semdedup and
     # sparse_cosine_pairs moved up into _R10_SEAM_CHANGED).  The first
-    # 22 fill the r11 window's remaining slots; the tail spills to
+    # 21 fill the r11 window's remaining slots; the tail spills to
     # _R12_COHORT below.
     "agg_bool_ops",
     "agg_filter_clause",
@@ -152,10 +157,10 @@ _ATTEST_FIRST = (
 
 # The r12 cohort, named explicitly (capacity arithmetic continued from
 # r10: a 194-slug registry attested 50/round floors at a ~4-round
-# rotation).  r11's window holds 8 seam + 6 changed + 14 r6 + 22 r7 =
-# 50 exactly, so these 21 r7-tier slugs spill to r12 — after r11 they
+# rotation).  r11's window holds 8 seam + 7 changed + 14 r6 + 21 r7 =
+# 50 exactly, so these 22 r7-tier slugs spill to r12 — after r11 they
 # are the ONLY slugs whose newest driver row is r7, and with zero r12
-# changes they all fit r12's window with 29 slots to spare, ending the
+# changes they all fit r12's window with 28 slots to spare, ending the
 # staleness tail entirely.
 _R12_COHORT = _ATTEST_FIRST[50:]
 

@@ -157,9 +157,17 @@ def pandas_udaf_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         mean = pdf["value"].mean()
         std = pdf["value"].std(ddof=1)
-        return _pd.DataFrame(
-            {"event_id": pdf["event_id"], "z": ((pdf["value"] - mean) / std).round(6)}
-        )
+        # degenerate groups (1 row: std NaN; constant: std 0) have no
+        # defined z-score — emit NULL like the SQL oracle does
+        # (stddev_samp NULL / 0-division both collapse to NULL), not
+        # the pandas NaN that would hash-diverge (r11 robustness
+        # sweep; the shipped corpus has no such group, a planted one
+        # is fixture-attested)
+        if not (std and std == std):
+            z = _pd.Series([None] * len(pdf), dtype=object)
+        else:
+            z = ((pdf["value"] - mean) / std).round(6)
+        return _pd.DataFrame({"event_id": pdf["event_id"], "z": z})
 
     return ev.select("event_id", "event_type", "value").groupBy(
         "event_type"

@@ -293,3 +293,55 @@ def test_zero_dimension_payloads_are_corrupt_not_crashes(spark):
     )
     assert decode_wav(wav_df).collect()[0].sample_rate is None
     assert wav_features(wav_df).collect()[0].min_amp is None
+
+
+def test_zscore_degenerate_groups_match_oracle(spark, tmp_path):
+    """r11 robustness sweep: 1-row and constant groups have std NaN/0 —
+    the pandas closure used to emit NaN where the SQL oracle emits
+    NULL (stddev_samp NULL and 0-division both collapse to NULL), a
+    hash divergence the shipped corpus never exposes because every
+    event_type group is large and non-constant.  Planted fixture:
+    Spark == oracle on all three group shapes."""
+    import datetime
+
+    import duckdb
+
+    from resotodatalink_spark import registry
+
+    registry.load_all()
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (0, t0, 1, "one_row", 5.0, "{}"),
+        (1, t0, 1, "const", 2.0, "{}"),
+        (2, t0, 1, "const", 2.0, "{}"),
+        (3, t0, 1, "ok", 1.0, "{}"),
+        (4, t0, 1, "ok", 3.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    got = {
+        r.event_id: r.z
+        for r in registry.QUERIES["pandas_udaf_zscore"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got[0] is None          # 1-row group: std undefined
+    assert got[1] is None and got[2] is None  # constant group
+    assert got[3] == -0.707107 and got[4] == 0.707107
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{tmp_path}/events.parquet/*.parquet'"
+    )
+    odf = con.execute(registry.ORACLES["pandas_udaf_zscore"]).df()
+    con.close()
+    import math
+
+    for r in odf.itertuples():
+        o = None if (r.z is None or (isinstance(r.z, float) and math.isnan(r.z))) else r.z
+        assert o == got[r.event_id], r.event_id
