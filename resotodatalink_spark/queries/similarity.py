@@ -1325,3 +1325,302 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("std_x", 4).alias("std_norm"),
         )
     )
+
+
+# --- MMR diversification (greedy diverse top-k selection) -----------------
+
+_MMR_LAMBDA = 0.7
+_MMR_K = 4
+
+
+def _mmr_oracle() -> str:
+    lam, k = _MMR_LAMBDA, _MMR_K
+    cos = V.cosine_duck
+    sql = f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    cand AS (
+      SELECT c.vec_id, c.embedding, {cos('c.embedding', 'q.qv')} AS rel
+      FROM embeddings c, q WHERE c.vec_id >= 1
+    ),
+    s1 AS (SELECT 1 AS rank, vec_id, embedding, rel AS score
+           FROM cand ORDER BY rel DESC, vec_id LIMIT 1)"""
+    for i in range(2, k + 1):
+        union = " UNION ALL ".join(
+            f"SELECT vec_id, embedding FROM s{j}" for j in range(1, i)
+        )
+        sql += f""",
+    sel{i} AS ({union}),
+    sc{i} AS (
+      SELECT c.vec_id, c.embedding,
+             {lam} * c.rel
+               - {round(1 - lam, 6)} * max({cos('c.embedding', 's.embedding')})
+               AS score
+      FROM cand c, sel{i} s
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i})
+      GROUP BY c.vec_id, c.embedding, c.rel
+    ),
+    s{i} AS (SELECT {i} AS rank, vec_id, embedding, score
+             FROM sc{i} ORDER BY score DESC, vec_id LIMIT 1)"""
+    sql += "\n    SELECT rank, vec_id, round(score, 6) AS score FROM (" + \
+        " UNION ALL ".join(
+            f"SELECT rank, vec_id, score FROM s{i}" for i in range(1, k + 1)
+        ) + ")"
+    return sql
+
+
+@query("mmr_diversify", oracle=_mmr_oracle())
+def mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998) greedy
+    diverse top-k: pick the candidate maximizing
+    ``lambda * rel(q, c) - (1 - lambda) * max_{s in S} cos(c, s)`` k
+    times — the standard diversity-aware selection for retrieval
+    results, hard-negative pools, and prompt/sample curation (pure
+    relevance top-k returns k near-copies of the same neighborhood;
+    the embedding corpus' near-twin pairs make the difference visible:
+    rank 1's nearest twin is NOT picked at rank 2).
+
+    Scale shape: each of the k-1 refinement steps is one corpus scan
+    with (a) a bounded equi-ANTI-join dropping already-picked ids and
+    (b) a ONE-ROW broadcast holding the picked embeddings pivoted into
+    columns, so the running max over S is a ``greatest()`` of <= k-1
+    codegen cosine chains — NO shuffle inside a step (no pairwise
+    groupBy); the argmax is a TakeOrdered.  k is a constant, so at
+    100 TB this is k linear scans, the same contract as kmeans_lloyd's
+    E-step (the one-row broadcasts are the unigram_logprob
+    constant-append pattern).  The oracle computes the identical greedy
+    trace as unrolled CTEs with max() over the selected set — same
+    IEEE chains, same tie-break, bit-equal picks."""
+    lam = _MMR_LAMBDA
+    # no _spread: the corpus is the probe side of a one-row-broadcast
+    # BNLJ (kmeans_lloyd's documented counter-example — a pre-shuffle
+    # before a broadcast join only adds an exchange).  Norms are
+    # precomputed per vector (ann_cosine_topk's rule): sqrt(dot(x,x))
+    # once, so each greedy step evaluates ONE dot chain per selected
+    # vector instead of three — the oracle's cosine_duck performs the
+    # identical op sequence (dot, two sqrts, multiply, divide), so
+    # values stay bit-equal.
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        F.sqrt(V.dot_spark("embedding", "embedding")).alias("nrm"),
+    )
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"), F.col("nrm").alias("qn")
+    )
+    cand = (
+        e.filter(F.col("vec_id") >= 1)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            (V.dot_spark("embedding", "qv") / (F.col("nrm") * F.col("qn"))).alias(
+                "rel"
+            ),
+        )
+    )
+    # Each pick is a ONE-ROW frame that every later step re-enters (ids,
+    # pivoted embedding, and the final union) — checkpoint it, or step i's
+    # lineage re-derives every earlier pick 2^i times (measured 117s ->
+    # 3.9s at sf0.001).
+    picks = [
+        _ckpt(
+            cand.orderBy(F.desc("rel"), "vec_id")
+            .limit(1)
+            .select(
+                F.lit(1).alias("rank"),
+                "vec_id",
+                "embedding",
+                "nrm",
+                F.col("rel").alias("score"),
+            )
+        )
+    ]
+    for i in range(2, _MMR_K + 1):
+        sel_ids = picks[0].select("vec_id")
+        sel_row = picks[0].select(
+            F.col("embedding").alias("s1"), F.col("nrm").alias("n1")
+        )
+        for j, p in enumerate(picks[1:], start=2):
+            sel_ids = sel_ids.unionByName(p.select("vec_id"))
+            sel_row = sel_row.crossJoin(
+                p.select(
+                    F.col("embedding").alias(f"s{j}"), F.col("nrm").alias(f"n{j}")
+                )
+            )
+        sims = [
+            V.dot_spark("embedding", f"s{j}") / (F.col("nrm") * F.col(f"n{j}"))
+            for j in range(1, i)
+        ]
+        penalty = sims[0] if len(sims) == 1 else F.greatest(*sims)
+        scored = (
+            cand.join(F.broadcast(sel_ids), "vec_id", "left_anti")
+            .crossJoin(F.broadcast(sel_row))
+            .select(
+                "vec_id",
+                "embedding",
+                "nrm",
+                (F.lit(lam) * F.col("rel") - F.lit(round(1 - lam, 6)) * penalty).alias(
+                    "score"
+                ),
+            )
+        )
+        picks.append(
+            _ckpt(
+                scored.orderBy(F.desc("score"), "vec_id")
+                .limit(1)
+                .select(
+                    F.lit(i).alias("rank"), "vec_id", "embedding", "nrm", "score"
+                )
+            )
+        )
+    out = picks[0].select("rank", "vec_id", "score")
+    for p in picks[1:]:
+        out = out.unionByName(p.select("rank", "vec_id", "score"))
+    return out.select("rank", "vec_id", F.round("score", 6).alias("score"))
+
+
+# --- product quantization + asymmetric-distance scan ----------------------
+
+_PQ_M = 8        # subspaces
+_PQ_K = 16       # codes per subspace (codebook = subvectors of vec_id < 16)
+_PQ_DSUB = V.EMBED_DIM // _PQ_M
+_PQ_TOPK = 10
+
+
+def _l2_spark(a: str, b: str, d: int) -> str:
+    terms = [
+        f"(CAST(element_at({a}, {i}) AS DOUBLE) - CAST(element_at({b}, {i}) AS DOUBLE))"
+        f" * (CAST(element_at({a}, {i}) AS DOUBLE) - CAST(element_at({b}, {i}) AS DOUBLE))"
+        for i in range(1, d + 1)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = f"({out} + {t})"
+    return out
+
+
+def _l2_duck(a: str, b: str, d: int) -> str:
+    terms = [
+        f"(CAST(list_extract({a}, {i}) AS DOUBLE) - CAST(list_extract({b}, {i}) AS DOUBLE))"
+        f" * (CAST(list_extract({a}, {i}) AS DOUBLE) - CAST(list_extract({b}, {i}) AS DOUBLE))"
+        for i in range(1, d + 1)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = f"({out} + {t})"
+    return out
+
+
+_PQ_ORACLE = f"""
+    WITH sub AS (
+      SELECT vec_id, CAST(j AS INTEGER) AS j,
+             list_slice(embedding, j * {_PQ_DSUB} + 1, (j + 1) * {_PQ_DSUB}) AS sv
+      FROM embeddings, range({_PQ_M}) t(j)
+    ),
+    cb AS (
+      SELECT CAST(vec_id AS INTEGER) AS code, j, sv AS cv
+      FROM sub WHERE vec_id < {_PQ_K}
+    ),
+    enc AS (
+      SELECT vec_id, j, code FROM (
+        SELECT s.vec_id, s.j, c.code,
+               row_number() OVER (PARTITION BY s.vec_id, s.j
+                                  ORDER BY {_l2_duck('s.sv', 'c.cv', _PQ_DSUB)},
+                                           c.code) AS rn
+        FROM sub s JOIN cb c USING (j)
+        WHERE s.vec_id >= {_PQ_K}
+      ) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT c.j, c.code, {_l2_duck('q.sv', 'c.cv', _PQ_DSUB)} AS d
+      FROM cb c JOIN (SELECT j, sv FROM sub WHERE vec_id = 0) q USING (j)
+    ),
+    adc AS (
+      SELECT e.vec_id,
+             list_reduce(list(l.d ORDER BY l.j), (a, x) -> a + x) AS adc_dist
+      FROM enc e JOIN lut l ON e.j = l.j AND e.code = l.code
+      GROUP BY e.vec_id
+    )
+    SELECT CAST(row_number() OVER (ORDER BY adc_dist, vec_id) AS INTEGER) AS rank,
+           vec_id, round(adc_dist, 6) AS adc_dist
+    FROM adc ORDER BY adc_dist, vec_id LIMIT {_PQ_TOPK}
+"""
+
+
+@query("ann_pq_adc", oracle=_PQ_ORACLE)
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization with asymmetric-distance (ADC) scan (Jégou
+    et al. 2011, "Product Quantization for Nearest Neighbor Search") —
+    the billion-vector scale path the ANN family was missing: vectors
+    compress to M=8 one-byte codes (argmin-L2 codebook assignment per
+    8-dim subspace; codebook = the subvectors of the first 16 vectors,
+    the kmeans_lloyd seeding rule), and a query scans CODES, not
+    floats, through a 128-entry lookup table of
+    query-subvector-to-centroid distances.
+
+    Scale shape — every stage linear, every join equi:
+    (1) encode: subvector explode (M rows/vec) x broadcast 128-row
+    codebook, argmin via ``min(struct(dist, code))`` with map-side
+    partial aggregation — the shuffle carries ONE struct per (vec,
+    subspace), never the x16 candidate frame (no window, no sort);
+    (2) ADC: broadcast 128-row LUT equi-join + one groupBy summing M
+    lookups per vector; (3) TakeOrdered top-k.  At 100 TB the codes
+    table is 8 bytes/vector — this is how a 64-dim float corpus
+    becomes RAM-resident — and both broadcasts are constant-size by
+    construction.
+
+    Cross-engine float discipline: the per-vector ADC sum folds the
+    M=8 lookup distances IN SUBSPACE ORDER (sort_array(collect_list(
+    struct(j, d))) then a left fold; DuckDB ``list_reduce(list(d ORDER
+    BY j))``) — a plain sum() would be partition-order-dependent and
+    hash-diverge; distances themselves are shared left-assoc chains."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    sub = e.select(
+        "vec_id",
+        F.explode(F.expr(f"sequence(0, {_PQ_M - 1})")).alias("j"),
+        "embedding",
+    ).select(
+        "vec_id",
+        F.col("j").cast("int").alias("j"),
+        F.expr(f"slice(embedding, j * {_PQ_DSUB} + 1, {_PQ_DSUB})").alias("sv"),
+    )
+    cb = sub.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").cast("int").alias("code"),
+        "j",
+        F.col("sv").alias("cv"),
+    )
+    enc = (
+        sub.filter(F.col("vec_id") >= _PQ_K)
+        .join(F.broadcast(cb), "j")
+        .select(
+            "vec_id",
+            "j",
+            "code",
+            F.expr(_l2_spark("sv", "cv", _PQ_DSUB)).alias("d"),
+        )
+        .groupBy("vec_id", "j")
+        .agg(F.min(F.struct("d", "code")).alias("best"))
+        .select("vec_id", "j", F.col("best.code").alias("code"))
+    )
+    qsub = sub.filter(F.col("vec_id") == 0).select("j", "sv")
+    lut = cb.join(qsub, "j").select(
+        "j", "code", F.expr(_l2_spark("sv", "cv", _PQ_DSUB)).alias("d")
+    )
+    adc = (
+        enc.join(F.broadcast(lut), ["j", "code"])
+        .groupBy("vec_id")
+        .agg(
+            F.expr(
+                "aggregate(transform(sort_array(collect_list(struct(j, d))),"
+                " s -> s.d), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+            ).alias("adc_dist")
+        )
+    )
+    top = adc.orderBy("adc_dist", "vec_id").limit(_PQ_TOPK)
+    w = W.orderBy("adc_dist", "vec_id")
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "vec_id",
+        F.round("adc_dist", 6).alias("adc_dist"),
+    )

@@ -107,6 +107,19 @@ CARTESIAN_OK = {
     # the per-bigram surprisal projection via broadcast; constant
     # append per row (unigram_logprob's pattern).
     "bigram_lm_perplexity",
+    # hll_estimate_vs_exact — combines the ONE-ROW register-sum
+    # estimate with the ONE-ROW exact count via crossJoin; a 1x1 BNLJ
+    # is constant work at any scale (distinct_kmv_estimate's pattern).
+    "hll_estimate_vs_exact",
+    # bpe_train_merges — each round broadcasts the ONE-ROW argmax merge
+    # pair into the vocabulary fold (unigram_logprob's constant-append
+    # pattern, once per constant round count).
+    "bpe_train_merges",
+    # mmr_diversify — each greedy step broadcasts the ONE-ROW query
+    # vector and the ONE-ROW pivoted selected-embedding frame (<= k-1
+    # array columns) against the candidates: kmeans_lloyd's constant-k
+    # E-step shape, k = 4 by construction.
+    "mmr_diversify",
 }
 
 
@@ -279,6 +292,14 @@ BOUNDED_BROADCAST_OK = {
     # k=8 seed centroids (vec_id < k) — constant-bounded by the
     # cluster count, not by SF
     "kmeans_lloyd",
+    # the vec_id == 0 query row and the limit(1) greedy picks —
+    # one-row frames by construction (each step broadcasts at most
+    # k-1 = 3 picked embeddings)
+    "mmr_diversify",
+    # the 128-row codebook (subvectors of vec_id < 16, kmeans_lloyd's
+    # seeding rule) and the 128-row ADC lookup table — constant-size
+    # by construction
+    "ann_pq_adc",
 }
 ALL_SCALE_GROWING = SCALE_GROWING + (
     "documents.parquet", "embeddings.parquet", "events.parquet",

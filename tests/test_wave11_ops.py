@@ -1,0 +1,300 @@
+"""Semantic tests for the round-11 newcomers (ann_pq_adc,
+bpe_train_merges, dup_span_merge, hll_estimate_vs_exact,
+mmr_diversify) — the oracle
+sweep verifies engine parity on the real tables; these exercise
+hand-computed ground truth and the defect paths the synthetic corpus
+may not cover (greedy-fold edge cases, merge exhaustion, the span
+floor, the diversity-vs-relevance divergence)."""
+
+from __future__ import annotations
+
+import datetime
+
+import duckdb
+
+from resotodatalink_spark import registry
+
+registry.load_all()
+
+
+def _duck_on(tmp_path, views: dict[str, str]):
+    con = duckdb.connect()
+    for name, sub in views.items():
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM "
+            f"'{tmp_path}/{sub}.parquet/*.parquet'"
+        )
+    return con
+
+
+def _write_documents(spark, path, rows):
+    spark.createDataFrame(
+        [(i, t, "en", "s0", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+
+
+# --- BPE ------------------------------------------------------------------
+
+
+def test_bpe_fold_greedy_semantics_both_engines(spark):
+    """The fold IS the BPE apply rule; its three subtle cases are
+    checked on BOTH engines: (1) a merge consumes its right token, so
+    overlapping occurrences don't chain within a round; (2) the
+    separator must sit right before l — a token merely ENDING in l's
+    text never merges; (3) greedy is left-to-right."""
+    from resotodatalink_spark.queries.text import _bpe_fold
+
+    cases = [
+        (["a", "a", "a"], "a", "a", ["aa", "a"]),
+        (["a", "a", "a", "a"], "a", "a", ["aa", "aa"]),
+        (["x", "a", "b", "a", "b"], "a", "b", ["x", "ab", "ab"]),
+        (["xb", "b", "b"], "b", "b", ["xb", "bb"]),  # no suffix false-merge
+        (["ab", "ab", "ab"], "ab", "ab", ["abab", "ab"]),
+        (["q"], "a", "b", ["q"]),
+        (["b", "a"], "a", "b", ["b", "a"]),  # order matters
+    ]
+    import pyspark.sql.functions as F
+
+    sdf = spark.createDataFrame(
+        [(i, t, l, r) for i, (t, l, r, _) in enumerate(cases)],
+        "i int, toks array<string>, l string, r string",
+    ).select("i", F.expr(_bpe_fold("toks", "l", "r", "spark")).alias("out"))
+    got_spark = {r.i: r.out for r in sdf.collect()}
+
+    con = duckdb.connect()
+    for i, (t, l, r, want) in enumerate(cases):
+        assert got_spark[i] == want, f"spark case {i}: {got_spark[i]}"
+        lst = "[" + ",".join(f"'{x}'" for x in t) + "]"
+        (got_duck,) = con.execute(
+            "SELECT " + _bpe_fold(lst, f"'{l}'", f"'{r}'", "duck")
+        ).fetchone()
+        assert got_duck == want, f"duck case {i}: {got_duck}"
+    con.close()
+
+
+def test_bpe_train_merges_planted_vocab_and_exhaustion(spark, tmp_path):
+    """Hand-computed merge table on a planted corpus: words aab x3,
+    ab x2 give pair counts (a,a)=3 (a,b)=5 -> merge 1 is (a,b); after
+    applying it the vocab is [a,ab] x3 / [ab] x2, so merge 2 is
+    (a,ab)=3; then NO pairs remain — rounds 3..6 must contribute no
+    rows on either engine (the exhaustion path the real corpus never
+    hits)."""
+    _write_documents(spark, tmp_path, [(0, "aab aab ab"), (1, "aab ab")])
+    got = [
+        (r.round, r.left_tok, r.right_tok, r.merged, r.pair_count)
+        for r in registry.QUERIES["bpe_train_merges"](spark, str(tmp_path))
+        .orderBy("round")
+        .collect()
+    ]
+    want = [(1, "a", "b", "ab", 5), (2, "a", "ab", "aab", 3)]
+    assert got == want
+
+    con = _duck_on(tmp_path, {"documents": "documents"})
+    odf = con.execute(registry.ORACLES["bpe_train_merges"]).df()
+    con.close()
+    ora = sorted(
+        (int(r.round), r.left_tok, r.right_tok, r.merged, int(r.pair_count))
+        for r in odf.itertuples()
+    )
+    assert ora == want
+
+
+# --- dup_span_merge -------------------------------------------------------
+
+
+def test_dup_span_merge_islands_and_floor(spark, tmp_path):
+    """Two docs share an 8-token run => a 4-gram island in each, with
+    the island's positions reflecting each doc's own offset; two other
+    docs share EXACTLY one 5-gram => a 1-gram island that the
+    n_grams >= 2 floor must drop; fully-unique docs contribute
+    nothing."""
+    run = "p q r s t u v w"
+    docs = [
+        (0, "a1 a2 a3 a4 a5 " + run + " b1 b2 b3 b4 b5"),  # run at pos 6
+        (1, "c1 c2 c3 c4 " + run + " d1 d2 d3 d4 d5 d6"),  # run at pos 5
+        (2, "e1 e2 e3 m n o pp qq f1 f2 f3 f4"),  # 1 shared gram at pos 4
+        (3, "g1 g2 g3 m n o pp qq h1 h2 h3 h4"),
+        (4, "u1 u2 u3 u4 u5 u6 u7 u8 u9"),  # unique: no rows
+    ]
+    _write_documents(spark, tmp_path, docs)
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.n_grams, r.span_tokens)
+        for r in registry.QUERIES["dup_span_merge"](spark, str(tmp_path)).collect()
+    )
+    want = [(0, 6, 9, 4, 8), (1, 5, 8, 4, 8)]
+    assert got == want
+
+    con = _duck_on(tmp_path, {"documents": "documents"})
+    odf = con.execute(registry.ORACLES["dup_span_merge"]).df()
+    con.close()
+    ora = sorted(
+        (int(r.doc_id), int(r.span_start), int(r.span_end),
+         int(r.n_grams), int(r.span_tokens))
+        for r in odf.itertuples()
+    )
+    assert ora == want
+
+
+# --- HLL ------------------------------------------------------------------
+
+
+def test_hll_estimate_planted_cardinality(spark, tmp_path):
+    """1,000 distinct ids across 2,500 rows: exact must read 1,000, the
+    m=128 estimate must sit inside the 2-standard-error audit band, and
+    the registered DuckDB oracle must produce the bit-identical row
+    (the register construction is the portability claim)."""
+    rows = [
+        (i % 1000, datetime.datetime(2024, 1, 1), 1, "x", 0.0, "{}")
+        for i in range(2500)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    (r,) = registry.QUERIES["hll_estimate_vs_exact"](spark, str(tmp_path)).collect()
+    assert r.exact_distinct == 1000
+    assert r.within_2se is True
+    assert abs(r.est_distinct - 1000) <= 184  # the band, spelled out
+
+    con = _duck_on(tmp_path, {"events": "events"})
+    (o,) = con.execute(registry.ORACLES["hll_estimate_vs_exact"]).fetchall()
+    con.close()
+    assert o == (
+        r.est_distinct,
+        r.exact_distinct,
+        r.n_registers,
+        r.within_2se,
+    )
+
+
+# --- MMR ------------------------------------------------------------------
+
+
+def test_mmr_diversify_prefers_diverse_over_twin(spark, tmp_path):
+    """Planted geometry where pure relevance top-2 would return a
+    near-twin pair: v1 and its twin v2 both sit at cosine ~0.99 to the
+    query, v3 is moderately relevant but near-orthogonal to them.  The
+    greedy trace must match an independent numpy implementation, and
+    rank 2 must be the DIVERSE pick, not the twin."""
+    import numpy as np
+
+    # v1/v2: twins at rel ~0.90 in the (e1,e2) plane; v3: rel 0.85 in
+    # the (e1,e3) plane, so cos(v3, v1) ~ 0.9*0.85 = 0.765.  Step-2
+    # scores: twin 0.7*0.899 - 0.3*1.0 ~ 0.329 < diverse
+    # 0.7*0.85 - 0.3*0.765 ~ 0.366 — rank 2 must be v3.
+    dim = 64
+    vecs = {0: [1.0] + [0.0] * (dim - 1)}  # query
+    v1 = [0.90, 0.43589] + [0.0] * (dim - 2)
+    v2 = [0.899, 0.438] + [0.0] * (dim - 2)  # near-twin of v1
+    v3 = [0.85, 0.0, 0.52678] + [0.0] * (dim - 3)  # diverse, close rel
+    v4 = [0.3, 0.0, 0.0, 0.954] + [0.0] * (dim - 4)
+    v5 = [0.2, 0.0, 0.0, 0.0, 0.98] + [0.0] * (dim - 5)
+    v6 = [0.1] + [0.0] * (dim - 2) + [0.995]
+    for i, v in enumerate([v1, v2, v3, v4, v5, v6], start=1):
+        vecs[i] = v
+    spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>, label int",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+
+    got = [
+        (r.rank, r.vec_id)
+        for r in registry.QUERIES["mmr_diversify"](spark, str(tmp_path))
+        .orderBy("rank")
+        .collect()
+    ]
+
+    # independent greedy reference (float32 storage like the table)
+    a = {i: np.asarray(v, dtype=np.float32).astype(np.float64) for i, v in vecs.items()}
+
+    def cos(x, y):
+        return float(np.dot(x, y) / (np.linalg.norm(x) * np.linalg.norm(y)))
+
+    cand = [i for i in a if i >= 1]
+    rel = {i: cos(a[0], a[i]) for i in cand}
+    picked = [max(cand, key=lambda i: (rel[i], -i))]
+    while len(picked) < 4:
+        rest = [i for i in cand if i not in picked]
+        scores = {
+            i: 0.7 * rel[i] - 0.3 * max(cos(a[i], a[j]) for j in picked)
+            for i in rest
+        }
+        picked.append(max(rest, key=lambda i: (scores[i], -i)))
+    assert got == list(enumerate(picked, start=1))
+    # the diversity claim itself: rank 1 is a twin, rank 2 is NOT the
+    # other twin (pure relevance would pick it)
+    by_rel = sorted(cand, key=lambda i: -rel[i])
+    assert got[0][1] == by_rel[0]
+    assert got[1][1] != by_rel[1]
+    assert got[1][1] == 3
+
+
+# --- PQ / ADC ---------------------------------------------------------------
+
+
+def test_ann_pq_adc_planted_geometry(spark, tmp_path):
+    """Planted corpus where PQ is exact by construction: every
+    candidate IS one of the 16 codebook vectors (so encoding loses
+    nothing and ADC distance == true squared L2 to the query).  The
+    top-k must equal a numpy brute-force ranking, a candidate equal to
+    a codebook vector must encode to distance 0 against a query equal
+    to the same vector, and the registered oracle must agree
+    bit-for-bit."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    dim = 64
+    book = rng.randn(16, dim).astype(np.float32)
+    # vec_id i = codebook vector i for i < 16 (the slug's seeding rule:
+    # vec_id < 16 IS the codebook); the query row (vec_id 0) is
+    # therefore book[0]
+    rows = [(i, [float(x) for x in book[i]], 0) for i in range(16)]
+    # candidates: copies of codebook vectors (encode losslessly)
+    plant = {16: 0, 17: 2, 18: 9, 19: 14, 20: 0, 21: 5, 22: 7, 23: 11,
+             24: 3, 25: 12, 26: 1, 27: 8}
+    for vid, b in plant.items():
+        rows.append((vid, [float(x) for x in book[b]], 0))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+
+    got = [
+        (r.rank, r.vec_id, r.adc_dist)
+        for r in registry.QUERIES["ann_pq_adc"](spark, str(tmp_path))
+        .orderBy("rank")
+        .collect()
+    ]
+    # reference: true squared L2 of each candidate to the query, with
+    # the ENGINES' exact float grouping (left-assoc 8-term chain per
+    # subspace, then a 0.0-seeded left fold over the 8 subspace sums —
+    # np.sum's different association flips near-tied orderings)
+    q = book[0].astype(np.float64)
+
+    def l2_like_engines(cand):
+        total = 0.0
+        for j in range(8):
+            chunk = None
+            for i in range(8 * j, 8 * j + 8):
+                term = (float(cand[i]) - float(q[i])) ** 2
+                chunk = term if chunk is None else chunk + term
+            total = total + chunk
+        return total
+
+    dists = {
+        vid: l2_like_engines(book[b].astype(np.float64))
+        for vid, b in plant.items()
+    }
+    want_order = sorted(plant, key=lambda v: (dists[v], v))[:10]
+    assert [v for _, v, _ in got] == want_order
+    # exact copies of the query must rank first at distance 0
+    assert got[0][1] == 16 and got[0][2] == 0.0
+    assert got[1][1] == 20 and got[1][2] == 0.0
+
+    con = _duck_on(tmp_path, {"embeddings": "embeddings"})
+    odf = con.execute(registry.ORACLES["ann_pq_adc"]).df()
+    con.close()
+    ora = [(int(r.rank), int(r.vec_id), float(r.adc_dist)) for r in odf.itertuples()]
+    assert ora == got

@@ -70,8 +70,20 @@ def main(
         return f"'{SRC}/{t}.parquet'"
 
     def write(t: str, sql: str) -> None:
+        # ROW_GROUP_SIZE pinned: DuckDB's COPY emits one row group per
+        # output pipeline chunk, so a single-pipeline query (documents,
+        # embeddings) can land 500k rows in ONE group — and Spark's
+        # input splits are row-group-atomic, so every downstream scan
+        # runs on ONE task no matter how many byte-range splits exist
+        # (spread_partitions can't help: getNumPartitions() counts the
+        # empty splits).  Caught in round 11 when a regenerated sf10
+        # corpus ran document-family queries 2-4x slower with
+        # byte-identical shuffle telemetry.  Pinning makes the bench
+        # substrate deterministic and matches how real 100 TB tables
+        # arrive (thousands of splits).
         con.execute(
-            f"COPY ({sql}) TO '{dest}/{t}.parquet' (FORMAT PARQUET)"
+            f"COPY ({sql}) TO '{dest}/{t}.parquet'"
+            " (FORMAT PARQUET, ROW_GROUP_SIZE 122880)"
         )
         n = con.execute(f"SELECT count(*) FROM '{dest}/{t}.parquet'").fetchone()[0]
         print(f"{t}: {n} rows")
@@ -153,7 +165,11 @@ def main(
             else:
                 cols[name] = docs_tbl[name].combine_chunks()
         chunks.append(pa.table(cols).cast(docs_tbl.schema))
-    pq.write_table(pa.concat_tables(chunks), f"{dest}/documents.parquet")
+    pq.write_table(
+        pa.concat_tables(chunks),
+        f"{dest}/documents.parquet",
+        row_group_size=122880,  # same rationale as the COPY sites
+    )
     print(f"documents: {sum(len(c) for c in chunks)} rows")
 
     if wanted("embeddings"):
@@ -221,7 +237,9 @@ def _scale_embeddings(con, src, dest: str, copies: int) -> None:
             "label": pa.array(labels, pa.int32()),
         }
     )
-    pq.write_table(tbl, f"{dest}/embeddings.parquet")
+    pq.write_table(
+        tbl, f"{dest}/embeddings.parquet", row_group_size=122880
+    )
     print(f"embeddings: {len(ids)} rows")
 
 
