@@ -27,9 +27,10 @@ _NEVER_ATTESTED = [
     # Round-11 newcomers (registry grows 194 -> 198): the iterative /
     # sketch / span-merge / diversity gaps in the LLM-pipeline family,
     # each value-hash-oracled.  Never attested, so they lead the window
-    # (the 5 slots push 5 more r7-tier slugs into _R12_COHORT, which
+    # (the 6 slots push 6 more r7-tier slugs into _R12_COHORT, which
     # still fits r12's 50 with room to spare — see arithmetic below).
     "ann_pq_adc",
+    "bpe_encode_corpus",
     "bpe_train_merges",
     "dup_span_merge",
     "hll_estimate_vs_exact",
@@ -164,11 +165,11 @@ _ATTEST_FIRST = (
 )
 
 # The r12 cohort, named explicitly (capacity arithmetic continued from
-# r10: a 199-slug registry attested 50/round floors at a ~4-round
-# rotation).  r11's window holds 5 new + 8 seam + 7 changed + 14 r6 +
-# 16 r7 = 50 exactly, so these 27 r7-tier slugs spill to r12 — after
+# r10: a 200-slug registry attested 50/round floors at a ~4-round
+# rotation).  r11's window holds 6 new + 8 seam + 7 changed + 14 r6 +
+# 15 r7 = 50 exactly, so these 28 r7-tier slugs spill to r12 — after
 # r11 they are the ONLY slugs whose newest driver row is r7, and with
-# zero r12 changes they all fit r12's window with 23 slots to spare,
+# zero r12 changes they all fit r12's window with 22 slots to spare,
 # ending the staleness tail entirely.
 _R12_COHORT = _ATTEST_FIRST[50:]
 

@@ -188,9 +188,11 @@ EXTENDED = [
     # round-10: the real P6 demuxer (variable-geometry header walk in
     # mapInPandas) — the Arrow fan-out path's wall belongs on record
     "multimodal_frames",
-    # round-11: iterative BPE training, maximal duplicated-span merge,
-    # portable HLL, MMR diversification, and PQ/ADC compressed scan
+    # round-11: iterative BPE training + corpus encode, maximal
+    # duplicated-span merge, portable HLL, MMR diversification, and
+    # PQ/ADC compressed scan
     "ann_pq_adc",
+    "bpe_encode_corpus",
     "bpe_train_merges",
     "dup_span_merge",
     "hll_estimate_vs_exact",
@@ -330,6 +332,9 @@ SF1_SUBSET = [
     # already tracks.
     "dup_span_merge",
     "bpe_train_merges",
+    # the encode join's volume side is the (source, word) collapse —
+    # corpus-scan bound like the trainer, but with the dictionary join
+    "bpe_encode_corpus",
 ]
 
 

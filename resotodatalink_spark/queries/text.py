@@ -1697,7 +1697,13 @@ def _bpe_fold(toks: str, l: str, r: str, dialect: str) -> str:
     return f"string_split(list_reduce({toks}, (acc, x) -> {body}), chr(31))"
 
 
-def _bpe_oracle() -> str:
+def _bpe_cte_prefix() -> str:
+    """Shared CTE chain for the BPE slugs: word counts -> char split ->
+    _BPE_ROUNDS rounds of (pair counts, argmax merge, greedy fold).
+    The ``word`` column rides through every v_k so the final vocabulary
+    (v{_BPE_ROUNDS}) doubles as the word -> tokenization DICTIONARY the
+    encode slug joins against."""
+
     def pairs(v: str) -> str:
         return f"""(
       SELECT p.l, p.r, CAST(sum(c) AS BIGINT) AS cnt
@@ -1717,23 +1723,39 @@ def _bpe_oracle() -> str:
       GROUP BY word
     ),
     v0 AS (
-      SELECT list_transform(range(1, length(word) + 1),
+      SELECT word,
+             list_transform(range(1, length(word) + 1),
                             i -> substring(word, CAST(i AS INT), 1)) AS toks,
              cnt
       FROM w
     )"""
     for k in range(1, _BPE_ROUNDS + 1):
         fold = _bpe_fold("v.toks", "m.l", "m.r", "duck")
+        # the ('','',0) sentinel keeps m{k} EXACTLY ONE ROW when the
+        # pair frame is empty (merges exhausted): an empty argmax would
+        # annihilate v{k} through the cross join and the encode slug
+        # would tokenize nothing (caught by the hand-fertility fixture).
+        # A real pair (cnt >= 1) always outranks it; the empty-string
+        # merge can never fire in the fold (tokens are nonempty).
+        # Consumers of the merge TABLE filter mcnt > 0.
         sql += f""",
     p{k} AS {pairs(f'v{k - 1}')},
-    m{k} AS (SELECT l, r, cnt AS mcnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1),
-    v{k} AS (SELECT {fold} AS toks, v.cnt AS cnt FROM v{k - 1} v, m{k} m)"""
-    sql += "\n    SELECT * FROM (" + " UNION ALL ".join(
+    m{k} AS (
+      SELECT l, r, mcnt FROM (
+        SELECT l, r, cnt AS mcnt FROM p{k}
+        UNION ALL SELECT '', '', CAST(0 AS BIGINT)
+      ) ORDER BY mcnt DESC, l, r LIMIT 1
+    ),
+    v{k} AS (SELECT v.word, {fold} AS toks, v.cnt AS cnt FROM v{k - 1} v, m{k} m)"""
+    return sql
+
+
+def _bpe_oracle() -> str:
+    return _bpe_cte_prefix() + "\n    SELECT * FROM (" + " UNION ALL ".join(
         f"SELECT {k} AS round, l AS left_tok, r AS right_tok, "
         f"l || r AS merged, mcnt AS pair_count FROM m{k}"
         for k in range(1, _BPE_ROUNDS + 1)
-    ) + ")"
-    return sql
+    ) + ") WHERE pair_count > 0"
 
 
 @query("bpe_train_merges", oracle=_bpe_oracle())
@@ -1761,6 +1783,25 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpreted, not codegen (the documented HOF rule,
     functions/vectors.py dot_spark) — acceptable here BECAUSE it runs
     on the bounded vocabulary, never on corpus-sized rows."""
+    _, bests = _bpe_learn(spark, sf_dir)
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionByName(b)
+    return out.filter(F.col("mcnt") > 0).select(
+        "round",
+        F.col("l").alias("left_tok"),
+        F.col("r").alias("right_tok"),
+        F.concat("l", "r").alias("merged"),
+        F.col("mcnt").alias("pair_count"),
+    )
+
+
+def _bpe_learn(spark: SparkSession, sf_dir: str):
+    """Run the _BPE_ROUNDS merge-learning loop; return (final vocab
+    with the ``word`` column carried — the word -> tokenization
+    dictionary — and the per-round one-row argmax frames).  Every
+    intermediate is checkpointed: the loop's lineage must truncate or
+    round k re-derives every earlier fold ~3^k times."""
     d = table(spark, sf_dir, "documents")
     w = (
         d.select(F.explode(F.split("text", " ")).alias("word"))
@@ -1770,6 +1811,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vocab = _ckpt(
         w.select(
+            "word",
             F.expr(
                 "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
             ).alias("toks"),
@@ -1793,26 +1835,86 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
             .agg(F.sum("cnt").alias("cnt"))
         )
+        # same sentinel rule as the oracle CTEs: keep best EXACTLY ONE
+        # ROW through merge exhaustion or the cross join would
+        # annihilate the vocabulary (see _bpe_cte_prefix comment)
+        sent = spark.range(1).select(
+            F.lit("").alias("l"),
+            F.lit("").alias("r"),
+            F.lit(0).cast("long").alias("mcnt"),
+        )
         best = _ckpt(
             pairs.orderBy(F.desc("cnt"), "l", "r")
             .limit(1)
             .select("l", "r", F.col("cnt").alias("mcnt"))
+            .unionByName(sent)
+            .orderBy(F.desc("mcnt"), "l", "r")
+            .limit(1)
         )
         bests.append(best.withColumn("round", F.lit(k)))
-        if k < _BPE_ROUNDS:
-            vocab = _ckpt(
-                vocab.crossJoin(F.broadcast(best)).select(
-                    F.expr(_bpe_fold("toks", "l", "r", "spark")).alias("toks"),
-                    "cnt",
-                )
+        vocab = _ckpt(
+            vocab.crossJoin(F.broadcast(best)).select(
+                "word",
+                F.expr(_bpe_fold("toks", "l", "r", "spark")).alias("toks"),
+                "cnt",
             )
-    out = bests[0]
-    for b in bests[1:]:
-        out = out.unionByName(b)
-    return out.select(
-        "round",
-        F.col("l").alias("left_tok"),
-        F.col("r").alias("right_tok"),
-        F.concat("l", "r").alias("merged"),
-        F.col("mcnt").alias("pair_count"),
+        )
+    return vocab, bests
+
+
+_BPE_ENCODE_ORACLE = _bpe_cte_prefix() + f""",
+    enc AS (
+      SELECT word, CAST(len(toks) AS INTEGER) AS n_tok FROM v{_BPE_ROUNDS}
+    ),
+    sw AS (
+      SELECT source, word, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+            FROM documents)
+      WHERE regexp_matches(word, '^[a-z]+$')
+      GROUP BY source, word
+    )
+    SELECT sw.source,
+           CAST(sum(sw.n) AS BIGINT) AS n_words,
+           CAST(sum(sw.n * enc.n_tok) AS BIGINT) AS n_tokens,
+           round(CAST(sum(sw.n * enc.n_tok) AS DOUBLE) / sum(sw.n), 6)
+             AS fertility
+    FROM sw JOIN enc USING (word)
+    GROUP BY sw.source
+"""
+
+
+@query("bpe_encode_corpus", oracle=_BPE_ENCODE_ORACLE)
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY at corpus scale: encode every document with the
+    merges `bpe_train_merges` learned and report per-source token
+    counts and fertility (tokens per word) — the metric a training-data
+    pipeline watches to budget context windows and spot sources that
+    tokenize badly.
+
+    Scale shape — the part a naive implementation gets wrong: the fold
+    that applies merges is an interpreted HOF, so it must NEVER run on
+    corpus-sized rows.  Production tokenizers cache per-WORD encodings;
+    here the word -> tokenization dictionary is the training loop's
+    final vocabulary (computed once, `_bpe_learn`), and the corpus side
+    collapses to (source, word, count) FIRST — a map-side-combined
+    aggregate bounded by vocabulary x sources — before one equi-join
+    against the dictionary (no broadcast hint: distinct words grow with
+    the corpus).  At 100 TB the only corpus-sized stage is the word
+    count; the fold runs on |vocab| rows exactly once."""
+    vocab, _ = _bpe_learn(spark, sf_dir)
+    enc = vocab.select("word", F.size("toks").cast("int").alias("n_tok"))
+    d = table(spark, sf_dir, "documents")
+    sw = (
+        d.select("source", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("n"))
+    )
+    j = sw.join(enc, "word")
+    return j.groupBy("source").agg(
+        F.sum("n").alias("n_words"),
+        F.sum(F.col("n") * F.col("n_tok")).alias("n_tokens"),
+        F.round(
+            F.sum(F.col("n") * F.col("n_tok")).cast("double") / F.sum("n"), 6
+        ).alias("fertility"),
     )

@@ -115,6 +115,9 @@ CARTESIAN_OK = {
     # pair into the vocabulary fold (unigram_logprob's constant-append
     # pattern, once per constant round count).
     "bpe_train_merges",
+    # bpe_encode_corpus — shares _bpe_learn's per-round one-row
+    # broadcasts; the corpus-side encode join itself is an equi-join.
+    "bpe_encode_corpus",
     # mmr_diversify — each greedy step broadcasts the ONE-ROW query
     # vector and the ONE-ROW pivoted selected-embedding frame (<= k-1
     # array columns) against the candidates: kmeans_lloyd's constant-k

@@ -298,3 +298,80 @@ def test_ann_pq_adc_planted_geometry(spark, tmp_path):
     con.close()
     ora = [(int(r.rank), int(r.vec_id), float(r.adc_dist)) for r in odf.itertuples()]
     assert ora == got
+
+
+# --- BPE encode -------------------------------------------------------------
+
+
+def _bpe_ref_train_encode(word_counts: dict[str, int], rounds: int):
+    """Independent Python BPE: learn ``rounds`` merges (most-frequent
+    adjacent pair, ties lexicographic) and return each word's final
+    token count.  Mirrors ONLY the published algorithm, not the SQL."""
+    vocab = {w: [c for c in w] for w in word_counts}
+    for _ in range(rounds):
+        pairs: dict[tuple, int] = {}
+        for w, toks in vocab.items():
+            for a, b in zip(toks, toks[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + word_counts[w]
+        if not pairs:
+            break
+        (l, r), _cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        for w, toks in vocab.items():
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == l and toks[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            vocab[w] = out
+    return {w: len(t) for w, t in vocab.items()}
+
+
+def test_bpe_encode_corpus_vs_python_reference(spark, tmp_path):
+    """Fertility on a planted two-source corpus whose long b-run word
+    can't fully merge in 6 rounds, checked against an independent
+    Python BPE train+encode (merge exhaustion NOT reached here — the
+    exhaustion arm is the trainer fixture's job; an earlier hand
+    expectation forgot that rounds 3..6 keep merging, which is exactly
+    why the reference is code, not constants)."""
+    docs = [
+        (0, "aab aab ab", "s0"),
+        (1, "aab ab bbbbbbbbbb", "s1"),
+        (2, "ba ba bbbbbbbbbb", "s1"),
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", src, len(t)) for i, t, src in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    counts: dict[str, int] = {}
+    per_source: dict[str, list[str]] = {}
+    for _, t, src in docs:
+        for w in t.split():
+            counts[w] = counts.get(w, 0) + 1
+            per_source.setdefault(src, []).append(w)
+    ntok = _bpe_ref_train_encode(counts, 6)
+    want = {}
+    for src, words in per_source.items():
+        n_words = len(words)
+        n_tokens = sum(ntok[w] for w in words)
+        want[src] = (n_words, n_tokens, round(n_tokens / n_words, 6))
+    # the fixture is only interesting if something stays multi-token
+    assert any(v > 1 for v in ntok.values()), ntok
+
+    got = {
+        r.source: (r.n_words, r.n_tokens, r.fertility)
+        for r in registry.QUERIES["bpe_encode_corpus"](spark, str(tmp_path)).collect()
+    }
+    assert got == want
+
+    con = _duck_on(tmp_path, {"documents": "documents"})
+    odf = con.execute(registry.ORACLES["bpe_encode_corpus"]).df()
+    con.close()
+    ora = {
+        r.source: (int(r.n_words), int(r.n_tokens), float(r.fertility))
+        for r in odf.itertuples()
+    }
+    assert ora == want
