@@ -197,3 +197,131 @@ def test_dup_span_islands_match_bruteforce_duck(seed, n_docs):
     }
     con.close()
     assert got == _islands_ref(docs)
+
+
+# --- PQ/ADC full pipeline vs Python reference ------------------------------
+
+
+def _pq_ref(vecs: dict[int, list[float]], m=8, kc=16, dsub=8, topk=10):
+    """Independent PQ encode + ADC with the engines' exact float
+    grouping (left-assoc per-subspace chains, 0.0-seeded fold)."""
+
+    def l2(a, b, j):
+        chunk = None
+        for i in range(dsub * j, dsub * j + dsub):
+            t = (float(a[i]) - float(b[i])) ** 2
+            chunk = t if chunk is None else chunk + t
+        return chunk
+
+    book = {c: vecs[c] for c in range(kc)}
+    q = vecs[0]
+    lut = {(j, c): l2(q, book[c], j) for j in range(m) for c in range(kc)}
+    out = []
+    for vid, v in vecs.items():
+        if vid < kc:
+            continue
+        total = 0.0
+        for j in range(m):
+            code = min(range(kc), key=lambda c: (l2(v, book[c], j), c))
+            total = total + lut[(j, code)]
+        out.append((vid, total))
+    out.sort(key=lambda t: (t[1], t[0]))
+    return [(i + 1, vid, round(d, 6)) for i, (vid, d) in enumerate(out[:topk])]
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    n_cand=st.integers(min_value=1, max_value=30),
+)
+def test_pq_adc_oracle_matches_python_reference(seed, n_cand):
+    import numpy as np
+
+    from resotodatalink_spark.registry import ORACLES, load_all
+
+    load_all()
+    rng = np.random.RandomState(seed)
+    all_vecs = rng.randn(16 + n_cand, 64).astype(np.float32)
+    vecs = {i: [float(x) for x in all_vecs[i]] for i in range(len(all_vecs))}
+    con = duckdb.connect()
+    con.register(
+        "emb_src",
+        __import__("pandas").DataFrame(
+            {"vec_id": list(vecs), "embedding": [vecs[i] for i in vecs],
+             "label": [0] * len(vecs)}
+        ),
+    )
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT vec_id, "
+        "CAST(embedding AS FLOAT[]) AS embedding, label FROM emb_src"
+    )
+    got = [
+        (int(a), int(b), round(float(c), 6))
+        for a, b, c in con.execute(ORACLES["ann_pq_adc"]).fetchall()
+    ]
+    con.close()
+    assert got == _pq_ref(vecs)
+
+
+# --- MMR greedy trace vs Python reference ----------------------------------
+
+
+def _mmr_ref(vecs: dict[int, list[float]], lam=0.7, k=4):
+    def dot(a, b):
+        out = None
+        for i in range(len(a)):
+            t = float(a[i]) * float(b[i])
+            out = t if out is None else out + t
+        return out
+
+    def cos(a, b):
+        import math
+
+        return dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+
+    q = vecs[0]
+    cand = [i for i in vecs if i >= 1]
+    rel = {i: cos(q, vecs[i]) for i in cand}
+    picked = [max(cand, key=lambda i: (rel[i], -i))]
+    while len(picked) < min(k, len(cand)):
+        rest = [i for i in cand if i not in picked]
+        sc = {
+            i: lam * rel[i] - (1 - lam) * max(cos(vecs[i], vecs[j]) for j in picked)
+            for i in rest
+        }
+        picked.append(max(rest, key=lambda i: (sc[i], -i)))
+    return [(r + 1, v) for r, v in enumerate(picked)]
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    n_cand=st.integers(min_value=4, max_value=25),
+)
+def test_mmr_oracle_matches_python_reference(seed, n_cand):
+    import numpy as np
+
+    from resotodatalink_spark.registry import ORACLES, load_all
+
+    load_all()
+    rng = np.random.RandomState(seed)
+    all_vecs = rng.randn(1 + n_cand, 64).astype(np.float32)
+    vecs = {i: [float(x) for x in all_vecs[i]] for i in range(len(all_vecs))}
+    con = duckdb.connect()
+    con.register(
+        "emb_src",
+        __import__("pandas").DataFrame(
+            {"vec_id": list(vecs), "embedding": [vecs[i] for i in vecs],
+             "label": [0] * len(vecs)}
+        ),
+    )
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT vec_id, "
+        "CAST(embedding AS FLOAT[]) AS embedding, label FROM emb_src"
+    )
+    got = [
+        (int(a), int(b))
+        for a, b, _ in con.execute(ORACLES["mmr_diversify"]).fetchall()
+    ]
+    con.close()
+    assert got == _mmr_ref(vecs)
