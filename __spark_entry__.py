@@ -24,7 +24,7 @@ registry.load_all()
 # with a fresh green row from last round and no changes this round are
 # the ones that may fall past the cap.  All slugs stay registered.
 _NEVER_ATTESTED = [
-    # Round-11 newcomers (registry grows 194 -> 198): the iterative /
+    # Round-11 newcomers (registry grows 194 -> 200): the iterative /
     # sketch / span-merge / diversity gaps in the LLM-pipeline family,
     # each value-hash-oracled.  Never attested, so they lead the window
     # (the 6 slots push 6 more r7-tier slugs into _R12_COHORT, which
@@ -35,6 +35,17 @@ _NEVER_ATTESTED = [
     "dup_span_merge",
     "hll_estimate_vs_exact",
     "mmr_diversify",
+    # Second-wave round-11 newcomers (registry 200 -> 206): positional
+    # phrase search, DSIR importance resampling, sampled-quantile and
+    # JL-projection and kNN-label audits, HLL register mergeability.
+    # Never attested, so they join the window head; the 6 extra slots
+    # push 6 more r7-tier slugs into _R12_COHORT (arithmetic below).
+    "dsir_importance_weights",
+    "hll_merge_by_source",
+    "jl_projection_audit",
+    "knn_label_agreement",
+    "phrase_search",
+    "quantile_sample_audit",
 ]
 
 _R10_SEAM_CHANGED = [
@@ -109,7 +120,7 @@ _R6_TIER = [
 _R7_TIER = [
     # Newest driver row is CORRECTNESS_r07 (semdedup and
     # sparse_cosine_pairs moved up into _R10_SEAM_CHANGED).  The first
-    # 21 fill the r11 window's remaining slots; the tail spills to
+    # 9 fill the r11 window's remaining slots; the tail spills to
     # _R12_COHORT below.
     "agg_bool_ops",
     "agg_filter_clause",
@@ -165,12 +176,12 @@ _ATTEST_FIRST = (
 )
 
 # The r12 cohort, named explicitly (capacity arithmetic continued from
-# r10: a 200-slug registry attested 50/round floors at a ~4-round
-# rotation).  r11's window holds 6 new + 8 seam + 7 changed + 14 r6 +
-# 15 r7 = 50 exactly, so these 28 r7-tier slugs spill to r12 — after
+# r10: a 206-slug registry attested 50/round floors at a ~4-round
+# rotation).  r11's window holds 12 new + 8 seam + 7 changed + 14 r6 +
+# 9 r7 = 50 exactly, so these 34 r7-tier slugs spill to r12 — after
 # r11 they are the ONLY slugs whose newest driver row is r7, and with
-# zero r12 changes they all fit r12's window with 22 slots to spare,
-# ending the staleness tail entirely.
+# zero r12 changes they all fit r12's window with 16 slots to spare,
+# ending the staleness tail.
 _R12_COHORT = _ATTEST_FIRST[50:]
 
 

@@ -197,6 +197,15 @@ EXTENDED = [
     "dup_span_merge",
     "hll_estimate_vs_exact",
     "mmr_diversify",
+    # round-11 second wave: positional phrase search, DSIR importance
+    # resampling, sampled-quantile / JL-projection / kNN-label audits,
+    # HLL register mergeability
+    "dsir_importance_weights",
+    "hll_merge_by_source",
+    "jl_projection_audit",
+    "knn_label_agreement",
+    "phrase_search",
+    "quantile_sample_audit",
 ]
 
 

@@ -654,3 +654,121 @@ def quality_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         one(g4).alias("pass_all"),
         F.sum(F.when(g4, F.col("n_tok")).otherwise(0)).alias("kept_tokens"),
     )
+
+
+# --- DSIR importance weighting (round 11, second wave) --------------------------------
+
+from resotodatalink_spark.functions.hashing import str_hash_sql as _str_hash
+
+_DSIR_B = 64  # hashed-unigram feature buckets
+_DSIR_TOPK = 25  # resample quota per source
+
+
+@query(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH db AS (
+      SELECT doc_id, source, lang,
+             ({_str_hash('tok')}) % {_DSIR_B} AS bucket,
+             count(*) AS n
+      FROM (SELECT doc_id, source, lang,
+                   unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+      GROUP BY doc_id, source, lang, bucket
+    ),
+    raw AS (SELECT bucket, sum(n) AS cr FROM db GROUP BY bucket),
+    tgt AS (SELECT bucket, sum(n) AS ct FROM db WHERE lang = 'en'
+            GROUP BY bucket),
+    lr AS (
+      SELECT raw.bucket,
+             ln((coalesce(ct, 0) + 1.0)
+                / (sum(coalesce(ct, 0)) OVER () + {_DSIR_B}))
+           - ln((cr + 1.0) / (sum(cr) OVER () + {_DSIR_B})) AS logratio
+      FROM raw LEFT JOIN tgt USING (bucket)
+    ),
+    wts AS (
+      SELECT doc_id, source, lang,
+             CAST(sum(n) AS BIGINT) AS n_tokens,
+             round(sum(n * logratio), 6) AS weight
+      FROM db JOIN lr USING (bucket)
+      GROUP BY doc_id, source, lang
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY weight DESC, doc_id) AS rnk
+      FROM wts
+    )
+    SELECT doc_id, source, lang, n_tokens, weight,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= {_DSIR_TOPK}
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al., NeurIPS
+    2023) with hashed-unigram features: score every document by how
+    much more likely its tokens are under the TARGET distribution
+    (here: the corpus's English slice) than under the raw corpus, then
+    keep the top 25 per source — the published recipe for tilting a
+    web-scale crawl toward a target domain without training a model.
+    weight(doc) = sum_b n_b * (ln p_tgt(b) - ln p_raw(b)) over 64 hash
+    buckets, add-1 smoothed.
+
+    Scale shape: ONE corpus explode collapses straight to (doc, bucket)
+    counts (map-side combine; checkpointed so the two distribution
+    aggregates don't re-derive it); both bucket distributions are
+    64-row aggregates OF that frame with window totals over the bounded
+    frame (mutual_information's pattern); the log-ratio frame joins
+    back by explicit broadcast.  Selection is a per-SOURCE rank window
+    (sources scale in count, so no global sort).  The per-doc sum folds
+    <= 64 doubles, rounded 6dp per the float discipline."""
+    d = table(spark, sf_dir, "documents")
+    db = _ckpt(
+        d.select(
+            "doc_id",
+            "source",
+            "lang",
+            F.explode(F.split("text", " ")).alias("tok"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            (F.expr(_str_hash("tok")) % _DSIR_B).alias("bucket"),
+        )
+        .groupBy("doc_id", "source", "lang", "bucket")
+        .agg(F.count("*").alias("n"))
+    )
+    raw = db.groupBy("bucket").agg(F.sum("n").alias("cr"))
+    tgt = (
+        db.filter(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.sum("n").alias("ct"))
+    )
+    w_all = W.partitionBy()
+    ct0 = F.coalesce(F.col("ct"), F.lit(0))
+    lr = raw.join(tgt, "bucket", "left").select(
+        "bucket",
+        (
+            F.log((ct0 + 1.0) / (F.sum(ct0).over(w_all) + _DSIR_B))
+            - F.log((F.col("cr") + 1.0) / (F.sum("cr").over(w_all) + _DSIR_B))
+        ).alias("logratio"),
+    )
+    wts = (
+        db.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id", "source", "lang")
+        .agg(
+            F.sum("n").cast("long").alias("n_tokens"),
+            F.round(F.sum(F.col("n") * F.col("logratio")), 6).alias("weight"),
+        )
+    )
+    rnk = F.row_number().over(
+        W.partitionBy("source").orderBy(F.desc("weight"), "doc_id")
+    )
+    return (
+        wts.withColumn("rnk", rnk)
+        .filter(F.col("rnk") <= _DSIR_TOPK)
+        .select(
+            "doc_id", "source", "lang", "n_tokens", "weight",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

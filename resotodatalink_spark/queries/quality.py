@@ -596,3 +596,116 @@ def watermark_lag_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tot.join(p95, "event_type").select(
         "event_type", "n_events", "n_late", "max_lag_s", "p95_lag_s"
     )
+
+
+# --- sampled-quantile audit (round 11, second wave) -----------------------------------
+
+from resotodatalink_spark.functions import sketches as _SK  # noqa: E402
+
+_QSA_CENTS = "CAST(round(value * 100) AS BIGINT)"
+_QSA_RATE = 20  # keep 1-in-20 => 5% hash sample
+_QSA_PCTS = ((50, "p50"), (90, "p90"), (99, "p99"))
+
+
+def _qsa_quantile_cte(src: str, n_alias: str, suffix: str) -> str:
+    """Nearest-rank per-type quantiles of ``src`` (rows: event_type,
+    event_id, cents) — the quantiles_per_key window discipline."""
+    picks = ",\n             ".join(
+        f"max(CASE WHEN rn = CAST(ceil(0.{p} * n) AS BIGINT) "
+        f"THEN cents END) AS {name}_{suffix}"
+        for p, name in _QSA_PCTS
+    )
+    return f"""
+      SELECT event_type, CAST(max(n) AS BIGINT) AS {n_alias},
+             {picks}
+      FROM (
+        SELECT event_type, cents,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY cents, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM {src}
+      ) GROUP BY event_type
+    """
+
+
+@query(
+    "quantile_sample_audit",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type, event_id, {_QSA_CENTS} AS cents
+      FROM events
+    ),
+    s AS (
+      SELECT * FROM e
+      WHERE ({_SK.hll_hash_sql('event_id', 'duck')}) % {_QSA_RATE} = 0
+    ),
+    fq AS ({_qsa_quantile_cte('e', 'n_full', 'full')}),
+    sq AS ({_qsa_quantile_cte('s', 'n_sample', 'samp')})
+    SELECT fq.event_type, n_full, n_sample,
+           {', '.join(
+               f"{name}_full, {name}_samp, "
+               f"abs({name}_full - {name}_samp) AS err_{name}"
+               for _, name in _QSA_PCTS
+           )}
+    FROM fq JOIN sq USING (event_type)
+    """,
+)
+def quantile_sample_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-sampled quantile estimation audited against the exact
+    answer: p50/p90/p99 of event value (cents-discretized) per event
+    type from a deterministic 5% hash sample, beside the full-data
+    exact quantiles and the absolute error — the
+    estimate-vs-exact audit pattern of the KMV/CMS/Bloom/HLL family
+    applied to SAMPLING, the oldest quantile sketch there is.
+
+    Scale shape: the sample side is the production path — the hash
+    predicate pushes to the scan (no coordination, any executor can
+    evaluate membership), and its nearest-rank window runs over 5% of
+    the data.  The full-data exact arm is the audit's ground truth —
+    at validation scale only, like ann_recall_at_k's brute-force
+    baseline (few global groups force a per-group sort; production
+    would keep the sample arm alone).  All outputs are integer cents:
+    the value hash is float-free."""
+    ev = table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    samp = e.filter(
+        F.expr(_SK.hll_hash_sql("event_id", "spark")) % _QSA_RATE == 0
+    )
+
+    def quantiles(df: DataFrame, n_alias: str, suffix: str) -> DataFrame:
+        w = W.partitionBy("event_type").orderBy("cents", "event_id")
+        r = df.select(
+            "event_type",
+            "cents",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(W.partitionBy("event_type")).alias("n"),
+        )
+        aggs = [F.max("n").cast("long").alias(n_alias)]
+        for p, name in _QSA_PCTS:
+            aggs.append(
+                F.max(
+                    F.when(
+                        F.col("rn")
+                        == F.ceil(F.lit(p / 100.0) * F.col("n")).cast("long"),
+                        F.col("cents"),
+                    )
+                ).alias(f"{name}_{suffix}")
+            )
+        return r.groupBy("event_type").agg(*aggs)
+
+    fq = quantiles(e, "n_full", "full")
+    sq = quantiles(samp, "n_sample", "samp")
+    cols = ["event_type", "n_full", "n_sample"]
+    for _, name in _QSA_PCTS:
+        cols += [
+            f"{name}_full",
+            f"{name}_samp",
+            F.abs(F.col(f"{name}_full") - F.col(f"{name}_samp")).alias(
+                f"err_{name}"
+            ),
+        ]
+    return fq.join(sq, "event_type").select(*cols)

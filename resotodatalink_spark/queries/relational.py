@@ -1869,3 +1869,130 @@ def hll_estimate_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(0.184) * F.col("exact_distinct").cast("double")
         ).alias("within_2se"),
     )
+
+
+_HLL_MERGE_ORACLE = f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         {SK.hll_hash_sql("user_id", "duck")} AS hv
+  FROM events
+),
+gr AS (
+  SELECT event_type, hv % {SK.HLL_M} AS bucket,
+         max({SK.hll_rank_sql(f"(hv // {SK.HLL_M})")}) AS rank
+  FROM h GROUP BY event_type, bucket
+),
+merged AS (
+  SELECT bucket, max(rank) AS rank FROM gr GROUP BY bucket
+),
+direct AS (
+  SELECT hv % {SK.HLL_M} AS bucket,
+         max({SK.hll_rank_sql(f"(hv // {SK.HLL_M})")}) AS rank
+  FROM (SELECT DISTINCT hv FROM h) GROUP BY bucket
+),
+em AS (
+  SELECT CAST(floor({SK.HLL_NUMERATOR} /
+           (sum({SK.hll_term_sql("rank", "duck")})
+            + (CAST({SK.HLL_M} AS BIGINT) - count(*))
+              * {SK.HLL_EMPTY_TERM})) AS BIGINT) AS est_merged
+  FROM merged
+),
+ed AS (
+  SELECT CAST(floor({SK.HLL_NUMERATOR} /
+           (sum({SK.hll_term_sql("rank", "duck")})
+            + (CAST({SK.HLL_M} AS BIGINT) - count(*))
+              * {SK.HLL_EMPTY_TERM})) AS BIGINT) AS est_direct
+  FROM direct
+),
+x AS (
+  SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+         CAST(count(DISTINCT event_type) AS INTEGER) AS n_groups
+  FROM events
+)
+SELECT n_groups, est_merged, est_direct,
+       est_merged = est_direct AS merge_exact,
+       exact_distinct,
+       abs(CAST(est_merged AS DOUBLE) - CAST(exact_distinct AS DOUBLE))
+         <= 0.184 * CAST(exact_distinct AS DOUBLE) AS within_2se
+FROM em, ed, x
+"""
+
+
+@query("hll_merge_by_source", oracle=_HLL_MERGE_ORACLE)
+def hll_merge_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL register MERGEABILITY — the property that makes sketches
+    lakehouse primitives: per-event-type distinct-user registers are
+    built independently (the per-partition/per-day rollup a warehouse
+    materializes), merged by per-bucket MAX, and the merged estimate is
+    checked EQUAL to the estimate from one direct global pass, beside
+    the exact count (Flajolet et al. 2007 §4: HLL union = register-wise
+    max, lossless).  This is the cube/rollup pattern: store m=128
+    registers per grain, answer any coarser distinct-count without
+    rescanning.
+
+    Scale shape: one map-side-combined groupBy down to (groups x 128)
+    register rows, a second bounded aggregate to merge, and constant
+    arithmetic; the direct arm re-aggregates the same distinct-hash
+    frame.  The 1x1 crossJoins combine one-row aggregates
+    (funnel_conversion's allowlisted pattern).  Estimates and counts
+    are exact integers — the value hash is float-free."""
+    ev = table(spark, sf_dir, "events")
+    h = ev.select(
+        "event_type",
+        F.expr(SK.hll_hash_sql("user_id", "spark")).alias("hv"),
+    ).distinct()
+    rank = F.max(
+        F.expr(SK.hll_rank_sql(f"(hv div {SK.HLL_M})"))
+    ).alias("rank")
+    gr = (
+        h.select("event_type", (F.col("hv") % SK.HLL_M).alias("bucket"), "hv")
+        .groupBy("event_type", "bucket")
+        .agg(rank)
+    )
+    merged = gr.groupBy("bucket").agg(F.max("rank").alias("rank"))
+    direct = (
+        h.select("hv")
+        .distinct()
+        .select((F.col("hv") % SK.HLL_M).alias("bucket"), "hv")
+        .groupBy("bucket")
+        .agg(rank)
+    )
+
+    def est(regs: DataFrame, alias: str) -> DataFrame:
+        return regs.agg(
+            F.floor(
+                F.lit(float(SK.HLL_NUMERATOR))
+                / (
+                    F.sum(F.expr(SK.hll_term_sql("rank", "spark")))
+                    + (F.lit(SK.HLL_M).cast("long") - F.count("*"))
+                    * F.lit(SK.HLL_EMPTY_TERM)
+                )
+            )
+            .cast("long")
+            .alias(alias)
+        )
+
+    em = est(merged, "est_merged")
+    ed = est(direct, "est_direct")
+    x = ev.agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct"),
+        F.countDistinct("event_type").cast("int").alias("n_groups"),
+    )
+    return (
+        em.crossJoin(ed)
+        .crossJoin(x)
+        .select(
+            "n_groups",
+            "est_merged",
+            "est_direct",
+            (F.col("est_merged") == F.col("est_direct")).alias("merge_exact"),
+            "exact_distinct",
+            (
+                F.abs(
+                    F.col("est_merged").cast("double")
+                    - F.col("exact_distinct").cast("double")
+                )
+                <= F.lit(0.184) * F.col("exact_distinct").cast("double")
+            ).alias("within_2se"),
+        )
+    )

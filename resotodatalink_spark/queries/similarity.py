@@ -1624,3 +1624,204 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.round("adc_dist", 6).alias("adc_dist"),
     )
+
+
+# --- JL random-projection distance-preservation audit (round 11, second wave) ---------
+
+_JL_K = 16  # projected dimensionality
+
+
+def _jl_diff_dot(plane: list[float], a: str, b: str, ext: str) -> str:
+    """Left-associative chain for plane . (a - b) with literal +-1
+    coefficients — the identical IEEE op sequence in both dialects
+    (functions/vectors.py contract), so the projected distances are
+    bit-equal cross-engine and need no rounding."""
+    terms = []
+    for i, c in enumerate(plane, start=1):
+        d = (
+            f"(CAST({ext}({a}, {i}) AS DOUBLE)"
+            f" - CAST({ext}({b}, {i}) AS DOUBLE))"
+        )
+        terms.append(d if c > 0 else f"(0.0 - {d})")
+    out = terms[0]
+    for t in terms[1:]:
+        out = f"({out} + {t})"
+    return out
+
+
+def _jl_proj_cols(a: str, b: str, ext: str) -> list[str]:
+    return [
+        f"({_jl_diff_dot(V.DEDUP_PLANES[p], a, b, ext)}) AS d{p}"
+        for p in range(_JL_K)
+    ]
+
+
+def _jl_sq_sum() -> str:
+    out = "(d0 * d0)"
+    for p in range(1, _JL_K):
+        out = f"({out} + (d{p} * d{p}))"
+    return out
+
+
+_JL_BUCKET = """
+CASE WHEN abs(ratio - 1.0) <= 0.25 THEN 'tight'
+     WHEN abs(ratio - 1.0) <= 0.5 THEN 'loose'
+     ELSE 'poor' END
+"""
+
+
+@query(
+    "jl_projection_audit",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.vec_id,
+             {_l2_duck('a.embedding', 'b.embedding', V.EMBED_DIM)} AS orig_d2,
+             {', '.join(_jl_proj_cols('a.embedding', 'b.embedding', 'list_extract'))}
+      FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+    ),
+    ratios AS (
+      SELECT vec_id, ({_jl_sq_sum()}) / ({_JL_K}.0 * orig_d2) AS ratio
+      FROM pairs WHERE orig_d2 > 0
+    )
+    SELECT {_JL_BUCKET} AS bucket,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           min(ratio) AS min_ratio, max(ratio) AS max_ratio
+    FROM ratios GROUP BY 1
+    """,
+)
+def jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss distance preservation, measured: project
+    the 64-dim embeddings to k=16 via database-friendly +-1 planes
+    (Achlioptas, JCSS 2003 — the JL construction that needs no floats
+    in the projection matrix) and audit how well squared distances
+    survive, pairing each vector with its id-successor (n-1 pairs,
+    linear — a distance-distortion SAMPLE, not all-pairs).  ratio =
+    ||P(a-b)||^2 / (k * ||a-b||^2), expected 1; the output histograms
+    pairs into tight (+-25%), loose (+-50%), poor — the calibration a
+    pipeline reads before trusting projected distances for coarse
+    dedup/ANN (the sibling knob to simhash_hamming_audit's bit-level
+    view).
+
+    Scale shape: ONE equi-join on the successor id (no similarity
+    join needed — the pairing is the audit's sample design), then a
+    projection whose 17 dot chains all ride one codegen stage, then a
+    3-group aggregate.  min/max are SELECTIONS of bit-identical
+    doubles (vectors.py determinism contract), so the value hash is
+    rounding-free."""
+    e = table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id"), F.col("embedding").alias("ea"))
+    b = e.select(
+        (F.col("vec_id") - 1).alias("vec_id"), F.col("embedding").alias("eb")
+    )
+    pairs = a.join(b, "vec_id").select(
+        "vec_id",
+        F.expr(_l2_spark("ea", "eb", V.EMBED_DIM)).alias("orig_d2"),
+        *[
+            F.expr(_jl_diff_dot(V.DEDUP_PLANES[p], "ea", "eb", "element_at"))
+            .alias(f"d{p}")
+            for p in range(_JL_K)
+        ],
+    )
+    ratios = pairs.filter(F.col("orig_d2") > 0).select(
+        "vec_id",
+        (F.expr(_jl_sq_sum()) / (_JL_K * 1.0 * F.col("orig_d2"))).alias(
+            "ratio"
+        ),
+    )
+    return ratios.groupBy(F.expr(_JL_BUCKET).alias("bucket")).agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.min("ratio").alias("min_ratio"),
+        F.max("ratio").alias("max_ratio"),
+    )
+
+
+# --- kNN label-agreement audit (round 11, second wave) --------------------------------
+
+
+@query(
+    "knn_label_agreement",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, label, embedding,
+             {V.lsh_bucket_duck('embedding')} AS bucket
+      FROM embeddings
+    ),
+    sims AS (
+      SELECT p.vec_id, p.label, q.label AS nn_label,
+             {V.cosine_duck('p.embedding', 'q.embedding')} AS cosine,
+             q.vec_id AS neighbor_id
+      FROM b p JOIN b q
+        ON p.bucket = q.bucket AND p.vec_id <> q.vec_id
+    ),
+    nn AS (
+      SELECT vec_id, label, nn_label,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM sims
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n_scored,
+           CAST(sum(CASE WHEN nn_label = label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_agree,
+           round(sum(CASE WHEN nn_label = label THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS agree_rate
+    FROM nn WHERE rnk = 1 GROUP BY label
+    """,
+)
+def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise audit via nearest-neighbor agreement (the 1-NN core
+    of confident-learning / deep-kNN label QA): for every embedding,
+    find its nearest same-LSH-bucket neighbor by cosine and report the
+    per-label rate at which the neighbor's label agrees — labels whose
+    rate sits far below the others are candidate annotation noise.  On
+    the shipped random-label corpus the rate hovers near 1/n_labels;
+    the AUDIT SHAPE (bucketed 1-NN, per-class rollup) is the product.
+
+    Scale shape: candidates come from the hyperplane sign-bucket
+    equi-join (ann_lsh_bucketed's machinery — never all-pairs), the
+    1-NN argmax is a per-vector rank window over bucket-bounded
+    candidates, and the rollup is a 10-group aggregate.  Vectors alone
+    in their bucket score no neighbor and drop out (deterministic on
+    both engines)."""
+    e = _spread(table(spark, sf_dir, "embeddings"), "vec_id")
+    b = e.withColumn("bucket", V.lsh_bucket_spark("embedding")).transform(
+        _ckpt
+    )
+    p = b.select(
+        "bucket",
+        F.col("vec_id").alias("vid"),
+        F.col("label").alias("label"),
+        F.col("embedding").alias("pe"),
+        F.sqrt(V.dot_spark("embedding", "embedding")).alias("pn"),
+    )
+    q = b.select(
+        "bucket",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("nn_label"),
+        F.col("embedding").alias("qe"),
+        F.sqrt(V.dot_spark("embedding", "embedding")).alias("qn"),
+    )
+    sims = (
+        p.join(q, "bucket")
+        .filter(F.col("vid") != F.col("neighbor_id"))
+        .select(
+            "vid",
+            "label",
+            "nn_label",
+            (V.dot_spark("pe", "qe") / (F.col("pn") * F.col("qn"))).alias(
+                "cosine"
+            ),
+            "neighbor_id",
+        )
+    )
+    w = W.partitionBy("vid").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    nn = sims.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") == 1
+    )
+    agree = F.sum(
+        F.when(F.col("nn_label") == F.col("label"), 1).otherwise(0)
+    )
+    return nn.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_scored"),
+        agree.cast("long").alias("n_agree"),
+        F.round(agree * 1.0 / F.count("*"), 6).alias("agree_rate"),
+    )

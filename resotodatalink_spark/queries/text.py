@@ -1918,3 +1918,86 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("n") * F.col("n_tok")).cast("double") / F.sum("n"), 6
         ).alias("fertility"),
     )
+
+
+# --- positional phrase search (round 11, second wave) ---------------------------------
+
+# Fixed query phrase for the slug (distinct words — the role-CASE
+# trick below requires each token to map to exactly one phrase slot).
+# Two tokens: on the shipped uniform-vocabulary corpus a trigram
+# surfaces only ~3-25 matches per SF (27k-point trigram space), too
+# thin an attestation; the bigram keeps 30-320 matched docs at every
+# shipped SF while exercising the identical role-vote plan.
+_PHRASE = ("order", "scan")
+
+
+def _phrase_role(tok: str) -> str:
+    """Dialect-neutral CASE mapping a phrase token to its slot index."""
+    arms = " ".join(
+        f"WHEN '{w}' THEN {i}" for i, w in enumerate(_PHRASE)
+    )
+    return f"CASE {tok} {arms} ELSE -1 END"
+
+
+@query(
+    "phrase_search",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, unnest(generate_series(1, len(t)))::BIGINT AS pos, t
+      FROM toks
+    ),
+    rel AS (
+      SELECT doc_id,
+             pos - ({_phrase_role('t[pos]')}) AS start,
+             {_phrase_role('t[pos]')} AS role
+      FROM pos WHERE t[pos] IN ({', '.join(repr(w) for w in _PHRASE)})
+    ),
+    hits AS (
+      SELECT doc_id, start FROM rel GROUP BY doc_id, start
+      HAVING count(DISTINCT role) = {len(_PHRASE)}
+    )
+    SELECT doc_id, CAST(count(*) AS INTEGER) AS n_matches,
+           CAST(min(start) AS INTEGER) AS first_pos
+    FROM hits GROUP BY doc_id
+    """,
+)
+def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase match over the corpus via POSITIONAL POSTINGS — the
+    distributed-grep / inverted-index primitive (Zobel & Moffat, ACM
+    CS 2006 §4.2: phrase queries resolve by intersecting positional
+    posting lists).  Returns per-doc match count and the first match's
+    1-based token position for the fixed phrase.
+
+    Scale shape — NO self-join: the textbook plan intersects one
+    posting list per phrase term (k-1 joins); here each matched token
+    instead votes for the phrase-START slot it implies (pos - role),
+    and a start position where all k distinct roles voted is a match.
+    One explode -> highly-selective token filter (only phrase words
+    survive to the shuffle) -> ONE map-side-combined groupBy on
+    (doc_id, start) -> per-doc rollup.  At 100 TB the shuffled volume
+    is the phrase terms' posting mass, same as the join plan's
+    smallest input, with one exchange instead of k-1.  Requires
+    distinct phrase words (each token maps to one role); repeated-word
+    phrases would fall back to the posting-join plan."""
+    d = table(spark, sf_dir, "documents")
+    role = _phrase_role("tok")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("p0", "tok")
+    )
+    rel = toks.filter(F.col("tok").isin(*_PHRASE)).select(
+        "doc_id",
+        (F.col("p0") + 1 - F.expr(role)).alias("start"),
+        F.expr(role).alias("role"),
+    )
+    hits = (
+        rel.groupBy("doc_id", "start")
+        .agg(F.countDistinct("role").alias("nr"))
+        .filter(F.col("nr") == len(_PHRASE))
+    )
+    return hits.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_matches"),
+        F.min("start").cast("int").alias("first_pos"),
+    )

@@ -123,6 +123,10 @@ CARTESIAN_OK = {
     # array columns) against the candidates: kmeans_lloyd's constant-k
     # E-step shape, k = 4 by construction.
     "mmr_diversify",
+    # hll_merge_by_source — combines the ONE-ROW merged/direct
+    # estimates and the ONE-ROW exact counts via crossJoin; 1x1 BNLJs
+    # are constant work at any scale (hll_estimate_vs_exact's pattern).
+    "hll_merge_by_source",
 }
 
 
