@@ -344,6 +344,22 @@ SF1_SUBSET = [
     # the encode join's volume side is the (source, word) collapse —
     # corpus-scan bound like the trainer, but with the dictionary join
     "bpe_encode_corpus",
+    # round-11 second wave, volume-scaling shapes only: DSIR's corpus
+    # explode -> (doc, bucket) collapse, the JL successor-pair chain
+    # projection, and the two register aggregates of the HLL merge.
+    # phrase_search is deliberately NOT here: the per-copy character
+    # bijection rewrites the phrase's tokens, so matches pin to copy 0
+    # and the wall only re-measures scan throughput the headline
+    # already tracks.  quantile_sample_audit's exact arm is
+    # validation-scale by design (few global groups force a per-group
+    # sort — its own docstring).  knn_label_agreement's fixed 256-
+    # bucket LSH makes candidate volume n^2/B at fixed planes — the
+    # production knob is growing the plane count with the corpus
+    # (dedup_embedding's band_config precedent), so scaled walls
+    # belong to that knob, not the fixed-shape slug.
+    "dsir_importance_weights",
+    "jl_projection_audit",
+    "hll_merge_by_source",
 ]
 
 
@@ -564,6 +580,11 @@ def main() -> None:
             # round-10 (r9 verdict item 5): the bucketed two-phase
             # prefix max IS a scale claim — prove it at 10M events
             sf10_candidates.append("watermark_lag_audit")
+            # round-11 second wave: the sketch family's decade rep —
+            # two map-side-combined register aggregates at 10M events
+            # (estimates are SF-invariant in rows; the wall is the
+            # claim, and merge_exact must stay true at any volume)
+            sf10_candidates.append("hll_merge_by_source")
         if os.path.exists(os.path.join(sf10_dir, "lineitem.parquet")):
             # TPC-H decade reps (dir carries the full star schema):
             # the scan-bound aggregate and the one-shuffle
@@ -593,6 +614,10 @@ def main() -> None:
             # path didn't.  Rows (1-2 per doc by L%3) are exactly
             # 10.0x sf1; telemetry records the Python-worker stages.
             sf10_candidates.append("multimodal_frames")
+            # round-11 second wave: DSIR's corpus explode -> (doc,
+            # bucket) collapse at 500k docs (selection rows are
+            # quota-bounded per source, so the wall is the claim)
+            sf10_candidates.append("dsir_importance_weights")
             # round-11: the exact-substring span-merge family's decade
             # row — the posting aggregate's HAVING >= 2-docs prune plus
             # the per-doc island window at 500k docs; per-copy
@@ -618,6 +643,11 @@ def main() -> None:
             # construction, so rows must read ~10.0x sf1 -> sf10.
             sf10_candidates.append("ann_lsh_bucketed")
             sf10_candidates.append("dedup_embedding_t80")
+            # round-11 second wave: the JL audit's successor-pair
+            # equi-join is linear by design (output is the 3-bucket
+            # histogram; the pair volume inside its n_pairs values
+            # grows 10x while the wall should stay near-linear)
+            sf10_candidates.append("jl_projection_audit")
         sf10_names = [
             n for n in sf10_candidates
             if n in registry.QUERIES or n in BENCH_VARIANTS

@@ -1777,11 +1777,16 @@ def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     the AUDIT SHAPE (bucketed 1-NN, per-class rollup) is the product.
 
     Scale shape: candidates come from the hyperplane sign-bucket
-    equi-join (ann_lsh_bucketed's machinery — never all-pairs), the
-    1-NN argmax is a per-vector rank window over bucket-bounded
-    candidates, and the rollup is a 10-group aggregate.  Vectors alone
-    in their bucket score no neighbor and drop out (deterministic on
-    both engines)."""
+    equi-join (ann_lsh_bucketed's machinery), the 1-NN argmax is a
+    per-vector rank window over bucket-bounded candidates, and the
+    rollup is a 10-group aggregate.  Honest caveat: at FIXED plane
+    count the within-bucket self-join carries ~n^2/2^K candidate
+    pairs, so the production knob is growing K (and optionally
+    multi-probing) with the corpus so per-bucket occupancy stays
+    bounded — the same knob dedup_embedding exposes as band_config;
+    this slug pins K=8 because its product is the audit shape, not a
+    tuned index.  Vectors alone in their bucket score no neighbor and
+    drop out (deterministic on both engines)."""
     e = _spread(table(spark, sf_dir, "embeddings"), "vec_id")
     b = e.withColumn("bucket", V.lsh_bucket_spark("embedding")).transform(
         _ckpt
