@@ -46,6 +46,14 @@ _NEVER_ATTESTED = [
     "knn_label_agreement",
     "phrase_search",
     "quantile_sample_audit",
+    # Third-wave round-11 newcomers (registry 206 -> 210): KMV set
+    # algebra (cross-source overlap estimation), temperature-scaled
+    # mixture sampling, the l-diversity privacy gate, and scene-cut
+    # detection over the demuxed frame stream.
+    "kmv_set_ops",
+    "l_diversity_audit",
+    "multimodal_scene_cuts",
+    "temperature_mixture",
 ]
 
 _R10_SEAM_CHANGED = [
@@ -120,7 +128,7 @@ _R6_TIER = [
 _R7_TIER = [
     # Newest driver row is CORRECTNESS_r07 (semdedup and
     # sparse_cosine_pairs moved up into _R10_SEAM_CHANGED).  The first
-    # 9 fill the r11 window's remaining slots; the tail spills to
+    # 5 fill the r11 window's remaining slots; the tail spills to
     # _R12_COHORT below.
     "agg_bool_ops",
     "agg_filter_clause",
@@ -176,11 +184,11 @@ _ATTEST_FIRST = (
 )
 
 # The r12 cohort, named explicitly (capacity arithmetic continued from
-# r10: a 206-slug registry attested 50/round floors at a ~4-round
-# rotation).  r11's window holds 12 new + 8 seam + 7 changed + 14 r6 +
-# 9 r7 = 50 exactly, so these 34 r7-tier slugs spill to r12 — after
+# r10: a 210-slug registry attested 50/round floors at a ~4-round
+# rotation).  r11's window holds 16 new + 8 seam + 7 changed + 14 r6 +
+# 5 r7 = 50 exactly, so these 38 r7-tier slugs spill to r12 — after
 # r11 they are the ONLY slugs whose newest driver row is r7, and with
-# zero r12 changes they all fit r12's window with 16 slots to spare,
+# zero r12 changes they all fit r12's window with 12 slots to spare,
 # ending the staleness tail.
 _R12_COHORT = _ATTEST_FIRST[50:]
 

@@ -206,6 +206,12 @@ EXTENDED = [
     "knn_label_agreement",
     "phrase_search",
     "quantile_sample_audit",
+    # round-11 third wave: KMV set algebra, temperature mixture,
+    # l-diversity gate, scene-cut detection
+    "kmv_set_ops",
+    "l_diversity_audit",
+    "multimodal_scene_cuts",
+    "temperature_mixture",
 ]
 
 

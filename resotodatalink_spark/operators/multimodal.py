@@ -465,3 +465,85 @@ def resize_ppm(df: DataFrame, out_w: int = 4, out_h: int = 4) -> DataFrame:
             yield _pd.DataFrame(out)
 
     return df.mapInPandas(resize, schema=PPM_RESIZE_SCHEMA)
+
+
+SCENE_SCHEMA = (
+    "doc_id long, n_frames int, n_boundaries int, n_cuts int, "
+    "total_abs_diff long"
+)
+
+
+def frame_scene_cuts(df: DataFrame, thr: int = 40) -> DataFrame:
+    """Scene-cut detection over concatenated-P6 containers (round 11,
+    third wave): demux every frame with the same header walk as
+    :func:`sample_frames`, then score each CONSECUTIVE frame boundary
+    by the mean absolute byte difference over the overlapping raster
+    prefix — the shot-boundary primitive a video pipeline runs to pick
+    representative frames before feature extraction.  A boundary is a
+    cut when sum|a_i - b_i| > thr * cmp_bytes (integer comparison — no
+    float mean materializes, the value hash stays exact).  One output
+    row per container; corrupt containers contribute no rows.
+
+    The parser closure is duplicated from sample_frames ON PURPOSE:
+    mapInPandas closures ship self-contained by value so executor
+    Python workers never import this package (the foreign-cwd /
+    bare-PYTHONPATH contract the driver smoke exercises)."""
+
+    def cuts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        def walk(payload: bytes):
+            out = []
+            off, n = 0, len(payload)
+            try:
+                while off < n:
+                    if payload[off:off + 3] != b"P6\n":
+                        return None
+                    nl1 = payload.index(b"\n", off + 3)
+                    w, h = (int(x) for x in payload[off + 3:nl1].split())
+                    if w <= 0 or h <= 0:
+                        return None
+                    nl2 = payload.index(b"\n", nl1 + 1)
+                    if int(payload[nl1 + 1:nl2]) != 255:
+                        return None
+                    dlen = w * h * 3
+                    raster = payload[nl2 + 1:nl2 + 1 + dlen]
+                    if len(raster) < dlen:
+                        return None
+                    out.append(raster)
+                    off = nl2 + 1 + dlen
+            except ValueError:
+                return None
+            return out
+
+        cols = [
+            "doc_id", "n_frames", "n_boundaries", "n_cuts",
+            "total_abs_diff",
+        ]
+        for pdf in batches:
+            rows = []
+            for d, p in zip(pdf["doc_id"].to_numpy(), pdf["payload"]):
+                rasters = walk(bytes(p))
+                if rasters is None or len(rasters) < 2:
+                    continue
+                n_cuts, total = 0, 0
+                for a, b in zip(rasters, rasters[1:]):
+                    m = min(len(a), len(b))
+                    x = _np.frombuffer(a[:m], dtype=_np.uint8).astype(
+                        _np.int32
+                    )
+                    y = _np.frombuffer(b[:m], dtype=_np.uint8).astype(
+                        _np.int32
+                    )
+                    s = int(_np.abs(x - y).sum())
+                    total += s
+                    if s > thr * m:
+                        n_cuts += 1
+                rows.append(
+                    (d, len(rasters), len(rasters) - 1, n_cuts, total)
+                )
+            if rows:
+                yield _pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(cuts, schema=SCENE_SCHEMA)

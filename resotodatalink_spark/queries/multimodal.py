@@ -390,3 +390,78 @@ def multimodal_ppm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_g", 6).alias("mean_g"),
         F.round("mean_b", 6).alias("mean_b"),
     )
+
+
+@query(
+    "multimodal_scene_cuts",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, strlen(text) AS L FROM documents
+    ),
+    f AS (
+      SELECT doc_id, text, L, k.i AS b,
+             24 * least(1 + (L + 7 * k.i) % 5,
+                        1 + (L + 7 * (k.i + 1)) % 5) AS cmp,
+             CASE k.i
+               WHEN 0 THEN CAST(1 AS BIGINT)
+               WHEN 1 THEN 1 + 24 * (1 + L % 5)
+               ELSE 1 + 24 * ((1 + L % 5) + (1 + (L + 7) % 5)) END AS s1,
+             CASE k.i
+               WHEN 0 THEN CAST(1 + 24 * (1 + L % 5) AS BIGINT)
+               WHEN 1 THEN 1 + 24 * ((1 + L % 5) + (1 + (L + 7) % 5))
+               ELSE 1 + 24 * ((1 + L % 5) + (1 + (L + 7) % 5)
+                              + (1 + (L + 14) % 5)) END AS s2
+      FROM d, range(0, 3) k(i)
+      WHERE k.i < 1 + L % 3
+    ),
+    px AS (
+      SELECT doc_id, b, cmp, s1, s2, 2 + L % 3 AS n_frames,
+             rpad(text,
+                  CAST(24 * ((1 + L % 5) + (1 + (L + 7) % 5)
+                             + (1 + (L + 14) % 5) + (1 + (L + 21) % 5))
+                       AS INTEGER),
+                  chr(0)) AS p
+      FROM f
+    ),
+    diffs AS (
+      SELECT doc_id, n_frames, cmp,
+             CAST(list_aggregate(list_transform(
+                    range(0, CAST(cmp AS INTEGER)),
+                    i -> abs(ascii(substring(p, CAST(s1 + i AS INTEGER), 1))
+                           - ascii(substring(p, CAST(s2 + i AS INTEGER), 1)))),
+                  'sum') AS BIGINT) AS sum_abs
+      FROM px
+    )
+    SELECT doc_id,
+           CAST(max(n_frames) AS INTEGER) AS n_frames,
+           CAST(count(*) AS INTEGER) AS n_boundaries,
+           CAST(sum(CASE WHEN sum_abs > 40 * cmp THEN 1 ELSE 0 END)
+                AS INTEGER) AS n_cuts,
+           CAST(sum(sum_abs) AS BIGINT) AS total_abs_diff
+    FROM diffs GROUP BY doc_id
+    """,
+)
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection over the demuxed frame stream (round
+    11, third wave — the video-sampling primitive beside the frame
+    sampler): per container, every consecutive frame pair is scored by
+    the absolute byte difference over the overlapping raster prefix,
+    and boundaries past the threshold are cuts — how a video pipeline
+    picks one representative frame per shot instead of every_n-th
+    blindly.  The oracle replays the header-derived frame offsets as
+    independent byte arithmetic on the ASCII text (the
+    multimodal_frames machinery) and re-scores every boundary with a
+    character-level list fold — frame heights vary within a payload,
+    so only a real header walk lands on the same bytes.
+
+    Scale shape: same 1-container->1-row mapInPandas scan as the
+    quartet (Arrow batches, self-contained closure, corrupt containers
+    drop out); all outputs are exact integers — no float in the value
+    hash."""
+    from resotodatalink_spark.operators.multimodal import (
+        attach_frame_container,
+        frame_scene_cuts,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return frame_scene_cuts(attach_frame_container(d))

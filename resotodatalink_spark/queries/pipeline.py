@@ -772,3 +772,120 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+# --- temperature-scaled mixture (round 11, third wave) --------------------
+
+_TEMP_ALPHA = 0.7  # XLM-R's multilingual sampling exponent
+
+
+@query(
+    "temperature_mixture",
+    oracle=f"""
+    WITH s AS (
+      SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+    ),
+    p AS (
+      SELECT source, n_docs,
+             n_docs * 1.0 / sum(n_docs) OVER () AS nat_share,
+             pow(n_docs * 1.0 / sum(n_docs) OVER (), {_TEMP_ALPHA})
+               AS unnorm
+      FROM s
+    )
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           round(nat_share, 6) AS nat_share,
+           round(unnorm / sum(unnorm) OVER (), 6) AS temp_share,
+           round((unnorm / sum(unnorm) OVER ()) / nat_share, 6) AS boost
+    FROM p
+    """,
+)
+def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture sampling (the XLM-R / mBERT rule:
+    sample source i with p_i ∝ share_i^alpha, alpha=0.7) — the
+    standard interpolation between natural proportions (alpha=1) and
+    the uniform target mixture_weights computes (alpha=0): rare
+    sources get boosted, dominant ones damped, without the uniform
+    rule's extreme upsampling of tiny sources.  Output per source:
+    natural share, temperature share, and the boost factor a sampler
+    applies.
+
+    Scale shape: one map-side-combined count by source, then all math
+    on the #sources-row aggregate via unpartitioned windows (bounded
+    frame — mixture_weights' pattern).  pow(x, 0.7) is the one
+    libm-dependent term; all emitted floats are rounded 6dp on ~O(1)
+    magnitudes, far above cross-engine last-ulp wobble."""
+    d = table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    w = W.partitionBy(F.lit(1))
+    nat = F.col("n_docs") * 1.0 / F.sum("n_docs").over(w)
+    p = s.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        nat.alias("nat_share"),
+        F.pow(nat, _TEMP_ALPHA).alias("unnorm"),
+    )
+    temp = F.col("unnorm") / F.sum("unnorm").over(w)
+    return p.select(
+        "source",
+        "n_docs",
+        F.round("nat_share", 6).alias("nat_share"),
+        F.round(temp, 6).alias("temp_share"),
+        F.round(temp / F.col("nat_share"), 6).alias("boost"),
+    )
+
+
+# --- privacy governance: l-diversity audit (round 11, third wave) ---------
+
+_LDIV_SIZE_BUCKET = "CAST(floor(n_chars / 100) AS BIGINT)"
+_LDIV_L = 2
+
+
+@query(
+    "l_diversity_audit",
+    oracle=f"""
+    WITH groups AS (
+      SELECT source, {_LDIV_SIZE_BUCKET} AS size_bucket,
+             count(*) AS g, count(DISTINCT lang) AS l
+      FROM documents
+      GROUP BY source, {_LDIV_SIZE_BUCKET})
+    SELECT count(*) AS n_groups,
+           CAST(min(l) AS BIGINT) AS min_l,
+           CAST(sum(CASE WHEN l < {_LDIV_L} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_low_diversity,
+           CAST(sum(CASE WHEN l < {_LDIV_L} THEN g ELSE 0 END) AS BIGINT)
+             AS rows_at_risk,
+           sum(CASE WHEN l < {_LDIV_L} THEN g ELSE 0 END) * 1.0
+             / sum(g) AS risk_share
+    FROM groups
+    """,
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al., ICDE 2006 — the
+    successor gate to k-anonymity): a quasi-identifier group can be
+    large enough for k-anonymity yet still leak its SENSITIVE
+    attribute if every member shares one value.  Here the QI pair is
+    (source, 100-char size bucket) and the sensitive attribute is
+    lang: groups with fewer than l=2 distinct languages reveal their
+    members' language outright.  Mirrors k_anonymity_audit's output
+    shape (group count, worst l, at-risk rows/share) so the two gates
+    read side-by-side.
+
+    Scale shape: one scan into a map-side-combined groupBy on the QI
+    pair with a distinct-count of the sensitive attribute (Spark
+    plans the count-distinct via Expand — still one shuffle), then a
+    second aggregate over the bounded group frame."""
+    d = table(spark, sf_dir, "documents")
+    groups = d.groupBy(
+        "source",
+        F.floor(F.col("n_chars") / 100).cast("long").alias("size_bucket"),
+    ).agg(F.count("*").alias("g"), F.countDistinct("lang").alias("l"))
+    risk = F.when(F.col("l") < _LDIV_L, F.col("g")).otherwise(F.lit(0))
+    return groups.agg(
+        F.count("*").alias("n_groups"),
+        F.min("l").cast("long").alias("min_l"),
+        F.sum(F.when(F.col("l") < _LDIV_L, 1).otherwise(0)).alias(
+            "n_low_diversity"
+        ),
+        F.sum(risk).alias("rows_at_risk"),
+        (F.sum(risk) * 1.0 / F.sum("g")).alias("risk_share"),
+    )

@@ -1996,3 +1996,134 @@ def hll_merge_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_2se"),
         )
     )
+
+
+# --- sketch family: KMV set algebra (round 11, third wave) ---------------
+
+_KMV_K = 64
+_KMV_SIDE = "CASE WHEN CAST(substring(source, 4) AS INT) < 10 THEN 0 ELSE 1 END"
+
+from resotodatalink_spark.functions import hashing as _H  # noqa: E402
+from resotodatalink_spark.operators.checkpoint import ckpt as _ckpt  # noqa: E402
+
+_KMV_SET_ORACLE = f"""
+WITH {_H.duck_shingle_pos_cte("documents", "source", "text", 3)},
+sv AS (
+  SELECT DISTINCT {_KMV_SIDE} AS side, span FROM __hashes
+),
+hv AS (
+  SELECT DISTINCT side, {SK.hll_hash_sql('span', 'duck')} AS hv FROM sv
+),
+ka AS (SELECT hv FROM hv WHERE side = 0 ORDER BY hv LIMIT {_KMV_K}),
+kb AS (SELECT hv FROM hv WHERE side = 1 ORDER BY hv LIMIT {_KMV_K}),
+l AS (
+  SELECT DISTINCT hv FROM (SELECT hv FROM ka UNION ALL SELECT hv FROM kb)
+  ORDER BY hv LIMIT {_KMV_K}
+),
+st AS (
+  SELECT count(*) AS shared FROM l
+  WHERE hv IN (SELECT hv FROM ka) AND hv IN (SELECT hv FROM kb)
+),
+eu AS (
+  SELECT CAST(floor({_KMV_K - 1}.0 * 1152921504606846976.0 / max(hv))
+         AS BIGINT) AS est_union
+  FROM l
+),
+xu AS (SELECT CAST(count(DISTINCT span) AS BIGINT) AS exact_union FROM sv),
+xi AS (
+  SELECT CAST(count(*) AS BIGINT) AS exact_intersection
+  FROM (SELECT span FROM sv GROUP BY span HAVING count(DISTINCT side) = 2)
+)
+SELECT {_KMV_K} AS k, eu.est_union, xu.exact_union,
+       CAST((st.shared * eu.est_union) // {_KMV_K} AS BIGINT)
+         AS est_intersection,
+       xi.exact_intersection,
+       round(st.shared / {_KMV_K}.0, 6) AS est_jaccard,
+       round(xi.exact_intersection * 1.0 / xu.exact_union, 6)
+         AS exact_jaccard
+FROM eu, st, xu, xi
+"""
+
+
+@query("kmv_set_ops", oracle=_KMV_SET_ORACLE)
+def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch SET ALGEBRA (Beyer et al., SIGMOD 2007): estimate the
+    union size, intersection size, and Jaccard of two corpus halves'
+    distinct 3-gram shingle sets from two k=64 sketches — the
+    cheap cross-dump overlap probe a pipeline runs BEFORE committing
+    to a full cross-source dedup.  Merged sketch = k smallest of the
+    union (min-merge, lossless like the HLL max-merge); rho =
+    |merged ∩ K_A ∩ K_B| / k estimates Jaccard; intersection =
+    rho * union_est, computed in integers ((shared * est) div k).
+    Exact arms audit all three, KMV-family style.
+
+    Scale shape: the shingle explode collapses DISTINCT (side, span)
+    first; sketches are per-partition top-k then a 64-row merge (no
+    global sort materializes — TakeOrdered); exact arms are
+    distinct-aggregates of the same collapsed frame.  The 1x1
+    crossJoins combine one-row aggregates (allowlisted pattern)."""
+    from resotodatalink_spark.operators.spread import spread_partitions
+
+    d = spread_partitions(table(spark, sf_dir, "documents"), "doc_id")
+    # staged explode-then-project (shingle_hashes_pos's codegen shape)
+    # with the side flag carried instead of doc_id
+    toks = d.select(
+        F.expr(_KMV_SIDE).alias("side"),
+        F.split("text", " ").alias("__toks"),
+    )
+    pos = toks.filter(F.size("__toks") >= 3).select(
+        "side",
+        "__toks",
+        F.explode(F.expr("sequence(1, size(__toks) - 2)")).alias("__i"),
+    )
+    sv = _ckpt(
+        pos.select(
+            "side",
+            F.expr("array_join(slice(__toks, __i, 3), ' ')").alias("span"),
+        ).distinct()
+    )
+    hv = sv.select(
+        "side", F.expr(SK.hll_hash_sql("span", "spark")).alias("hv")
+    ).distinct()
+    ka = hv.filter(F.col("side") == 0).select("hv").orderBy("hv").limit(_KMV_K)
+    kb = hv.filter(F.col("side") == 1).select("hv").orderBy("hv").limit(_KMV_K)
+    l = ka.unionAll(kb).distinct().orderBy("hv").limit(_KMV_K)
+    st = (
+        l.join(ka, "hv", "semi")
+        .join(kb, "hv", "semi")
+        .agg(F.count("*").alias("shared"))
+    )
+    eu = l.agg(
+        F.floor(
+            F.lit(float(_KMV_K - 1)) * F.lit(1152921504606846976.0) / F.max("hv")
+        )
+        .cast("long")
+        .alias("est_union")
+    )
+    xu = sv.select("span").distinct().agg(
+        F.count("*").cast("long").alias("exact_union")
+    )
+    xi = (
+        sv.groupBy("span")
+        .agg(F.countDistinct("side").alias("ns"))
+        .filter(F.col("ns") == 2)
+        .agg(F.count("*").cast("long").alias("exact_intersection"))
+    )
+    return (
+        eu.crossJoin(st)
+        .crossJoin(xu)
+        .crossJoin(xi)
+        .select(
+            F.lit(_KMV_K).alias("k"),
+            "est_union",
+            "exact_union",
+            F.expr(f"(shared * est_union) div {_KMV_K}")
+            .cast("long")
+            .alias("est_intersection"),
+            "exact_intersection",
+            F.round(F.col("shared") / float(_KMV_K), 6).alias("est_jaccard"),
+            F.round(
+                F.col("exact_intersection") * 1.0 / F.col("exact_union"), 6
+            ).alias("exact_jaccard"),
+        )
+    )

@@ -127,6 +127,10 @@ CARTESIAN_OK = {
     # estimates and the ONE-ROW exact counts via crossJoin; 1x1 BNLJs
     # are constant work at any scale (hll_estimate_vs_exact's pattern).
     "hll_merge_by_source",
+    # kmv_set_ops — combines four ONE-ROW aggregates (two sketch
+    # stats, two exact counts) via crossJoin; the sketches themselves
+    # are 64-row TakeOrdered frames (distinct_kmv_estimate's pattern).
+    "kmv_set_ops",
 }
 
 

@@ -228,3 +228,132 @@ def test_knn_label_agreement_planted_clusters(spark, tmp_path):
     assert got[5] == (2, 2, 1.0)
     assert got[1] == (1, 0, 0.0)
     assert got[2] == (1, 0, 0.0)
+
+
+# --- kmv_set_ops ----------------------------------------------------------
+
+
+def test_kmv_set_ops_exact_small_universe(spark, tmp_path):
+    """Universe smaller than k: both sketches hold every hash, so the
+    shared count equals the true intersection and the exact arms are
+    hand-countable (spans abc/bcd/cde vs cde/def/efg -> union 5,
+    intersection 1)."""
+    _write_documents(
+        spark,
+        tmp_path,
+        [
+            (0, "a b c d e", "en", "src0"),   # side 0
+            (1, "c d e f g", "en", "src10"),  # side 1
+        ],
+    )
+    r = registry.QUERIES["kmv_set_ops"](spark, str(tmp_path)).collect()[0]
+    assert (r.exact_union, r.exact_intersection) == (5, 1)
+    assert r.k == 64
+    # with n < k the merged sketch holds all 5 hashes; exactly the one
+    # shared hash sits in both sketches
+    assert r.est_jaccard == round(1 / 64, 6)
+    assert r.est_intersection == (1 * r.est_union) // 64
+    assert r.exact_jaccard == round(1 / 5, 6)
+
+
+# --- temperature_mixture --------------------------------------------------
+
+
+def test_temperature_mixture_xlmr_rule(spark, tmp_path):
+    """90/10 two-source corpus: temperature shares and boosts must
+    match the alpha=0.7 formula computed independently."""
+    docs = [(i, "x", "en", "s_big") for i in range(90)] + [
+        (90 + i, "x", "en", "s_small") for i in range(10)
+    ]
+    _write_documents(spark, tmp_path, docs)
+    got = {
+        r.source: r
+        for r in registry.QUERIES["temperature_mixture"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    u_big, u_small = 0.9**0.7, 0.1**0.7
+    z = u_big + u_small
+    assert got["s_big"].nat_share == 0.9
+    assert got["s_small"].nat_share == 0.1
+    assert got["s_big"].temp_share == round(u_big / z, 6)
+    assert got["s_small"].temp_share == round(u_small / z, 6)
+    # rare source boosted above 1, dominant damped below 1
+    assert got["s_small"].boost == round((u_small / z) / 0.1, 6) > 1
+    assert got["s_big"].boost < 1
+
+
+# --- l_diversity_audit ----------------------------------------------------
+
+
+def test_l_diversity_planted_leaky_group(spark, tmp_path):
+    """One QI group with a single language (leaks it), one with two:
+    the audit counts the leaky group's rows as at-risk."""
+    docs = [(i, "x" * 50, "en", "s0") for i in range(5)] + [
+        (5, "x" * 50, "en", "s1"),
+        (6, "x" * 50, "de", "s1"),
+    ]
+    _write_documents(spark, tmp_path, docs)
+    r = registry.QUERIES["l_diversity_audit"](spark, str(tmp_path)).collect()[0]
+    assert (r.n_groups, r.min_l, r.n_low_diversity) == (2, 1, 1)
+    assert r.rows_at_risk == 5
+    assert abs(r.risk_share - 5 / 7) < 1e-12
+
+
+# --- multimodal_scene_cuts ------------------------------------------------
+
+
+def _scene_expect(text: str, thr: int = 40):
+    """Independent replay of the container spec: frame k has height
+    1 + (L + 7k) % 5, width 8 (24 bytes/row), frames concatenated over
+    the zero-padded text."""
+    L = len(text)
+    n_frames = 2 + L % 3
+    heights = [1 + (L + 7 * k) % 5 for k in range(4)]
+    dlens = [24 * h for h in heights]
+    padded = text.encode() + b"\x00" * (sum(dlens) - L)
+    starts = [0]
+    for k in range(1, 4):
+        starts.append(starts[-1] + dlens[k - 1])
+    n_cuts, total = 0, 0
+    for k in range(n_frames - 1):
+        m = min(dlens[k], dlens[k + 1])
+        a = padded[starts[k] : starts[k] + m]
+        b = padded[starts[k + 1] : starts[k + 1] + m]
+        s = sum(abs(x - y) for x, y in zip(a, b))
+        total += s
+        if s > thr * m:
+            n_cuts += 1
+    return n_frames, n_frames - 1, n_cuts, total
+
+
+def test_scene_cuts_hand_case_and_replay(spark, tmp_path):
+    """L=30 hand case: 2 frames (h 1,3); the 24-byte overlap is
+    'a'*24 vs 'a'*6+NUL*18 -> sum 18*97=1746 > 40*24 -> one cut.
+    Plus a spec replay over varied lengths."""
+    texts = ["a" * 30, "b c d e f g h i j k l m", "z" * 7, "q" * 101]
+    _write_documents(
+        spark, tmp_path, [(i, t, "en", "s0") for i, t in enumerate(texts)]
+    )
+    got = {
+        r.doc_id: (r.n_frames, r.n_boundaries, r.n_cuts, r.total_abs_diff)
+        for r in registry.QUERIES["multimodal_scene_cuts"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got[0] == (2, 1, 1, 1746)
+    for i, t in enumerate(texts):
+        assert got[i] == _scene_expect(t), f"doc {i}"
+
+
+def test_scene_cuts_corrupt_and_single_frame_drop(spark):
+    """Operator-level: corrupt containers and sub-2-frame payloads
+    contribute no rows (the 100 TB media-scan posture)."""
+    from resotodatalink_spark.operators.multimodal import frame_scene_cuts
+
+    one_frame = b"P6\n8 1\n255\n" + b"x" * 24
+    df = spark.createDataFrame(
+        [(0, bytearray(b"XXnot a container")), (1, bytearray(one_frame))],
+        "doc_id long, payload binary",
+    )
+    assert frame_scene_cuts(df).count() == 0
