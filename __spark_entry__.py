@@ -54,6 +54,9 @@ _NEVER_ATTESTED = [
     "l_diversity_audit",
     "multimodal_scene_cuts",
     "temperature_mixture",
+    # …plus the bipartite co-engagement projection with its hub cap
+    # (registry 210 -> 211).
+    "coengagement_pairs",
 ]
 
 _R10_SEAM_CHANGED = [
@@ -128,7 +131,7 @@ _R6_TIER = [
 _R7_TIER = [
     # Newest driver row is CORRECTNESS_r07 (semdedup and
     # sparse_cosine_pairs moved up into _R10_SEAM_CHANGED).  The first
-    # 5 fill the r11 window's remaining slots; the tail spills to
+    # 4 fill the r11 window's remaining slots; the tail spills to
     # _R12_COHORT below.
     "agg_bool_ops",
     "agg_filter_clause",
@@ -184,11 +187,11 @@ _ATTEST_FIRST = (
 )
 
 # The r12 cohort, named explicitly (capacity arithmetic continued from
-# r10: a 210-slug registry attested 50/round floors at a ~4-round
-# rotation).  r11's window holds 16 new + 8 seam + 7 changed + 14 r6 +
-# 5 r7 = 50 exactly, so these 38 r7-tier slugs spill to r12 — after
+# r10: a 211-slug registry attested 50/round floors at a ~4-round
+# rotation).  r11's window holds 17 new + 8 seam + 7 changed + 14 r6 +
+# 4 r7 = 50 exactly, so these 39 r7-tier slugs spill to r12 — after
 # r11 they are the ONLY slugs whose newest driver row is r7, and with
-# zero r12 changes they all fit r12's window with 12 slots to spare,
+# zero r12 changes they all fit r12's window with 11 slots to spare,
 # ending the staleness tail.
 _R12_COHORT = _ATTEST_FIRST[50:]
 

@@ -212,6 +212,7 @@ EXTENDED = [
     "l_diversity_audit",
     "multimodal_scene_cuts",
     "temperature_mixture",
+    "coengagement_pairs",
 ]
 
 

@@ -1111,3 +1111,76 @@ def _kcore_build(spark: SparkSession, sf_dir: str, ckpt=_ckpt_lazy) -> DataFrame
         .agg(F.count("*").cast("int").alias("degree"))
         .withColumnRenamed("s", "node")
     )
+
+
+# --- bipartite co-engagement projection (round 11, third wave) -----------
+
+_COENG_CAP = 20  # hub cap: top-N users per item by activity
+
+
+@query(
+    "coengagement_pairs",
+    oracle=f"""
+    WITH act AS (
+      SELECT event_type, user_id, count(*) AS cnt
+      FROM events GROUP BY event_type, user_id
+    ),
+    capped AS (
+      SELECT event_type, user_id, cnt FROM (
+        SELECT *, row_number() OVER (PARTITION BY event_type
+                                     ORDER BY cnt DESC, user_id) AS rnk
+        FROM act
+      ) WHERE rnk <= {_COENG_CAP}
+    ),
+    pairs AS (
+      SELECT a.user_id AS user_a, b.user_id AS user_b,
+             least(a.cnt, b.cnt) AS w
+      FROM capped a JOIN capped b
+        ON a.event_type = b.event_type AND a.user_id < b.user_id
+    )
+    SELECT user_a, user_b,
+           CAST(count(*) AS INTEGER) AS n_shared_items,
+           CAST(sum(w) AS BIGINT) AS total_weight
+    FROM pairs GROUP BY user_a, user_b
+    """,
+)
+def coengagement_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite projection of the user-item engagement log onto a
+    weighted user-user co-engagement graph — the graph-construction
+    step feeding collaborative similarity / community detection, with
+    the HUB CAP that makes the projection tractable: only the top-20
+    most-active users per item enter the per-item self-join, so pair
+    volume is bounded by items * C(20,2) instead of the quadratic
+    blowup one viral item would cause (the standard mitigation for
+    projecting power-law bipartite graphs).  Edge weight = sum over
+    shared items of the smaller engagement count (min-composition).
+
+    Scale shape: one map-side-combined (item, user) count, a per-item
+    rank window (items scale in count, partitions stay small), then a
+    capped self-join whose per-item candidate set is <= 20 rows BY
+    CONSTRUCTION — the join is an equi-join on item and the cap rides
+    the same shuffle as the rank window.  All outputs exact
+    integers."""
+    ev = table(spark, sf_dir, "events")
+    act = ev.groupBy("event_type", "user_id").agg(F.count("*").alias("cnt"))
+    from pyspark.sql import Window as W
+
+    rnk = F.row_number().over(
+        W.partitionBy("event_type").orderBy(F.desc("cnt"), "user_id")
+    )
+    capped = (
+        act.withColumn("rnk", rnk)
+        .filter(F.col("rnk") <= _COENG_CAP)
+        .select("event_type", "user_id", "cnt")
+    )
+    a = capped.select(
+        "event_type", F.col("user_id").alias("user_a"), F.col("cnt").alias("ca")
+    )
+    b = capped.select(
+        "event_type", F.col("user_id").alias("user_b"), F.col("cnt").alias("cb")
+    )
+    pairs = a.join(b, "event_type").filter(F.col("user_a") < F.col("user_b"))
+    return pairs.groupBy("user_a", "user_b").agg(
+        F.count("*").cast("int").alias("n_shared_items"),
+        F.sum(F.least("ca", "cb")).cast("long").alias("total_weight"),
+    )

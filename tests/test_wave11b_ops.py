@@ -357,3 +357,41 @@ def test_scene_cuts_corrupt_and_single_frame_drop(spark):
         "doc_id long, payload binary",
     )
     assert frame_scene_cuts(df).count() == 0
+
+
+# --- coengagement_pairs ---------------------------------------------------
+
+
+def test_coengagement_hub_cap_and_weights(spark, tmp_path):
+    """21 users on one item: the least-active user falls past the
+    top-20 cap and pairs with nobody; weights are min-composed and
+    summed across shared items."""
+    rows = []
+    eid = 0
+    # item t0: user u has u+1 events (u = 0..20) -> user 0 is capped out
+    for u in range(21):
+        for _ in range(u + 1):
+            rows.append((eid, u, "t0", 1.0))
+            eid += 1
+    # item t1: users 1 and 2 only (2 and 5 events)
+    for _ in range(2):
+        rows.append((eid, 1, "t1", 1.0))
+        eid += 1
+    for _ in range(5):
+        rows.append((eid, 2, "t1", 1.0))
+        eid += 1
+    _write_events(spark, tmp_path, rows)
+    got = {
+        (r.user_a, r.user_b): (r.n_shared_items, r.total_weight)
+        for r in registry.QUERIES["coengagement_pairs"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # capped-out user 0 appears in NO pair
+    assert not any(0 in pair for pair in got)
+    # 20 capped users on t0 -> C(20,2) pairs, plus (1,2) shared via t1
+    assert len(got) == 190
+    # (1,2): t0 weights 2,3 -> min 2; t1 weights 2,5 -> min 2; total 4
+    assert got[(1, 2)] == (2, 4)
+    # a t0-only pair: (3,4) -> min(4,5) = 4
+    assert got[(3, 4)] == (1, 4)
