@@ -57,6 +57,19 @@ _NEVER_ATTESTED = [
     # …plus the bipartite co-engagement projection with its hub cap
     # (registry 210 -> 211).
     "coengagement_pairs",
+    # Fourth-wave round-11 newcomers (registry 211 -> 215): the
+    # Pareto-frontier (skyline) operator via distributed
+    # frontier-of-frontiers, the exact two-sample KS drift statistic
+    # beside PSI, t-closeness completing the privacy-gate trio, and
+    # the sharded heavy-hitter recall audit.  Exactly 4 so the window
+    # arithmetic closes: 21 new + 8 seam + 7 changed + 14 r6 = 50,
+    # meaning zero r7-tier slots this round and ALL 43 r7-tier slugs
+    # spill to _R12_COHORT (43 <= 50, still fits with room to spare,
+    # and the "no slug older than r7 after r11" invariant holds).
+    "heavy_hitters_audit",
+    "ks_drift_audit",
+    "pareto_frontier",
+    "t_closeness_audit",
 ]
 
 _R10_SEAM_CHANGED = [
@@ -187,12 +200,12 @@ _ATTEST_FIRST = (
 )
 
 # The r12 cohort, named explicitly (capacity arithmetic continued from
-# r10: a 211-slug registry attested 50/round floors at a ~4-round
-# rotation).  r11's window holds 17 new + 8 seam + 7 changed + 14 r6 +
-# 4 r7 = 50 exactly, so these 39 r7-tier slugs spill to r12 — after
-# r11 they are the ONLY slugs whose newest driver row is r7, and with
-# zero r12 changes they all fit r12's window with 11 slots to spare,
-# ending the staleness tail.
+# r10: a 215-slug registry attested 50/round floors at a ~4-round
+# rotation).  r11's window holds 21 new + 8 seam + 7 changed + 14 r6
+# = 50 exactly, so all 43 r7-tier slugs spill to r12 — after r11 they
+# are the ONLY slugs whose newest driver row is r7, and with zero r12
+# changes they all fit r12's window with 7 slots to spare, ending the
+# staleness tail.
 _R12_COHORT = _ATTEST_FIRST[50:]
 
 

@@ -213,6 +213,12 @@ EXTENDED = [
     "multimodal_scene_cuts",
     "temperature_mixture",
     "coengagement_pairs",
+    # round-11 fourth wave: skyline frontier-of-frontiers, exact KS
+    # drift, t-closeness gate, sharded heavy-hitter recall
+    "heavy_hitters_audit",
+    "ks_drift_audit",
+    "pareto_frontier",
+    "t_closeness_audit",
 ]
 
 

@@ -889,3 +889,197 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(risk).alias("rows_at_risk"),
         (F.sum(risk) * 1.0 / F.sum("g")).alias("risk_share"),
     )
+
+
+# --- privacy governance: t-closeness audit -------------------------------
+
+# Same QI pair as l_diversity_audit so the three privacy gates
+# (k-anonymity -> l-diversity -> t-closeness) read side-by-side.
+_TCLOSE_T = 0.30
+
+
+@query(
+    "t_closeness_audit",
+    oracle=f"""
+    WITH d AS (
+      SELECT source, CAST(floor(n_chars / 100) AS BIGINT) AS size_bucket,
+             lang
+      FROM documents),
+    langd AS (SELECT lang, count(*) AS cv FROM d GROUP BY lang),
+    tot AS (SELECT count(*) AS n FROM d),
+    gl AS (
+      SELECT source, size_bucket, lang, count(*) AS cg
+      FROM d GROUP BY 1, 2, 3),
+    grp AS (SELECT source, size_bucket, sum(cg) AS g FROM gl GROUP BY 1, 2),
+    present AS (
+      SELECT gl.source, gl.size_bucket,
+             sum(abs(gl.cg * tot.n - langd.cv * grp.g)) AS present_numer,
+             sum(langd.cv) AS present_cv
+      FROM gl JOIN langd USING (lang)
+              JOIN grp USING (source, size_bucket)
+              CROSS JOIN tot
+      GROUP BY 1, 2),
+    tpg AS (
+      SELECT grp.g,
+             present.present_numer
+               + grp.g * (tot.n - present.present_cv) AS numer,
+             2 * grp.g * tot.n AS denom
+      FROM grp JOIN present USING (source, size_bucket) CROSS JOIN tot)
+    SELECT count(*) AS n_groups,
+           round(max(numer * 1.0 / denom), 9) AS max_t,
+           CAST(sum(CASE WHEN numer * 1.0 / denom > {_TCLOSE_T}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_over,
+           CAST(sum(CASE WHEN numer * 1.0 / denom > {_TCLOSE_T}
+                    THEN g ELSE 0 END) AS BIGINT) AS rows_at_risk,
+           sum(CASE WHEN numer * 1.0 / denom > {_TCLOSE_T}
+               THEN g ELSE 0 END) * 1.0 / sum(g) AS risk_share
+    FROM tpg
+    """,
+)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007 —
+    the third privacy gate after k-anonymity and l-diversity): a QI
+    group can be diverse yet still leak if its SENSITIVE-attribute
+    distribution differs sharply from the table-wide one.  For a
+    categorical attribute under the equal-distance ground metric the
+    earth-mover distance reduces to total variation distance, so per
+    (source, 100-char size bucket) group t = 1/2 * sum_v |p_g(v) -
+    p(v)| over lang, and groups with t > 0.30 are flagged.
+
+    Float discipline: t's numerator is the exact integer
+    sum |cg*n - cv*g| — langs ABSENT from a group contribute
+    g*(n - sum_present cv) by algebra, so no group-x-lang spine is
+    materialized — and t is formed as ONE division by the exact
+    integer 2*g*n, identical operation order in both engines.
+
+    Scale shape: one scan feeds the (QI, lang) count; the lang
+    marginal (bounded by the language domain) attaches via broadcast;
+    the group marginal joins back equi on the QI key (both sides
+    already partitioned by it); the one-row corpus total attaches via
+    broadcast crossJoin (CARTESIAN_OK); the final aggregate runs over
+    the bounded group lattice."""
+    d = table(spark, sf_dir, "documents").select(
+        "source",
+        F.floor(F.col("n_chars") / 100).cast("long").alias("size_bucket"),
+        "lang",
+    )
+    langd = d.groupBy("lang").agg(F.count("*").alias("cv"))
+    tot = d.agg(F.count("*").alias("n"))
+    gl = d.groupBy("source", "size_bucket", "lang").agg(
+        F.count("*").alias("cg")
+    )
+    grp = gl.groupBy("source", "size_bucket").agg(F.sum("cg").alias("g"))
+    present = (
+        gl.join(F.broadcast(langd), "lang")
+        .join(grp, ["source", "size_bucket"])
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source", "size_bucket")
+        .agg(
+            F.sum(
+                F.abs(F.col("cg") * F.col("n") - F.col("cv") * F.col("g"))
+            ).alias("present_numer"),
+            F.sum("cv").alias("present_cv"),
+        )
+    )
+    tpg = (
+        grp.join(present, ["source", "size_bucket"])
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "g",
+            (
+                F.col("present_numer")
+                + F.col("g") * (F.col("n") - F.col("present_cv"))
+            ).alias("numer"),
+            (2 * F.col("g") * F.col("n")).alias("denom"),
+        )
+    )
+    t = F.col("numer") * 1.0 / F.col("denom")
+    risk = F.when(t > _TCLOSE_T, F.col("g")).otherwise(F.lit(0))
+    return tpg.agg(
+        F.count("*").alias("n_groups"),
+        F.round(F.max(t), 9).alias("max_t"),
+        F.sum(F.when(t > _TCLOSE_T, 1).otherwise(0)).alias("n_over"),
+        F.sum(risk).alias("rows_at_risk"),
+        (F.sum(risk) * 1.0 / F.sum("g")).alias("risk_share"),
+    )
+
+
+# --- Pareto frontier (skyline) -------------------------------------------
+
+
+@query(
+    "pareto_frontier",
+    oracle="""
+    WITH agg AS (
+      SELECT o_custkey AS custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS spend_cents,
+             count(*) AS n_orders
+      FROM orders GROUP BY 1)
+    SELECT custkey, spend_cents, n_orders FROM agg a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM agg b
+      WHERE b.spend_cents >= a.spend_cents AND b.n_orders <= a.n_orders
+        AND (b.spend_cents > a.spend_cents OR b.n_orders < a.n_orders))
+    ORDER BY n_orders, spend_cents DESC, custkey
+    """,
+)
+def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-frontier operator (Borzsony, Kossmann &
+    Stocker, ICDE 2001) over per-customer order stats: the customers
+    not dominated on (maximize total spend, minimize order count) —
+    the data-selection shape a curation pipeline uses to pick
+    best-per-cost examples (maximize quality, minimize tokens).
+
+    The oracle states the quadratic NOT-EXISTS dominance SPEC; the
+    Spark plan is the distributed frontier-of-frontiers algorithm:
+    the skyline of a union is a subset of the union of skylines, so
+    stage 1 prunes each of 16 deterministic custkey shards to its
+    LOCAL frontier with two windows (running max-spend over strictly
+    fewer orders via a range frame, plus a same-n-orders tie window),
+    and stage 2 re-applies the same two windows globally to the
+    surviving union.  Per-shard frontiers of randomly-ordered data
+    are O(log n) expected, so the stage-2 frame is tiny; the
+    single-partition stage-2 sort is over that pruned frame, never
+    the corpus.
+
+    Scale shape: one shuffle for the custkey aggregate, one for the
+    shard windows, then a bounded-frame global pass — no self-join,
+    no cartesian; survives 1000 executors because all corpus-sized
+    work is shard-partitioned."""
+    agg = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("spend_cents"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+    def frontier(df: DataFrame, *shard) -> DataFrame:
+        # dominated iff a strictly-fewer-orders row reaches my spend,
+        # or a same-orders row strictly exceeds it
+        w_lt = (
+            W.partitionBy(*shard)
+            .orderBy("n_orders")
+            .rangeBetween(W.unboundedPreceding, -1)
+        )
+        w_eq = W.partitionBy(*shard, "n_orders")
+        return (
+            df.withColumn("m_lt", F.max("spend_cents").over(w_lt))
+            .withColumn("m_eq", F.max("spend_cents").over(w_eq))
+            .filter(
+                (F.col("m_lt").isNull() | (F.col("m_lt") < F.col("spend_cents")))
+                & (F.col("m_eq") == F.col("spend_cents"))
+            )
+            .drop("m_lt", "m_eq")
+        )
+
+    local = frontier(
+        agg.withColumn("shard", F.pmod(F.col("custkey"), F.lit(16))), "shard"
+    ).drop("shard")
+    return frontier(local).orderBy(
+        "n_orders", F.desc("spend_cents"), "custkey"
+    )

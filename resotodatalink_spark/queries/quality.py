@@ -709,3 +709,132 @@ def quantile_sample_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ]
     return fq.join(sq, "event_type").select(*cols)
+
+
+# --- Kolmogorov-Smirnov drift audit ---------------------------------------
+
+# Value-domain bucket width for the distributed cumulative sum: the
+# bucket count is bounded by the PRICE DOMAIN (cents/2^16, a few
+# thousand for any realistic price range), not the corpus, so the
+# bucket-prefix frame stays tiny at any SF.
+_KS_BUCKET = 1 << 16
+
+
+@query(
+    "ks_drift_audit",
+    oracle=f"""
+    WITH o AS (
+      SELECT {_CENTS} AS cents,
+             date_diff('microsecond', {_EPOCH}, o_orderdate) AS od_us
+      FROM orders),
+    s AS (SELECT min(od_us) AS min_us, max(od_us) AS max_us FROM o),
+    w AS (
+      SELECT cents,
+             CASE WHEN 2 * od_us <= s.min_us + s.max_us
+                  THEN 1 ELSE 0 END AS is_base
+      FROM o CROSS JOIN s),
+    c AS (
+      SELECT cents,
+             sum(CASE WHEN is_base = 1 THEN 1 ELSE 0 END) AS ca,
+             sum(CASE WHEN is_base = 0 THEN 1 ELSE 0 END) AS cb
+      FROM w GROUP BY cents),
+    t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM c),
+    cum AS (
+      SELECT cents,
+             sum(ca) OVER (ORDER BY cents) AS cum_a,
+             sum(cb) OVER (ORDER BY cents) AS cum_b
+      FROM c),
+    g AS (
+      SELECT cents,
+             CAST(abs(cum_a * t.nb - cum_b * t.na) AS BIGINT) AS gap,
+             t.na, t.nb
+      FROM cum CROSS JOIN t)
+    SELECT CAST(na AS BIGINT) AS n_base, CAST(nb AS BIGINT) AS n_curr,
+           gap AS max_gap, cents AS at_cents,
+           round(gap * 1.0 / (na * nb), 9) AS ks_d
+    FROM g ORDER BY gap DESC, cents LIMIT 1
+    """,
+)
+def ks_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic of the order-value
+    distribution between the older and newer half of the date range —
+    the EXACT companion to psi_drift_audit's binned PSI: D = max_v
+    |F_base(v) - F_curr(v)| over the full empirical CDFs, plus the
+    value where the gap peaks.  Same midpoint-split predicate as PSI
+    so the two drift gates read the same windows.
+
+    Float discipline: the CDF gap is maximized as the exact integer
+    |cum_a*nb - cum_b*na| (ties broken toward the smallest cents via
+    a lexicographic struct max), and D is ONE division of that
+    integer by na*nb, identical in both engines.
+
+    Scale shape: the cumulative sums over the distinct-value frame
+    use the two-phase pattern — intra-bucket running sums partitioned
+    by a value-domain bucket (cents div 2^16), plus a bucket-prefix
+    frame bounded by the price DOMAIN joined back via broadcast — so
+    no corpus-sized single-partition window exists anywhere; the
+    one-row date-stats / total frames attach via broadcast crossJoin
+    (CARTESIAN_OK)."""
+    o = table(spark, sf_dir, "orders").select(
+        F.expr(_CENTS).alias("cents"),
+        F.expr(f"timestampdiff(MICROSECOND, {_EPOCH}, o_orderdate)").alias(
+            "od_us"
+        ),
+    )
+    s = o.agg(F.min("od_us").alias("min_us"), F.max("od_us").alias("max_us"))
+    w = o.crossJoin(F.broadcast(s)).select(
+        "cents",
+        F.when(
+            2 * F.col("od_us") <= F.col("min_us") + F.col("max_us"), 1
+        ).otherwise(0).alias("is_base"),
+    )
+    c = w.groupBy("cents").agg(
+        F.sum(F.when(F.col("is_base") == 1, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("is_base") == 0, 1).otherwise(0)).alias("cb"),
+    ).withColumn("bucket", F.expr(f"cents div {_KS_BUCKET}"))
+    wb = (
+        W.partitionBy("bucket")
+        .orderBy("cents")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    intra = c.select(
+        "bucket",
+        "cents",
+        F.sum("ca").over(wb).alias("ra"),
+        F.sum("cb").over(wb).alias("rb"),
+    )
+    bt = c.groupBy("bucket").agg(
+        F.sum("ca").alias("ba"), F.sum("cb").alias("bb")
+    )
+    wp = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    pre = bt.select(
+        "bucket",
+        F.coalesce(F.sum("ba").over(wp), F.lit(0)).alias("pa"),
+        F.coalesce(F.sum("bb").over(wp), F.lit(0)).alias("pb"),
+    )
+    t = c.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    cum = (
+        intra.join(F.broadcast(pre), "bucket")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "cents",
+            F.abs(
+                (F.col("ra") + F.col("pa")) * F.col("nb")
+                - (F.col("rb") + F.col("pb")) * F.col("na")
+            ).alias("gap"),
+        )
+    )
+    best = cum.agg(
+        F.max(
+            F.struct(F.col("gap").alias("gap"), (-F.col("cents")).alias("negc"))
+        ).alias("m")
+    )
+    return best.crossJoin(F.broadcast(t)).select(
+        F.col("na").cast("long").alias("n_base"),
+        F.col("nb").cast("long").alias("n_curr"),
+        F.col("m.gap").cast("long").alias("max_gap"),
+        (-F.col("m.negc")).cast("long").alias("at_cents"),
+        F.round(F.col("m.gap") * 1.0 / (F.col("na") * F.col("nb")), 9).alias(
+            "ks_d"
+        ),
+    )

@@ -2001,3 +2001,89 @@ def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("int").alias("n_matches"),
         F.min("start").cast("int").alias("first_pos"),
     )
+
+
+# --- heavy-hitters shard-recall audit ------------------------------------
+
+_HH_GLOBAL_K = 20
+_HH_SHARD_K = 5
+
+
+@query(
+    "heavy_hitters_audit",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS tok
+      FROM documents),
+    st AS (SELECT source, tok, count(*) AS n FROM toks GROUP BY 1, 2),
+    gt AS (SELECT tok, CAST(sum(n) AS BIGINT) AS n FROM st GROUP BY tok),
+    top AS (
+      SELECT tok, n, CAST(rnk AS INTEGER) AS rnk FROM (
+        SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok) AS rnk
+        FROM gt) r WHERE rnk <= {_HH_GLOBAL_K}),
+    cand AS (
+      SELECT tok, CAST(sum(n) AS BIGINT) AS est_n FROM (
+        SELECT tok, n,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n DESC, tok) AS r
+        FROM st) s WHERE r <= {_HH_SHARD_K} GROUP BY tok)
+    SELECT top.tok, top.n, top.rnk,
+           CAST(coalesce(cand.est_n, 0) AS BIGINT) AS est_n,
+           CASE WHEN cand.tok IS NULL THEN 0 ELSE 1 END AS recovered
+    FROM top LEFT JOIN cand ON top.tok = cand.tok
+    ORDER BY top.rnk
+    """,
+)
+def heavy_hitters_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded heavy-hitter recall audit: the practical distributed
+    top-k pattern keeps only each shard's local top-k' as candidates
+    (one pass, mergeable, bounded state — the declarative,
+    order-independent cousin of a Misra-Gries summary), and this
+    audit measures what that approximation loses against the exact
+    global top-k.  Per exact-top-{_HH_GLOBAL_K} token: the one-pass
+    candidate estimate est_n (counts summed ONLY over shards where
+    the token made the shard's top-{_HH_SHARD_K} — undercounted
+    whenever a heavy token runs thin in some shard) and a recovered
+    flag (0 = the token missed EVERY shard's top-k', the failure mode
+    of a token spread uniformly thin; corpus tokens are near-uniform
+    so this branch is fixture-attested in tests).
+
+    Scale shape: explode feeds a map-side-combined (source, tok)
+    count; the global count re-aggregates that frame (no second
+    scan); global top-k is TakeOrderedAndProject (per-partition heaps,
+    never a global window over the vocabulary — frequent_terms'
+    pattern); shard top-k' is a window partitioned by source; the
+    final join keys the 20-row frame against the candidate frame
+    already partitioned by tok."""
+    d = table(spark, sf_dir, "documents")
+    st = (
+        d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("n"))
+    )
+    gt = st.groupBy("tok").agg(F.sum("n").alias("n"))
+    top20 = gt.orderBy(F.desc("n"), F.asc("tok")).limit(_HH_GLOBAL_K)
+    top = top20.withColumn(
+        "rnk",
+        F.row_number()
+        .over(W.orderBy(F.desc("n"), F.asc("tok")))
+        .cast("int"),
+    )
+    shard_w = W.partitionBy("source").orderBy(F.desc("n"), F.asc("tok"))
+    cand = (
+        st.withColumn("r", F.row_number().over(shard_w))
+        .filter(F.col("r") <= _HH_SHARD_K)
+        .groupBy("tok")
+        .agg(F.sum("n").alias("est_n"))
+    )
+    return (
+        top.join(cand, "tok", "left")
+        .select(
+            "tok",
+            "n",
+            "rnk",
+            F.coalesce("est_n", F.lit(0)).cast("long").alias("est_n"),
+            F.when(F.col("est_n").isNull(), 0).otherwise(1).alias("recovered"),
+        )
+        .orderBy("rnk")
+    )

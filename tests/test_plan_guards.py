@@ -131,6 +131,15 @@ CARTESIAN_OK = {
     # stats, two exact counts) via crossJoin; the sketches themselves
     # are 64-row TakeOrdered frames (distinct_kmv_estimate's pattern).
     "kmv_set_ops",
+    # ks_drift_audit — attaches the ONE-ROW date-midpoint stats and
+    # the ONE-ROW base/current totals via broadcast crossJoin
+    # (psi_drift_audit's pattern); the cumulative sums themselves are
+    # bucket-partitioned, never cartesian.
+    "ks_drift_audit",
+    # t_closeness_audit — attaches the ONE-ROW corpus total via
+    # broadcast crossJoin (twice: the present-lang fold and the
+    # absent-lang algebra); lang/group marginals join equi.
+    "t_closeness_audit",
 }
 
 
