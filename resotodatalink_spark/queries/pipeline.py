@@ -1058,28 +1058,33 @@ def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def frontier(df: DataFrame, *shard) -> DataFrame:
-        # dominated iff a strictly-fewer-orders row reaches my spend,
-        # or a same-orders row strictly exceeds it
-        w_lt = (
-            W.partitionBy(*shard)
-            .orderBy("n_orders")
-            .rangeBetween(W.unboundedPreceding, -1)
-        )
-        w_eq = W.partitionBy(*shard, "n_orders")
-        return (
-            df.withColumn("m_lt", F.max("spend_cents").over(w_lt))
-            .withColumn("m_eq", F.max("spend_cents").over(w_eq))
-            .filter(
-                (F.col("m_lt").isNull() | (F.col("m_lt") < F.col("spend_cents")))
-                & (F.col("m_eq") == F.col("spend_cents"))
-            )
-            .drop("m_lt", "m_eq")
-        )
-
-    local = frontier(
+    local = _skyline_pass(
         agg.withColumn("shard", F.pmod(F.col("custkey"), F.lit(16))), "shard"
     ).drop("shard")
-    return frontier(local).orderBy(
+    return _skyline_pass(local).orderBy(
         "n_orders", F.desc("spend_cents"), "custkey"
+    )
+
+
+def _skyline_pass(df: DataFrame, *keys: str) -> DataFrame:
+    """One skyline pruning pass on (maximize spend_cents, minimize
+    n_orders) within each ``keys`` partition: dominated iff a
+    strictly-fewer-orders row reaches my spend (range-frame running
+    max), or a same-orders row strictly exceeds it (tie window).
+    Module-level so the property suite can drive it batched against
+    the quadratic dominance spec."""
+    w_lt = (
+        W.partitionBy(*keys)
+        .orderBy("n_orders")
+        .rangeBetween(W.unboundedPreceding, -1)
+    )
+    w_eq = W.partitionBy(*keys, "n_orders")
+    return (
+        df.withColumn("m_lt", F.max("spend_cents").over(w_lt))
+        .withColumn("m_eq", F.max("spend_cents").over(w_eq))
+        .filter(
+            (F.col("m_lt").isNull() | (F.col("m_lt") < F.col("spend_cents")))
+            & (F.col("m_eq") == F.col("spend_cents"))
+        )
+        .drop("m_lt", "m_eq")
     )

@@ -151,3 +151,45 @@ def test_heavy_hitters_thin_spread_token_missed(spark, tmp_path):
     for tok, (n, rnk, est, rec) in rows.items():
         if tok != "zz":
             assert (n, est, rec) == (4, 4, 1)
+
+
+# --- skyline pass vs quadratic dominance spec (batched random) ------------
+
+
+def test_skyline_two_stage_matches_quadratic_spec(spark):
+    """150 fixed-seed random cases in ONE DataFrame (tiny coordinate
+    domains force duplicate points and same-n ties), each run through
+    the production two-stage shard/global pipeline via _skyline_pass,
+    compared per-case against the quadratic NOT-EXISTS dominance
+    reference the oracle states."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from resotodatalink_spark.queries.pipeline import _skyline_pass
+
+    rng = random.Random(11)
+    rows, expect = [], {}
+    for case in range(150):
+        pts = {
+            k: (rng.randint(0, 5), rng.randint(1, 4))
+            for k in rng.sample(range(40), rng.randint(1, 12))
+        }
+        for k, (s, n) in pts.items():
+            rows.append((case, k, s, n))
+        expect[case] = sorted(
+            k
+            for k, (s, n) in pts.items()
+            if not any(
+                (s2 >= s and n2 <= n and (s2 > s or n2 < n))
+                for s2, n2 in pts.values()
+            )
+        )
+    df = spark.createDataFrame(
+        rows, "case long, custkey long, spend_cents long, n_orders long"
+    ).withColumn("shard", F.pmod(F.col("custkey"), F.lit(16)))
+    local = _skyline_pass(df, "case", "shard").drop("shard")
+    got: dict[int, list[int]] = {c: [] for c in expect}
+    for r in _skyline_pass(local, "case").collect():
+        got[r["case"]].append(r.custkey)
+    assert {c: sorted(v) for c, v in got.items()} == expect
