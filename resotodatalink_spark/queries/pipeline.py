@@ -952,22 +952,25 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized — and t is formed as ONE division by the exact
     integer 2*g*n, identical operation order in both engines.
 
-    Scale shape: one scan feeds the (QI, lang) count; the lang
-    marginal (bounded by the language domain) attaches via broadcast;
-    the group marginal joins back equi on the QI key (both sides
-    already partitioned by it); the one-row corpus total attaches via
-    broadcast crossJoin (CARTESIAN_OK); the final aggregate runs over
-    the bounded group lattice."""
+    Scale shape: ONE corpus scan feeds the (QI, lang) count, which is
+    checkpointed; the lang marginal (bounded by the language domain,
+    attached via broadcast), the group marginal (equi-joined on the
+    QI key), and the one-row corpus total (broadcast crossJoin,
+    CARTESIAN_OK) all derive from that bounded frame rather than
+    rescanning the corpus; the final aggregate runs over the bounded
+    group lattice."""
     d = table(spark, sf_dir, "documents").select(
         "source",
         F.floor(F.col("n_chars") / 100).cast("long").alias("size_bucket"),
         "lang",
     )
-    langd = d.groupBy("lang").agg(F.count("*").alias("cv"))
-    tot = d.agg(F.count("*").alias("n"))
-    gl = d.groupBy("source", "size_bucket", "lang").agg(
-        F.count("*").alias("cg")
+    gl = _ckpt(
+        d.groupBy("source", "size_bucket", "lang").agg(
+            F.count("*").alias("cg")
+        )
     )
+    langd = gl.groupBy("lang").agg(F.sum("cg").alias("cv"))
+    tot = gl.agg(F.sum("cg").alias("n"))
     grp = gl.groupBy("source", "size_bucket").agg(F.sum("cg").alias("g"))
     present = (
         gl.join(F.broadcast(langd), "lang")

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from resotodatalink_spark.operators.checkpoint import ckpt as _ckpt
 from resotodatalink_spark.registry import query
 from resotodatalink_spark.sources.tables import table
 
@@ -768,13 +769,16 @@ def ks_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     a lexicographic struct max), and D is ONE division of that
     integer by na*nb, identical in both engines.
 
-    Scale shape: the cumulative sums over the distinct-value frame
-    use the two-phase pattern — intra-bucket running sums partitioned
-    by a value-domain bucket (cents div 2^16), plus a bucket-prefix
-    frame bounded by the price DOMAIN joined back via broadcast — so
-    no corpus-sized single-partition window exists anywhere; the
-    one-row date-stats / total frames attach via broadcast crossJoin
-    (CARTESIAN_OK)."""
+    Scale shape: ONE corpus scan — the distinct-cents collapse is
+    checkpointed and the intra-bucket sums, bucket totals, and
+    base/current totals all derive from that bounded frame (without
+    the checkpoint the lineage would rescan the corpus three times).
+    The cumulative sums use the two-phase pattern — intra-bucket
+    running sums partitioned by a value-domain bucket (cents div
+    2^16), plus a bucket-prefix frame bounded by the price DOMAIN
+    joined back via broadcast — so no corpus-sized single-partition
+    window exists anywhere; the one-row date-stats / total frames
+    attach via broadcast crossJoin (CARTESIAN_OK)."""
     o = table(spark, sf_dir, "orders").select(
         F.expr(_CENTS).alias("cents"),
         F.expr(f"timestampdiff(MICROSECOND, {_EPOCH}, o_orderdate)").alias(
@@ -788,10 +792,14 @@ def ks_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             2 * F.col("od_us") <= F.col("min_us") + F.col("max_us"), 1
         ).otherwise(0).alias("is_base"),
     )
-    c = w.groupBy("cents").agg(
-        F.sum(F.when(F.col("is_base") == 1, 1).otherwise(0)).alias("ca"),
-        F.sum(F.when(F.col("is_base") == 0, 1).otherwise(0)).alias("cb"),
-    ).withColumn("bucket", F.expr(f"cents div {_KS_BUCKET}"))
+    c = _ckpt(
+        w.groupBy("cents")
+        .agg(
+            F.sum(F.when(F.col("is_base") == 1, 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(F.col("is_base") == 0, 1).otherwise(0)).alias("cb"),
+        )
+        .withColumn("bucket", F.expr(f"cents div {_KS_BUCKET}"))
+    )
     wb = (
         W.partitionBy("bucket")
         .orderBy("cents")

@@ -2054,9 +2054,11 @@ def heavy_hitters_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     never a global window over the vocabulary — frequent_terms'
     pattern); shard top-k' is a window partitioned by source; the
     final join keys the 20-row frame against the candidate frame
-    already partitioned by tok."""
+    already partitioned by tok.  The (source, tok) collapse is
+    checkpointed so the global re-aggregate and the shard window both
+    read it without re-running the explode scan."""
     d = table(spark, sf_dir, "documents")
-    st = (
+    st = _ckpt(
         d.select("source", F.explode(F.split("text", " ")).alias("tok"))
         .groupBy("source", "tok")
         .agg(F.count("*").alias("n"))
