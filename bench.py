@@ -219,6 +219,13 @@ EXTENDED = [
     "ks_drift_audit",
     "pareto_frontier",
     "t_closeness_audit",
+    # round-11 fifth wave (r12 attestation head): Kneser-Ney bigram
+    # LM, Benford first-digit audit, rank-biased-overlap drift,
+    # gazetteer entity tagging
+    "benford_audit",
+    "gazetteer_tagging",
+    "kneser_ney_bigram",
+    "rank_biased_overlap",
 ]
 
 

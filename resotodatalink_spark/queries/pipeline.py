@@ -1091,3 +1091,67 @@ def _skyline_pass(df: DataFrame, *keys: str) -> DataFrame:
         )
         .drop("m_lt", "m_eq")
     )
+
+
+# --- gazetteer entity tagging ---------------------------------------------
+
+# The dictionary is the SPEC shared by both engines (generated into
+# the oracle's VALUES list); in production it would be a reference
+# table broadcast the same way.
+_GAZETTEER = (
+    ("customer", "PARTY"), ("supplier", "PARTY"),
+    ("order", "DOC"), ("line", "DOC"),
+    ("join", "OP"), ("scan", "OP"), ("merge", "OP"), ("hash", "OP"),
+)
+_GAZ_VALUES = ", ".join(f"('{t}','{e}')" for t, e in _GAZETTEER)
+
+
+@query(
+    "gazetteer_tagging",
+    oracle=f"""
+    WITH gz(term, etype) AS (VALUES {_GAZ_VALUES}),
+    pos AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+             unnest(generate_series(1, len(string_split(text, ' '))))::BIGINT
+               AS i
+      FROM documents)
+    SELECT pos.doc_id, gz.term, gz.etype,
+           count(*) AS cnt, CAST(min(pos.i) AS BIGINT) AS first_pos
+    FROM pos JOIN gz ON pos.tok = gz.term
+    GROUP BY 1, 2, 3
+    ORDER BY doc_id, term
+    """,
+)
+def gazetteer_tagging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-based entity tagging (the gazetteer pass of a
+    classic NER pipeline, and the canonical 'annotate a corpus with a
+    reference list' shape — wordlist toxicity screens, product
+    catalogs, ticker symbols): every token matching a typed
+    dictionary term yields (doc, term, type, occurrence count, first
+    position).  Complements pii_redaction's REGEX channel with the
+    JOIN channel: the dictionary is data, not pattern, so it scales
+    to millions of terms without recompiling anything.
+
+    Scale shape: posexplode feeds an equi-join against the
+    broadcast dictionary (at production dictionary sizes the
+    broadcast stays the right plan until the dictionary itself is
+    corpus-scale, at which point the same equi-join shuffles — no
+    plan rewrite needed), then a map-side-combined (doc, term)
+    aggregate; output is hit-sized, never corpus x dictionary."""
+    d = table(spark, sf_dir, "documents")
+    gz = spark.createDataFrame(
+        list(_GAZETTEER), "term string, etype string"
+    )
+    pos = d.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("i0", "tok"),
+    ).select("doc_id", (F.col("i0") + 1).alias("i"), "tok")
+    return (
+        pos.join(F.broadcast(gz), pos.tok == gz.term)
+        .groupBy("doc_id", "term", "etype")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min("i").cast("long").alias("first_pos"),
+        )
+        .orderBy("doc_id", "term")
+    )

@@ -846,3 +846,200 @@ def ks_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ks_d"
         ),
     )
+
+
+# --- Benford first-digit audit --------------------------------------------
+
+# log10(1 + 1/d) to 12 decimals, generated ONCE here and embedded as
+# identical double literals in BOTH engines (the 'e0' suffix keeps
+# DuckDB from parsing them as DECIMAL) — no libm call at query time,
+# so the chi-square arithmetic is bit-identical by construction.
+_BENFORD_P = {
+    1: 0.301029995664, 2: 0.176091259056, 3: 0.124938736608,
+    4: 0.096910013008, 5: 0.079181246048, 6: 0.066946789631,
+    7: 0.057991946978, 8: 0.051152522447, 9: 0.045757490561,
+}
+_BENFORD_CASE = " ".join(
+    f"WHEN {d} THEN {p!r}e0" for d, p in _BENFORD_P.items()
+)
+
+
+@query(
+    "benford_audit",
+    oracle=f"""
+    WITH o AS (
+      SELECT CAST(substr(CAST({_CENTS} AS VARCHAR), 1, 1) AS INTEGER)
+             AS digit
+      FROM orders),
+    c AS (SELECT digit, count(*) AS obs FROM o GROUP BY digit),
+    t AS (SELECT digit, obs,
+                 CAST(sum(obs) OVER () AS BIGINT) AS n,
+                 CASE digit {_BENFORD_CASE} END AS p
+          FROM c)
+    SELECT digit, CAST(obs AS BIGINT) AS obs,
+           round(n * p, 6) AS exp_cnt,
+           round((obs - n * p) * (obs - n * p) / (n * p), 6) AS chi2
+    FROM t ORDER BY digit
+    """,
+)
+def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit (Newcomb 1881 / Benford 1938; Nigrini
+    1996 for the fraud-detection use): the leading digit of naturally
+    occurring multi-decade amounts follows p(d) = log10(1+1/d), and a
+    synthetic or truncated value column deviates sharply — the cheap
+    "is this numeric column fabricated/clipped" screen a data-quality
+    pipeline runs per ingest.  Per digit 1-9: observed count, Benford
+    expectation, and the chi-square contribution (sum downstream
+    against chi2_8 critical values).
+
+    Float discipline: the nine log10 constants are PRE-COMPUTED
+    12-decimal literals shared by both engines (no libm at query
+    time); obs and n are exact integers, and the expectation /
+    chi-square terms replicate the identical double operation order.
+
+    Scale shape: one scan into a 9-group map-side-combined count;
+    everything after runs on the bounded digit frame (the window
+    total is a 9-row single-partition frame)."""
+    o = table(spark, sf_dir, "orders").select(
+        F.substring(F.expr(_CENTS).cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    )
+    c = o.groupBy("digit").agg(F.count("*").alias("obs"))
+    pmap = F.create_map(
+        *[F.lit(x) for d, p in _BENFORD_P.items() for x in (d, p)]
+    )
+    t = c.select(
+        "digit",
+        "obs",
+        F.sum("obs").over(W.partitionBy()).cast("long").alias("n"),
+        F.element_at(pmap, F.col("digit")).alias("p"),
+    )
+    np_ = F.col("n") * F.col("p")
+    return t.select(
+        "digit",
+        F.col("obs").cast("long").alias("obs"),
+        F.round(np_, 6).alias("exp_cnt"),
+        F.round(
+            (F.col("obs") - np_) * (F.col("obs") - np_) / np_, 6
+        ).alias("chi2"),
+    ).orderBy("digit")
+
+
+# --- rank-biased overlap drift --------------------------------------------
+
+# RBO weights (1-p)*p^(d-1) at p=0.9, depths 1..20, generated ONCE and
+# embedded as identical double literals in both engines (same rationale
+# as the Benford constants: no pow() at query time).
+_RBO_K = 20
+_RBO_W = {d: round(0.1 * 0.9 ** (d - 1), 12) for d in range(1, _RBO_K + 1)}
+_RBO_CASE = " ".join(f"WHEN {d} THEN {w!r}e0" for d, w in _RBO_W.items())
+
+
+@query(
+    "rank_biased_overlap",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id % 2 AS half, unnest(string_split(text, ' ')) AS tok
+      FROM documents),
+    c AS (SELECT half, tok, count(*) AS n FROM toks GROUP BY 1, 2),
+    ra AS (
+      SELECT tok, row_number() OVER (ORDER BY n DESC, tok) AS r
+      FROM c WHERE half = 0 QUALIFY r <= {_RBO_K}),
+    rb AS (
+      SELECT tok, row_number() OVER (ORDER BY n DESC, tok) AS r
+      FROM c WHERE half = 1 QUALIFY r <= {_RBO_K}),
+    m AS (
+      SELECT coalesce(ra.r, 99) AS r_a, coalesce(rb.r, 99) AS r_b
+      FROM ra FULL JOIN rb ON ra.tok = rb.tok),
+    spine AS (
+      SELECT unnest(generate_series(1, {_RBO_K}))::BIGINT AS d),
+    agree AS (
+      SELECT spine.d,
+             CAST(sum(CASE WHEN m.r_a <= spine.d AND m.r_b <= spine.d
+                           THEN 1 ELSE 0 END) AS BIGINT) AS inter_cnt
+      FROM spine CROSS JOIN m GROUP BY spine.d)
+    SELECT d, inter_cnt,
+           round(inter_cnt * 1.0 / d, 9) AS agreement,
+           round((CASE d {_RBO_CASE} END) * inter_cnt / d, 9) AS rbo_term
+    FROM agree ORDER BY d
+    """,
+)
+def rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber, Moffat & Zobel, TOIS 2010) between
+    the top-20 token-frequency rankings of the two corpus halves
+    (doc_id parity) — the RANK-drift gate beside psi/ks's
+    distribution gates: two crawls can agree on every marginal and
+    still reorder what dominates.  Per depth d: the top-d
+    intersection size, agreement |A_d ∩ B_d|/d, and the RBO summand
+    (1-p)p^(d-1)*agreement at p=0.9 (sum downstream: 0..1, top-weighted).
+
+    Float discipline: the 20 geometric weights are pre-computed
+    12-decimal literals shared by both engines; agreement and the
+    summand are single divisions of exact integers times those
+    literals, identical operation order.
+
+    Scale shape: one scan into a (half, tok) map-side-combined count,
+    checkpointed; each half's top-20 is TakeOrderedAndProject over
+    that frame; everything after (full join of two 20-row frames, the
+    20x40 depth cross join — CARTESIAN_OK, both sides bounded by
+    construction) is constant work at any scale."""
+    d = table(spark, sf_dir, "documents")
+    c = _ckpt(
+        d.select(
+            (F.col("doc_id") % 2).alias("half"),
+            F.explode(F.split("text", " ")).alias("tok"),
+        )
+        .groupBy("half", "tok")
+        .agg(F.count("*").alias("n"))
+    )
+
+    def ranked(half: int, alias: str) -> DataFrame:
+        top = (
+            c.filter(F.col("half") == half)
+            .orderBy(F.desc("n"), "tok")
+            .limit(_RBO_K)
+        )
+        return top.select(
+            "tok",
+            F.row_number()
+            .over(W.orderBy(F.desc("n"), "tok"))
+            .alias(alias),
+        )
+
+    m = (
+        ranked(0, "r_a")
+        .join(ranked(1, "r_b"), "tok", "full")
+        .select(
+            F.coalesce("r_a", F.lit(99)).alias("r_a"),
+            F.coalesce("r_b", F.lit(99)).alias("r_b"),
+        )
+    )
+    spine = spark.range(1, _RBO_K + 1).select(F.col("id").alias("d"))
+    agree = (
+        spine.crossJoin(F.broadcast(m))
+        .groupBy("d")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("r_a") <= F.col("d"))
+                    & (F.col("r_b") <= F.col("d")),
+                    1,
+                ).otherwise(0)
+            ).alias("inter_cnt")
+        )
+    )
+    wmap = F.create_map(
+        *[F.lit(x) for dd, ww in _RBO_W.items() for x in (dd, ww)]
+    )
+    return agree.select(
+        "d",
+        F.col("inter_cnt").cast("long").alias("inter_cnt"),
+        F.round(F.col("inter_cnt") * 1.0 / F.col("d"), 9).alias("agreement"),
+        F.round(
+            F.element_at(wmap, F.col("d").cast("int"))
+            * F.col("inter_cnt")
+            / F.col("d"),
+            9,
+        ).alias("rbo_term"),
+    ).orderBy("d")

@@ -2089,3 +2089,105 @@ def heavy_hitters_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+# --- Kneser-Ney bigram LM -------------------------------------------------
+
+_KN_TOP = 20
+
+
+@query(
+    "kneser_ney_bigram",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    pos AS (
+      SELECT doc_id, unnest(t) AS tok,
+             unnest(generate_series(1, len(t)))::BIGINT AS i
+      FROM toks),
+    big AS (
+      SELECT tok AS w1,
+             lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+      FROM pos QUALIFY w2 IS NOT NULL),
+    cb AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+    left_m AS (
+      SELECT w1, sum(c12) AS c1, count(*) AS n1f FROM cb GROUP BY w1),
+    right_m AS (SELECT w2, count(*) AS n1b FROM cb GROUP BY w2),
+    tt AS (SELECT count(*) AS t FROM cb),
+    top AS (
+      SELECT w1, w2, c12 FROM cb ORDER BY c12 DESC, w1, w2
+      LIMIT {_KN_TOP})
+    SELECT top.w1, top.w2, top.c12,
+           CAST(left_m.c1 AS BIGINT) AS c1,
+           CAST(left_m.n1f AS BIGINT) AS n1f,
+           CAST(right_m.n1b AS BIGINT) AS n1b,
+           round((greatest(4 * top.c12 - 3, 0) * tt.t
+                  + 3 * left_m.n1f * right_m.n1b) * 1.0
+                 / (4 * left_m.c1 * tt.t), 9) AS p_kn
+    FROM top JOIN left_m USING (w1) JOIN right_m USING (w2)
+             CROSS JOIN tt
+    ORDER BY top.c12 DESC, top.w1, top.w2
+    """,
+)
+def kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram model (Kneser & Ney 1995; Chen
+    & Goodman 1999 — THE n-gram smoothing), the quality sibling to
+    bigram_lm_perplexity's add-one baseline: p(w2|w1) =
+    max(c12-d,0)/c1 + d*n1+(w1,.)/c1 * n1+(.,w2)/T, where the
+    continuation weight counts bigram TYPES, so "Francisco" (frequent
+    but only ever after "San") scores low as a continuation.  Reports
+    the corpus's top-20 bigrams with their count/continuation
+    marginals and the KN probability.
+
+    Float discipline: with d = 3/4 the whole probability is ONE
+    division of exact integers — p = (max(4*c12-3,0)*T +
+    3*n1f*n1b) / (4*c1*T) — so both engines compute the identical
+    double with no libm call at all.
+
+    Scale shape: the adjacency pairing is a per-doc lead window (the
+    corpus-wide shuffle key is doc_id); the bigram-type collapse is
+    checkpointed and ALL marginals (left context mass, forward /
+    backward continuation type counts, the one-row type total) derive
+    from that bounded frame; top-k is TakeOrderedAndProject; the
+    one-row total attaches via broadcast crossJoin (CARTESIAN_OK)."""
+    d = table(spark, sf_dir, "documents")
+    pos = d.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("i", "tok"),
+    )
+    big = (
+        pos.withColumn(
+            "w2",
+            F.lead("tok").over(W.partitionBy("doc_id").orderBy("i")),
+        )
+        .filter(F.col("w2").isNotNull())
+        .select(F.col("tok").alias("w1"), "w2")
+    )
+    cb = _ckpt(big.groupBy("w1", "w2").agg(F.count("*").alias("c12")))
+    left_m = cb.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count("*").alias("n1f")
+    )
+    right_m = cb.groupBy("w2").agg(F.count("*").alias("n1b"))
+    tt = cb.agg(F.count("*").alias("t"))
+    top = cb.orderBy(F.desc("c12"), "w1", "w2").limit(_KN_TOP)
+    num = (
+        F.greatest(4 * F.col("c12") - 3, F.lit(0)) * F.col("t")
+        + 3 * F.col("n1f") * F.col("n1b")
+    )
+    return (
+        top.join(left_m, "w1")
+        .join(right_m, "w2")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.col("c1").cast("long").alias("c1"),
+            F.col("n1f").cast("long").alias("n1f"),
+            F.col("n1b").cast("long").alias("n1b"),
+            F.round(
+                num * 1.0 / (4 * F.col("c1") * F.col("t")), 9
+            ).alias("p_kn"),
+        )
+        .orderBy(F.desc("c12"), "w1", "w2")
+    )

@@ -140,6 +140,13 @@ CARTESIAN_OK = {
     # broadcast crossJoin (twice: the present-lang fold and the
     # absent-lang algebra); lang/group marginals join equi.
     "t_closeness_audit",
+    # kneser_ney_bigram — attaches the ONE-ROW bigram-type total to
+    # the 20-row top frame via broadcast crossJoin.
+    "kneser_ney_bigram",
+    # rank_biased_overlap — the 20-row depth spine crossJoins the
+    # <=40-row rank-union frame: both sides bounded by the top-k
+    # constant, never by SF.
+    "rank_biased_overlap",
 }
 
 
