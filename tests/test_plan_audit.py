@@ -1,0 +1,71 @@
+"""Unit tests for tools/plan_audit.py's plan-string classifier (the
+audit itself runs repo-wide per round; these pin the regex semantics
+on synthetic plan fragments so a Spark plan-format drift fails loudly
+here, not silently in the committed audit)."""
+
+from __future__ import annotations
+
+import importlib.util
+import pathlib
+
+spec = importlib.util.spec_from_file_location(
+    "plan_audit",
+    pathlib.Path(__file__).parent.parent / "tools" / "plan_audit.py",
+)
+plan_audit = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(plan_audit)
+
+
+PARTITIONED = (
+    "+- Window [sum(ca#86L) windowspecdefinition(bucket#92L, cents#67L "
+    "ASC NULLS FIRST, specifiedwindowframe(RowFrame, unboundedpreceding$(), "
+    "currentrow$())) AS ra#117L]"
+)
+GLOBAL_ORDERED = (
+    "+- Window [sum(ba#121L) windowspecdefinition(bucket#146L ASC NULLS "
+    "FIRST, specifiedwindowframe(RowFrame, unboundedpreceding$(), -1)) "
+    "AS _we0#133L]"
+)
+GLOBAL_UNORDERED = (
+    "+- Window [sum(_w0#46L) windowspecdefinition(specifiedwindowframe("
+    "RowFrame, unboundedpreceding$(), unboundedfollowing$())) AS ta#42L]"
+)
+
+
+def test_partitioned_window_not_flagged():
+    assert plan_audit.audit_plan(PARTITIONED)["global_windows"] == 0
+
+
+def test_global_windows_flagged():
+    assert plan_audit.audit_plan(GLOBAL_ORDERED)["global_windows"] == 1
+    assert plan_audit.audit_plan(GLOBAL_UNORDERED)["global_windows"] == 1
+
+
+def test_limit_fed_global_window_recognized_as_bounded():
+    plan = GLOBAL_ORDERED + "\n   +- GlobalLimit 20\n      +- Exchange"
+    assert plan_audit.audit_plan(plan)["global_windows"] == 0
+
+
+def test_feature_counts():
+    plan = "\n".join(
+        [
+            "Exchange hashpartitioning(a#1, 32)",
+            "Exchange SinglePartition",
+            "BroadcastExchange HashedRelationBroadcastMode",
+            "FileScan parquet [a#1]",
+            "SortMergeJoin [a#1], [b#2], Inner",
+            "BroadcastHashJoin [a#1], [b#2], Inner",
+            "CartesianProduct",
+        ]
+    )
+    got = plan_audit.audit_plan(plan)
+    assert got == {
+        "exchanges": 2,
+        "broadcasts": 1,
+        "scans": 1,
+        "global_windows": 0,
+        "cartesians": 1,
+        "bnlj": 0,
+        "sort_merge_joins": 1,
+        "hash_joins": 1,
+    }
