@@ -191,15 +191,16 @@ _R7_TIER = [
     "window_lag_lead",
 ]
 
-# Fifth-wave round-11 newcomers (registry 215 -> 219).  The r11
+# Fifth-wave round-11 newcomers (registry 215 -> 220).  The r11
 # window is already exactly full (21+8+7+14 = 50, and displacing any
 # r6-tier slug would break the no-slug-older-than-r7 invariant), so
-# these four are placed at the HEAD of the r12 cohort instead of the
+# these five are placed at the HEAD of the r12 cohort instead of the
 # window — the one deliberate deviation from newest-first ordering,
 # traded for the staleness invariant.  They carry tri-SF local sweep
 # + fixture + property-test evidence until the r12 driver row lands.
 _R12_NEWCOMERS = [
     "benford_audit",
+    "cusum_changepoint",
     "gazetteer_tagging",
     "kneser_ney_bigram",
     "rank_biased_overlap",
@@ -215,12 +216,12 @@ _ATTEST_FIRST = (
 )
 
 # The r12 cohort, named explicitly (capacity arithmetic continued from
-# r10: a 219-slug registry attested 50/round floors at a ~4-round
+# r10: a 220-slug registry attested 50/round floors at a ~4-round
 # rotation).  r11's window holds 21 new + 8 seam + 7 changed + 14 r6
-# = 50 exactly, so the spill is the 4 fifth-wave newcomers (cohort
+# = 50 exactly, so the spill is the 5 fifth-wave newcomers (cohort
 # head) plus all 43 r7-tier slugs — after r11 the r7 tier are the
 # ONLY slugs whose newest driver row is r7, and with zero r12 changes
-# the 47 fit r12's window with 3 slots to spare, ending the staleness
+# the 48 fit r12's window with 2 slots to spare, ending the staleness
 # tail.
 _R12_COHORT = _ATTEST_FIRST[50:]
 

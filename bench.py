@@ -223,6 +223,7 @@ EXTENDED = [
     # LM, Benford first-digit audit, rank-biased-overlap drift,
     # gazetteer entity tagging
     "benford_audit",
+    "cusum_changepoint",
     "gazetteer_tagging",
     "kneser_ney_bigram",
     "rank_biased_overlap",

@@ -147,6 +147,9 @@ CARTESIAN_OK = {
     # <=40-row rank-union frame: both sides bounded by the top-k
     # constant, never by SF.
     "rank_biased_overlap",
+    # cusum_changepoint — attaches the ONE-ROW total/day-count to the
+    # bounded day frame via broadcast crossJoin.
+    "cusum_changepoint",
 }
 
 

@@ -143,3 +143,40 @@ def test_gazetteer_multi_hit_positions(spark, tmp_path):
         (0, "join", "OP", 2, 1),
         (0, "scan", "OP", 1, 3),
     ]
+
+
+# --- cusum_changepoint ----------------------------------------------------
+
+
+def test_cusum_planted_shift_hand_trajectory(spark, tmp_path):
+    """Three quiet days (1 order) then three loud days (1000): total
+    = 3003, nd = 6, allowance = 150, so z = 6*cnt - 3153 and the
+    reflected walk gives cusum (0, 0, 0, 2847, 5694, 8541) — the
+    alarm 2*total = 6006 fires on day 6 ONLY, pinning both the
+    trajectory arithmetic and the flag boundary (day 5 sits under the
+    threshold, day 6 over)."""
+    rows, k = [], 0
+    for dd, cnt in [(1, 1), (2, 1), (3, 1), (4, 1000), (5, 1000), (6, 1000)]:
+        for _ in range(cnt):
+            rows.append((k, 1, 100.0, datetime.datetime(2020, 1, dd)))
+            k += 1
+    spark.createDataFrame(
+        [(i, c, "O", p, d, "x") for i, c, p, d in rows],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    got = [
+        (r.day, r.cnt, r.cusum, r.flagged)
+        for r in registry.QUERIES["cusum_changepoint"](
+            spark, str(tmp_path)
+        ).collect()
+    ]
+    assert got == [
+        ("2020-01-01", 1, 0, 0),
+        ("2020-01-02", 1, 0, 0),
+        ("2020-01-03", 1, 0, 0),
+        ("2020-01-04", 1000, 2847, 0),
+        ("2020-01-05", 1000, 5694, 0),
+        ("2020-01-06", 1000, 8541, 1),
+    ]
