@@ -381,6 +381,18 @@ SF1_SUBSET = [
     "dsir_importance_weights",
     "jl_projection_audit",
     "hll_merge_by_source",
+    # round-11 fourth/fifth waves, volume-scaling shapes only: the
+    # KN bigram-type collapse (the corpus pass + four marginals off
+    # one checkpointed frame; top-20 output is SF-invariant, the wall
+    # is the claim), the skyline's shard-frontier prune (frontier
+    # rows bounded by the order-count domain), and CUSUM's day-frame
+    # collapse (output bounded at the date domain's ~2.4k days).
+    # benford/ks/t-closeness/rbo/heavy-hitters are deliberately NOT
+    # here: each is a single map-side-combined aggregate of a shape
+    # (psi/k-anon/frequent-terms) the ledger already carries.
+    "kneser_ney_bigram",
+    "pareto_frontier",
+    "cusum_changepoint",
 ]
 
 
@@ -622,6 +634,12 @@ def main() -> None:
                 # quantiles, and the token-explode BM25 ranker
                 "graph_triangle_count",
                 "quantiles_per_key",
+                # round-11 fourth/fifth waves: the skyline two-stage
+                # prune and the CUSUM day collapse — both outputs are
+                # domain-bounded (frontier / calendar), so the decade
+                # claim is the wall staying scan-linear
+                "pareto_frontier",
+                "cusum_changepoint",
             ]
         if os.path.exists(os.path.join(sf10_dir, "documents.parquet")):
             sf10_candidates.append("bm25_scoring")
@@ -639,6 +657,12 @@ def main() -> None:
             # bucket) collapse at 500k docs (selection rows are
             # quota-bounded per source, so the wall is the claim)
             sf10_candidates.append("dsir_importance_weights")
+            # round-11 fifth wave: the KN bigram-type collapse at
+            # 500k docs — one corpus pass into the checkpointed
+            # (w1, w2) frame, four marginals derived from it; the
+            # top-20 output is SF-invariant, the wall and zero-spill
+            # telemetry are the decade claim
+            sf10_candidates.append("kneser_ney_bigram")
             # round-11: the exact-substring span-merge family's decade
             # row — the posting aggregate's HAVING >= 2-docs prune plus
             # the per-doc island window at 500k docs; per-copy
