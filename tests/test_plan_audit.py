@@ -69,3 +69,53 @@ def test_feature_counts():
         "sort_merge_joins": 1,
         "hash_joins": 1,
     }
+
+
+# --- committed-audit consistency ratchets ----------------------------------
+
+import json
+
+AUDIT = pathlib.Path(__file__).parent.parent / "PLAN_AUDIT_r11.json"
+
+# Every no-partition-window site in the committed audit, individually
+# reviewed as DOMAIN-bounded (DESIGN_NOTES "Plan audit (r11)").  A new
+# slug whose plan grows a global window FAILS here until it is
+# reviewed and added — the ratchet that keeps single-partition sorts
+# off corpus-sized frames.
+REVIEWED_GLOBAL_WINDOWS = {
+    "benford_audit",          # 9-digit frame
+    "class_rebalance",        # per-lang marginal
+    "cusum_changepoint",      # calendar-bounded day frame
+    "dsir_importance_weights",  # 64-bucket aggregate
+    "embedding_pca_power",    # d x d covariance frame
+    "ivf_cell_balance",       # per-cell load frame
+    "ks_drift_audit",         # price-domain bucket-prefix frame
+    "mixture_weights",        # per-source marginal
+    "mutual_information",     # lang x source grid
+    "pareto_frontier",        # stage-2 local-frontier union
+    "psi_drift_audit",        # 8-bin frame
+    "shuffle_skew_audit",     # per-partition stats frame
+    "temperature_mixture",    # per-source marginal
+    "vocab_coverage",         # documented vocabulary frame
+}
+
+
+def test_committed_audit_matches_guard_allowlists():
+    from tests.test_plan_guards import CARTESIAN_OK
+
+    audit = json.loads(AUDIT.read_text())
+    assert audit["summary"]["n_errors"] == 0
+    cart = {
+        slug
+        for slug, v in audit["slugs"].items()
+        if "error" not in v and (v["cartesians"] or v["bnlj"])
+    }
+    assert cart <= CARTESIAN_OK, f"unjustified cross products: {cart - CARTESIAN_OK}"
+    gw = {
+        slug
+        for slug, v in audit["slugs"].items()
+        if "error" not in v and v["global_windows"]
+    }
+    assert gw <= REVIEWED_GLOBAL_WINDOWS, (
+        f"unreviewed global windows: {gw - REVIEWED_GLOBAL_WINDOWS}"
+    )
