@@ -1,0 +1,101 @@
+"""Run any registered operator slug from the command line.
+
+The user-facing entry point for ad-hoc use (the ``resotodatalink``
+equivalent of pointing ``execute_sql`` at a database — here you point
+a slug at a parquet directory):
+
+    python tools/run_query.py <slug> [sf_dir] [--explain] [--oracle]
+                              [--limit N]
+    python tools/run_query.py --list [pattern]
+
+* default ``sf_dir`` is ``$SPARK_GRAFT_SF_DIR`` or /root/testdata/sf0.01
+* ``--explain``  prints the formatted physical plan instead of rows
+* ``--oracle``   runs the registered DuckDB oracle SQL side-by-side
+                 and prints both row counts (a one-slug correctness
+                 spot check; tools/check_queries.py does the full
+                 value-hash comparison)
+* ``--limit N``  caps printed rows (default 20; the full query still
+                 executes)
+* ``--list``     prints registered slugs, optionally filtered by a
+                 case-insensitive substring
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def main(argv: list[str]) -> int:
+    args = [a for a in argv if not a.startswith("--")]
+    flags = {a for a in argv if a.startswith("--") and "=" not in a}
+    limit = 20
+    for a in argv:
+        if a.startswith("--limit="):
+            limit = int(a.split("=", 1)[1])
+
+    from resotodatalink_spark import registry
+
+    registry.load_all()
+
+    if "--list" in flags:
+        pat = (args[0] if args else "").lower()
+        for slug in sorted(registry.QUERIES):
+            if pat in slug.lower():
+                kind = "oracle" if slug in registry.ORACLES else "rows-only"
+                print(f"{slug}  [{kind}]")
+        return 0
+
+    if not args:
+        print(__doc__)
+        return 2
+    slug = args[0]
+    sf_dir = (
+        args[1]
+        if len(args) > 1
+        else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    )
+    if slug not in registry.QUERIES:
+        near = [s for s in sorted(registry.QUERIES) if slug.lower() in s.lower()]
+        print(f"unknown slug {slug!r}; close matches: {near[:8]}")
+        return 2
+
+    from resotodatalink_spark.session import get_spark
+
+    spark = get_spark()
+    df = registry.QUERIES[slug](spark, sf_dir)
+
+    if "--explain" in flags:
+        print(df._jdf.queryExecution().explainString("formatted"))
+        return 0
+
+    rows = df.limit(limit).collect() if limit else df.collect()
+    n = df.count()
+    for r in rows:
+        print(r.asDict())
+    print(f"-- {slug}: {n} rows total ({sf_dir})")
+
+    if "--oracle" in flags and slug in registry.ORACLES:
+        import duckdb
+
+        con = duckdb.connect()
+        for t in TABLES:
+            path = os.path.join(sf_dir, f"{t}.parquet")
+            if os.path.exists(path):
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM '{path}'"
+                )
+        on = len(con.execute(registry.ORACLES[slug]).fetchall())
+        print(f"-- oracle: {on} rows ({'MATCH' if on == n else 'MISMATCH'})")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
