@@ -73,7 +73,7 @@ def main(argv: list[str]) -> int:
     df = registry.QUERIES[slug](spark, sf_dir)
 
     if "--explain" in flags:
-        print(df._jdf.queryExecution().explainString("formatted"))
+        df.explain("formatted")
         return 0
 
     rows = df.limit(limit).collect() if limit else df.collect()
