@@ -6,7 +6,13 @@ a slug at a parquet directory):
 
     python tools/run_query.py <slug> [sf_dir] [--explain] [--oracle]
                               [--limit N]
+    python tools/run_query.py --sql "SELECT ..." [sf_dir] [--explain]
     python tools/run_query.py --list [pattern]
+
+``--sql`` registers every parquet table in ``sf_dir`` as a temp view
+(region nation customer supplier part orders lineitem events
+documents embeddings) and runs the statement through Spark SQL — the
+``execute_sql`` entry point of the reference, Spark-side.
 
 * default ``sf_dir`` is ``$SPARK_GRAFT_SF_DIR`` or /root/testdata/sf0.01
 * ``--explain``  prints the formatted physical plan instead of rows
@@ -53,15 +59,39 @@ def main(argv: list[str]) -> int:
                 print(f"{slug}  [{kind}]")
         return 0
 
-    if not args:
+    sql_stmt = None
+    for i, a in enumerate(argv):
+        if a == "--sql" and i + 1 < len(argv):
+            sql_stmt = argv[i + 1]
+            args = [x for x in args if x != sql_stmt]
+
+    if not args and sql_stmt is None:
         print(__doc__)
         return 2
-    slug = args[0]
     sf_dir = (
-        args[1]
-        if len(args) > 1
+        args[1 if sql_stmt is None else 0]
+        if len(args) > (1 if sql_stmt is None else 0)
         else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     )
+
+    if sql_stmt is not None:
+        from resotodatalink_spark.session import get_spark
+        from resotodatalink_spark.sources.tables import table
+
+        spark = get_spark()
+        for t in TABLES:
+            if os.path.exists(os.path.join(sf_dir, f"{t}.parquet")):
+                table(spark, sf_dir, t).createOrReplaceTempView(t)
+        df = spark.sql(sql_stmt)
+        if "--explain" in flags:
+            df.explain("formatted")
+            return 0
+        for r in df.limit(limit).collect():
+            print(r.asDict())
+        print(f"-- sql: {df.count()} rows total ({sf_dir})")
+        return 0
+
+    slug = args[0]
     if slug not in registry.QUERIES:
         near = [s for s in sorted(registry.QUERIES) if slug.lower() in s.lower()]
         print(f"unknown slug {slug!r}; close matches: {near[:8]}")
