@@ -32,7 +32,8 @@ TABLES = (
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one table. Plain parquet scan — pushdown/pruning friendly.
+    """Read one table — parquet by default, with ORC/JSON/CSV
+    fallbacks resolved by extension (see ``_read_any``).
 
     ``events.ts`` adapts to the file's footer type: a timestamp[us]
     footer (current testdata) reads natively as TIMESTAMP_NTZ, while a
@@ -46,7 +47,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass  # session may forbid runtime changes; builder sets it too
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = _read_any(spark, sf_dir, name)
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.typeName() == "long":
             # convert_timezone pins the wall-clock to UTC as
@@ -58,6 +59,44 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 F.expr("convert_timezone('UTC', timestamp_micros(ts div 1000))"),
             )
     return df
+
+
+def _read_any(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Resolve ``name`` to whichever supported container exists:
+    parquet first (the driver's format — columnar, statistics,
+    pushdown), then ORC (same columnar guarantees via Spark's native
+    reader), then JSON-lines and CSV with a SCHEMA DERIVED FROM A
+    SIBLING parquet/ORC table of the same name when one exists
+    (``<name>.schema.parquet``) or sampling inference as the last
+    resort.  Text formats still get predicate pushdown for row-group
+    skipping they can't do, but column pruning works (Spark reads
+    only referenced JSON/CSV fields), so the declarative plan shape
+    is identical across containers — only scan efficiency differs,
+    which is the honest trade a user accepts when pointing the engine
+    at raw exports instead of converting to parquet."""
+    base = os.path.join(sf_dir, name)
+    if os.path.exists(f"{base}.parquet"):
+        return spark.read.parquet(f"{base}.parquet")
+    if os.path.exists(f"{base}.orc"):
+        return spark.read.orc(f"{base}.orc")
+    schema = None
+    if os.path.exists(f"{base}.schema.parquet"):
+        schema = spark.read.parquet(f"{base}.schema.parquet").schema
+    if os.path.exists(f"{base}.json"):
+        r = spark.read
+        if schema is not None:
+            r = r.schema(schema)
+        return r.json(f"{base}.json")
+    if os.path.exists(f"{base}.csv"):
+        r = spark.read.option("header", "true")
+        if schema is not None:
+            r = r.schema(schema)
+        else:
+            r = r.option("inferSchema", "true")
+        return r.csv(f"{base}.csv")
+    raise FileNotFoundError(
+        f"no {name}.(parquet|orc|json|csv) under {sf_dir}"
+    )
 
 
 def load_tables(
