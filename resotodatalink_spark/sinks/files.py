@@ -102,6 +102,11 @@ def write_table(
         stringify_nested(df).write.mode("overwrite").option("header", True).csv(path)
     elif fmt == "parquet":
         df.write.mode("overwrite").parquet(path)
+    elif fmt == "orc":
+        df.write.mode("overwrite").orc(path)
+    elif fmt == "json":
+        # JSON-lines keeps nested types natively; no stringification
+        df.write.mode("overwrite").json(path)
     else:
         raise ValueError(f"unsupported format: {fmt}")
     return path
@@ -170,4 +175,8 @@ def read_table(spark: SparkSession, dest_dir: str, table_name: str, fmt: str = "
     path = os.path.join(dest_dir, table_name)
     if fmt == "csv":
         return spark.read.option("header", True).option("inferSchema", True).csv(path)
+    if fmt == "orc":
+        return spark.read.orc(path)
+    if fmt == "json":
+        return spark.read.json(path)
     return spark.read.parquet(path)

@@ -234,3 +234,21 @@ def test_cloud_uri_staged_publish_roundtrip(spark, tmp_path):
         r["v"] for r in read_table(spark, uri, "t").collect()
     ) == [10, 11, 12]
     assert not os.path.exists(tmp_path / "bucket" / "t__old")
+
+
+def test_orc_and_json_roundtrip(spark, tmp_path):
+    """K6/K7 widened symmetrically with the source-side fallbacks:
+    ORC preserves types natively; JSON-lines keeps nested values as
+    JSON (no stringification pass needed) and round-trips through
+    the schema-inferring reader."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(3).select(
+        "id", F.array(F.col("id"), F.col("id") * 2).alias("arr")
+    )
+    dest = str(tmp_path)
+    for fmt in ("orc", "json"):
+        write_table(df, dest, f"t_{fmt}", fmt=fmt, staging=False)
+        back = read_table(spark, dest, f"t_{fmt}", fmt=fmt)
+        got = sorted((r.id, list(r.arr)) for r in back.collect())
+        assert got == [(0, [0, 0]), (1, [1, 2]), (2, [2, 4])]
