@@ -752,7 +752,8 @@ _KS_BUCKET = 1 << 16
       FROM cum CROSS JOIN t)
     SELECT CAST(na AS BIGINT) AS n_base, CAST(nb AS BIGINT) AS n_curr,
            gap AS max_gap, cents AS at_cents,
-           round(gap * 1.0 / (na * nb), 9) AS ks_d
+           CASE WHEN na * nb = 0 THEN NULL
+                ELSE round(gap * 1.0 / (na * nb), 9) END AS ks_d
     FROM g ORDER BY gap DESC, cents LIMIT 1
     """,
 )
@@ -842,9 +843,14 @@ def ks_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nb").cast("long").alias("n_curr"),
         F.col("m.gap").cast("long").alias("max_gap"),
         (-F.col("m.negc")).cast("long").alias("at_cents"),
-        F.round(F.col("m.gap") * 1.0 / (F.col("na") * F.col("nb")), 9).alias(
-            "ks_d"
-        ),
+        # degenerate corpus (all orders on one date => nb = 0): D is
+        # undefined — NULL on BOTH engines (DuckDB's default IEEE 0/0
+        # would be NaN and hash-diverge from Spark's NULL)
+        F.when(F.col("na") * F.col("nb") == 0, F.lit(None))
+        .otherwise(
+            F.round(F.col("m.gap") * 1.0 / (F.col("na") * F.col("nb")), 9)
+        )
+        .alias("ks_d"),
     )
 
 

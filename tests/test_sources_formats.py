@@ -59,3 +59,12 @@ def test_missing_table_raises(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError, match="orders"):
         table(spark, str(tmp_path), "orders")
+
+
+def test_uri_sf_dir_still_resolves(spark, tmp_path):
+    """Hadoop-compatible URIs bypass the local-extension probes (they
+    can't os.path.exists) and resolve via Spark as before — the
+    code-review regression case for the _read_any change."""
+    df = spark.createDataFrame(_ORDERS, _SCHEMA)
+    df.write.parquet(f"{tmp_path}/orders.parquet")
+    assert table(spark, f"file://{tmp_path}", "orders").count() == 3

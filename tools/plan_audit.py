@@ -106,7 +106,9 @@ def main() -> int:
         ),
         "max_exchanges": max(
             ok.items(), key=lambda kv: kv[1]["exchanges"]
-        )[0],
+        )[0]
+        if ok
+        else None,
     }
     with open(out_path, "w") as f:
         json.dump({"summary": summary, "slugs": results}, f, indent=1, sort_keys=True)

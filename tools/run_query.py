@@ -33,19 +33,20 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-TABLES = (
-    "region nation customer supplier part orders lineitem events "
-    "documents embeddings"
-).split()
+from resotodatalink_spark.sources.tables import TABLES, table  # noqa: E402
 
 
 def main(argv: list[str]) -> int:
-    args = [a for a in argv if not a.startswith("--")]
-    flags = {a for a in argv if a.startswith("--") and "=" not in a}
+    argv = list(argv)
     limit = 20
-    for a in argv:
+    for i, a in enumerate(argv):
         if a.startswith("--limit="):
             limit = int(a.split("=", 1)[1])
+        elif a == "--limit" and i + 1 < len(argv):
+            limit = int(argv[i + 1])
+            argv[i + 1] = "--consumed"
+    args = [a for a in argv if not a.startswith("--")]
+    flags = {a for a in argv if a.startswith("--") and "=" not in a}
 
     from resotodatalink_spark import registry
 
@@ -76,12 +77,13 @@ def main(argv: list[str]) -> int:
 
     if sql_stmt is not None:
         from resotodatalink_spark.session import get_spark
-        from resotodatalink_spark.sources.tables import table
 
         spark = get_spark()
         for t in TABLES:
-            if os.path.exists(os.path.join(sf_dir, f"{t}.parquet")):
+            try:  # any container table() resolves (parquet/orc/json/csv)
                 table(spark, sf_dir, t).createOrReplaceTempView(t)
+            except FileNotFoundError:
+                pass
         df = spark.sql(sql_stmt)
         if "--explain" in flags:
             df.explain("formatted")
