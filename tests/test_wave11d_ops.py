@@ -193,3 +193,28 @@ def test_skyline_two_stage_matches_quadratic_spec(spark):
     for r in _skyline_pass(local, "case").collect():
         got[r["case"]].append(r.custkey)
     assert {c: sorted(v) for c, v in got.items()} == expect
+
+
+def test_ks_drift_single_date_corpus_null_d(spark, tmp_path):
+    """Degenerate corpus (every order on ONE date): the midpoint
+    predicate puts all rows in the base half, n_curr = 0, and D is
+    undefined — NULL on the Spark side, and the oracle's CASE guard
+    makes DuckDB agree (its default IEEE 0/0 would be NaN and
+    hash-diverge).  The code-review fix's attestation."""
+    import duckdb
+
+    d0 = datetime.datetime(2020, 1, 1)
+    _write_orders(
+        spark, tmp_path, [(1, 1, 1.0, d0), (2, 1, 2.0, d0), (3, 1, 2.0, d0)]
+    )
+    r = registry.QUERIES["ks_drift_audit"](spark, str(tmp_path)).collect()[0]
+    assert (r.n_base, r.n_curr) == (3, 0)
+    assert r.ks_d is None
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"'{tmp_path}/orders.parquet/*.parquet'"
+    )
+    (o,) = con.execute(registry.ORACLES["ks_drift_audit"]).fetchall()
+    assert o[0] == 3 and o[1] == 0 and o[4] is None
