@@ -23,129 +23,37 @@ registry.load_all()
 # attestation (no row in the previous round's CORRECTNESS file).  Slugs
 # with a fresh green row from last round and no changes this round are
 # the ones that may fall past the cap.  All slugs stay registered.
-_NEVER_ATTESTED = [
-    # Round-11 newcomers (registry grows 194 -> 200): the iterative /
-    # sketch / span-merge / diversity gaps in the LLM-pipeline family,
-    # each value-hash-oracled.  Never attested, so they lead the window
-    # (the 6 slots push 6 more r7-tier slugs into _R12_COHORT, which
-    # still fits r12's 50 with room to spare — see arithmetic below).
-    "ann_pq_adc",
-    "bpe_encode_corpus",
-    "bpe_train_merges",
-    "dup_span_merge",
-    "hll_estimate_vs_exact",
-    "mmr_diversify",
-    # Second-wave round-11 newcomers (registry 200 -> 206): positional
-    # phrase search, DSIR importance resampling, sampled-quantile and
-    # JL-projection and kNN-label audits, HLL register mergeability.
-    # Never attested, so they join the window head; the 6 extra slots
-    # push 6 more r7-tier slugs into _R12_COHORT (arithmetic below).
-    "dsir_importance_weights",
-    "hll_merge_by_source",
-    "jl_projection_audit",
+_R12_CHANGED = [
+    # Round-12 changed/new slugs — changed-slug policy says window-first.
+    # * knn_label_agreement (r11 verdict item 2): the fixed K=8 sign-
+    #   bucket became corpus-scaled (K = scaled_plane_count(n), oracle
+    #   masks a 24-plane bucket with the exact-integer 2^K ladder) so
+    #   within-bucket candidate mass is ~4n, linear — values unchanged
+    #   at the K=8 floor (sf0.01), re-attested on the changed-slug
+    #   principle.
+    # * dedup_embedding_t80 (r11 verdict item 3, registry 220 -> 221):
+    #   the production-shape embedding dedup (theta=0.8, 6x16 bands,
+    #   per-vector keeper output) with a banding-mirrored oracle — the
+    #   attested surface's scale-safe embedding-dedup default.
     "knn_label_agreement",
-    "phrase_search",
-    "quantile_sample_audit",
-    # Third-wave round-11 newcomers (registry 206 -> 210): KMV set
-    # algebra (cross-source overlap estimation), temperature-scaled
-    # mixture sampling, the l-diversity privacy gate, and scene-cut
-    # detection over the demuxed frame stream.
-    "kmv_set_ops",
-    "l_diversity_audit",
-    "multimodal_scene_cuts",
-    "temperature_mixture",
-    # …plus the bipartite co-engagement projection with its hub cap
-    # (registry 210 -> 211).
-    "coengagement_pairs",
-    # Fourth-wave round-11 newcomers (registry 211 -> 215): the
-    # Pareto-frontier (skyline) operator via distributed
-    # frontier-of-frontiers, the exact two-sample KS drift statistic
-    # beside PSI, t-closeness completing the privacy-gate trio, and
-    # the sharded heavy-hitter recall audit.  Exactly 4 so the window
-    # arithmetic closes: 21 new + 8 seam + 7 changed + 14 r6 = 50,
-    # meaning zero r7-tier slots this round and ALL 43 r7-tier slugs
-    # spill to _R12_COHORT (43 <= 50, still fits with room to spare,
-    # and the "no slug older than r7 after r11" invariant holds).
-    "heavy_hitters_audit",
-    "ks_drift_audit",
-    "pareto_frontier",
-    "t_closeness_audit",
+    "dedup_embedding_t80",
 ]
 
-_R10_SEAM_CHANGED = [
-    # r10 verdict item 1 (the round's TOP priority): these 8 got the
-    # mechanical checkpoint-seam rewire (localCheckpoint ->
-    # operators/checkpoint.ckpt, production-identical passthrough)
-    # AFTER their last driver rows (r7-r9).  Changed-slug policy says
-    # window-first, so they lead r11 unconditionally.
-    "sparse_cosine_pairs",
-    "semdedup",
-    "ngram_collocations",
-    "ann_recall_at_k",
-    "zorder_pruning_audit",
-    "bloom_prefilter_audit",
-    "graph_triangle_count",
-    "graph_kcore",
-]
-
-_CHANGED_THIS_ROUND = [
-    # Round-11 changes (r10 verdict item 2 — the last stub codecs
-    # retired): both slugs migrated onto REAL parsers with new
-    # byte-arithmetic oracles, so both re-attest this round.
-    # * multimodal_decode: stub arithmetic -> real P6 decode at
-    #   width 16 (header-driven geometry, disjoint doc slice)
-    # * multimodal_features: stub ascii-floats -> real RIFF/WAVE
-    #   amplitude moments (min/max/abs-mean/zero-cross) via the new
-    #   operators/multimodal.wav_features stage
-    # * multimodal_frames: value-identical hygiene changes (the
-    #   demuxer no longer yields EMPTY pandas frames for all-corrupt
-    #   batches — they tripped a per-batch concat FutureWarning in the
-    #   Arrow serializer — and rejects zero-area frames that would
-    #   IndexError the batch); re-attested on the changed-slug
-    #   principle
-    # * multimodal_ppm_stats / multimodal_wav_stats /
-    #   multimodal_ppm_resize: value-identical robustness guards in
-    #   their shared parsers (zero-dim PPM headers -> null row instead
-    #   of NaN means; zero-length WAV data chunks -> null row instead
-    #   of ZeroDivisionError); re-attested on principle
-    # * pandas_udaf_zscore: degenerate groups (1-row / constant) now
-    #   emit NULL like the SQL oracle instead of pandas NaN — a latent
-    #   hash divergence no shipped corpus group exposes (planted
-    #   fixture attests all three group shapes on both engines)
-    "multimodal_decode",
-    "multimodal_features",
-    "multimodal_frames",
-    "multimodal_ppm_stats",
-    "multimodal_wav_stats",
-    "multimodal_ppm_resize",
-    "pandas_udaf_zscore",
-]
-
-_R6_TIER = [
-    # Newest driver row is CORRECTNESS_r06 — the stalest tier (the 14
-    # the r10 window could not hold); all inside the r11 window, so
-    # after r11 no slug's newest row predates r7.
-    "join_lateral",
-    "median_stats",
-    "pii_redaction",
-    "pivot_table",
-    "repetition_filter",
-    "salted_groupby",
-    "sessionize_events",
-    "skew_join_salted",
-    "string_agg",
-    "tpch_q10_shape",
-    "tpch_q3_shape",
-    "tpch_q5_shape",
-    "unpivot_stack",
-    "window_range_frame",
+_R12_NEWCOMERS = [
+    # Fifth-wave round-11 newcomers (registry 215 -> 220): never
+    # driver-attested (the r11 window was exactly full), carried at
+    # the r12 window head per the r11 verdict's top priority.
+    "benford_audit",
+    "cusum_changepoint",
+    "gazetteer_tagging",
+    "kneser_ney_bigram",
+    "rank_biased_overlap",
 ]
 
 _R7_TIER = [
-    # Newest driver row is CORRECTNESS_r07 (semdedup and
-    # sparse_cosine_pairs moved up into _R10_SEAM_CHANGED).  The first
-    # 4 fill the r11 window's remaining slots; the tail spills to
-    # _R12_COHORT below.
+    # Newest driver row is CORRECTNESS_r07 — the stalest tier, all 43
+    # inside the r12 window, so after r12 no slug's newest row
+    # predates r8 (and the whole r7 staleness tail is drained).
     "agg_bool_ops",
     "agg_filter_clause",
     "agg_sum_avg_min_max",
@@ -191,39 +99,229 @@ _R7_TIER = [
     "window_lag_lead",
 ]
 
-# Fifth-wave round-11 newcomers (registry 215 -> 220).  The r11
-# window is already exactly full (21+8+7+14 = 50, and displacing any
-# r6-tier slug would break the no-slug-older-than-r7 invariant), so
-# these five are placed at the HEAD of the r12 cohort instead of the
-# window — the one deliberate deviation from newest-first ordering,
-# traded for the staleness invariant.  They carry tri-SF local sweep
-# + fixture + property-test evidence until the r12 driver row lands.
-_R12_NEWCOMERS = [
-    "benford_audit",
-    "cusum_changepoint",
-    "gazetteer_tagging",
-    "kneser_ney_bigram",
-    "rank_biased_overlap",
+_R12_WAVE = [
+    # Round-12 newcomers (registry 221 -> 224): exact-dyadic EWMA over
+    # the dense hourly series, the deterministic MLM masking-plan
+    # audit, and exact-rational reciprocal-rank fusion.  The r12
+    # window is exactly full with the staleness drain (arithmetic
+    # below), so — the same deliberate deviation as r11's fifth wave,
+    # this time with a sustainable landing — they lead the r13 cohort
+    # instead, carrying tri-SF local-gate + fixture evidence until the
+    # r13 driver row.  r13's window fits them with room: 3 newcomers
+    # + 35 r8-tier = 38, leaving 12 slots for r13's changed slugs.
+    "ewma_hourly",
+    "mlm_masking_plan",
+    "rrf_fusion",
+]
+
+_R8_TIER = [
+    # Newest driver row is CORRECTNESS_r08 (35 slugs) — the r13
+    # cohort's head after the r12 spill.
+    "anomaly_zscore_hours",
+    "distinct_agg",
+    "filter_predicate",
+    "graph_reachability",
+    "graph_search_age",
+    "groupby_count",
+    "groupby_having",
+    "interval_overlap_blocked",
+    "join_anti",
+    "join_broadcast",
+    "join_link_table",
+    "join_outer",
+    "join_semi",
+    "join_theta_range",
+    "json_ops",
+    "map_ops",
+    "math_functions",
+    "mixture_weights",
+    "nearest_event_join",
+    "nested_field_access",
+    "project_columns",
+    "regex_extract_all",
+    "rollup_cube",
+    "set_ops",
+    "sort_limit",
+    "sql_passthrough",
+    "stream_stateful_totals",
+    "string_functions",
+    "subquery_exists",
+    "timeseries_gapfill",
+    "topk_argmax",
+    "topk_per_group",
+    "vocab_coverage",
+    "window_rank",
+    "window_running_sum",
+]
+
+_R9_TIER = [
+    # Newest driver row is CORRECTNESS_r09 (42 slugs).
+    "anomaly_mad",
+    "bm25_scoring",
+    "boilerplate_ngrams",
+    "cms_frequency_audit",
+    "column_profile",
+    "compaction_bin_packing",
+    "embedding_norm_outliers",
+    "embedding_pca_power",
+    "event_transitions",
+    "ivf_cell_balance",
+    "js_divergence_sources",
+    "k_anonymity_audit",
+    "lang_confusion_matrix",
+    "mutual_information",
+    "psi_drift_audit",
+    "quality_filter_cascade",
+    "quantiles_per_key",
+    "referential_integrity_audit",
+    "shuffle_skew_audit",
+    "simhash_hamming_audit",
+    "snapshot_diff",
+    "time_weighted_avg",
+    "token_entropy_by_source",
+    "tpch_q11_shape",
+    "tpch_q12_shape",
+    "tpch_q13_shape",
+    "tpch_q14_shape",
+    "tpch_q15_shape",
+    "tpch_q16_shape",
+    "tpch_q17_shape",
+    "tpch_q19_shape",
+    "tpch_q1_shape",
+    "tpch_q20_shape",
+    "tpch_q21_shape",
+    "tpch_q22_shape",
+    "tpch_q2_shape",
+    "tpch_q4_shape",
+    "tpch_q6_shape",
+    "tpch_q7_shape",
+    "tpch_q8_shape",
+    "tpch_q9_shape",
+    "weighted_sample",
+]
+
+_R10_TIER = [
+    # Newest driver row is CORRECTNESS_r10 (45 slugs).
+    "ann_cosine_topk",
+    "ann_ivf_cells",
+    "ann_lsh_bucketed",
+    "ann_lsh_multiprobe",
+    "bigram_lm_perplexity",
+    "bpe_pair_stats",
+    "corpus_stats",
+    "cross_split_leakage",
+    "dataset_split",
+    "decontamination",
+    "dedup_clusters",
+    "dedup_containment",
+    "dedup_embedding",
+    "dedup_exact",
+    "dedup_incremental",
+    "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_paragraph",
+    "dedup_simhash",
+    "dedup_survivors",
+    "dup_span_detect",
+    "embedding_centroids",
+    "embedding_quantize",
+    "global_shuffle",
+    "graph_components",
+    "graph_reachability_min2",
+    "graph_search_aggregate",
+    "graph_search_dsl",
+    "graph_search_edge_typed",
+    "graph_search_fulltext",
+    "graph_search_has_key",
+    "graph_search_in_subnet",
+    "graph_search_inbound",
+    "graph_search_nested_with",
+    "graph_search_not",
+    "graph_search_sorted",
+    "graph_search_with",
+    "grouping_sets",
+    "hard_negatives",
+    "join_asof",
+    "minhash_estimate_vs_exact",
+    "novelty_score",
+    "record_linkage_blocked",
+    "watermark_lag_audit",
+    "winnow_fingerprints",
+]
+
+_R11_TIER = [
+    # Newest driver row is CORRECTNESS_r11 (50 slugs minus
+    # knn_label_agreement, which moved up into _R12_CHANGED).
+    "ann_pq_adc",
+    "ann_recall_at_k",
+    "bloom_prefilter_audit",
+    "bpe_encode_corpus",
+    "bpe_train_merges",
+    "coengagement_pairs",
+    "dsir_importance_weights",
+    "dup_span_merge",
+    "graph_kcore",
+    "graph_triangle_count",
+    "heavy_hitters_audit",
+    "hll_estimate_vs_exact",
+    "hll_merge_by_source",
+    "jl_projection_audit",
+    "join_lateral",
+    "kmv_set_ops",
+    "ks_drift_audit",
+    "l_diversity_audit",
+    "median_stats",
+    "mmr_diversify",
+    "multimodal_decode",
+    "multimodal_features",
+    "multimodal_frames",
+    "multimodal_ppm_resize",
+    "multimodal_ppm_stats",
+    "multimodal_scene_cuts",
+    "multimodal_wav_stats",
+    "ngram_collocations",
+    "pandas_udaf_zscore",
+    "pareto_frontier",
+    "phrase_search",
+    "pii_redaction",
+    "pivot_table",
+    "quantile_sample_audit",
+    "repetition_filter",
+    "salted_groupby",
+    "semdedup",
+    "sessionize_events",
+    "skew_join_salted",
+    "sparse_cosine_pairs",
+    "string_agg",
+    "t_closeness_audit",
+    "temperature_mixture",
+    "tpch_q10_shape",
+    "tpch_q3_shape",
+    "tpch_q5_shape",
+    "unpivot_stack",
+    "window_range_frame",
+    "zorder_pruning_audit",
 ]
 
 _ATTEST_FIRST = (
-    _NEVER_ATTESTED
-    + _R10_SEAM_CHANGED
-    + _CHANGED_THIS_ROUND
-    + _R6_TIER
+    _R12_CHANGED
     + _R12_NEWCOMERS
     + _R7_TIER
+    + _R8_TIER
+    + _R9_TIER
+    + _R10_TIER
+    + _R11_TIER
 )
 
-# The r12 cohort, named explicitly (capacity arithmetic continued from
-# r10: a 220-slug registry attested 50/round floors at a ~4-round
-# rotation).  r11's window holds 21 new + 8 seam + 7 changed + 14 r6
-# = 50 exactly, so the spill is the 5 fifth-wave newcomers (cohort
-# head) plus all 43 r7-tier slugs — after r11 the r7 tier are the
-# ONLY slugs whose newest driver row is r7, and with zero r12 changes
-# the 48 fit r12's window with 2 slots to spare, ending the staleness
-# tail.
-_R12_COHORT = _ATTEST_FIRST[50:]
+# Window arithmetic (the driver attests the FIRST 50 dict entries):
+# 2 changed/new + 5 fifth-wave newcomers + 43 r7-tier = 50 EXACTLY —
+# the r11 verdict's "48 + <= 2 r12 changes" budget spent to the slot.
+# After r12 every slug's newest driver row is r8+, the never-attested
+# set is empty, and the staleness tail is drained for good.  The r13
+# cohort is the spill below (35 r8 + 42 r9 + 45 r10 + 49 r11 = 171 of
+# the 221 registered slugs; its head, the r8 tier, is 35 <= 50, so
+# r13 keeps 15 spare slots for its own changed slugs).
+_R13_COHORT = _ATTEST_FIRST[50:]
 
 
 def _ordered(mapping: dict) -> dict:

@@ -227,6 +227,16 @@ EXTENDED = [
     "gazetteer_tagging",
     "kneser_ney_bigram",
     "rank_biased_overlap",
+    # round 12: the attested production-shape embedding dedup (keeper
+    # decisions; the pair-stage decade variant is
+    # dedup_embedding_t80_pairs in BENCH_VARIANTS/SF1_SUBSET)
+    "dedup_embedding_t80",
+    # round-12 wave: exact-dyadic EWMA over the dense hourly series,
+    # the deterministic MLM masking-plan audit (scan + one map-side
+    # aggregate), and exact-rational reciprocal-rank fusion
+    "ewma_hourly",
+    "mlm_masking_plan",
+    "rrf_fusion",
 ]
 
 
@@ -346,8 +356,13 @@ SF1_SUBSET = [
     "multimodal_frames",
     # round-10 (r9 verdict item 4): the banded-LSH embedding dedup at
     # its production threshold over the planted-near-twin corpus —
-    # the sf1 anchor for the decade ledger's linearity ratio
-    "dedup_embedding_t80",
+    # the sf1 anchor for the decade ledger's linearity ratio.  Round
+    # 12: the variant was RENAMED dedup_embedding_t80_pairs when the
+    # registered dedup_embedding_t80 slug landed with the per-vector
+    # keeper output (r11 verdict item 3) — same builder, same planted
+    # pairs, so r11's "dedup_embedding_t80" decade rows continue under
+    # the _pairs name.
+    "dedup_embedding_t80_pairs",
     # embedding_pca_power deliberately NOT here: its wall is plan-
     # compile-constant (8.5s sf0.01 vs 8.7s sf0.1 — the 64-dim unrolled
     # chains dominate, not data), so sf1 would add ~26s of bench wall
@@ -373,14 +388,18 @@ SF1_SUBSET = [
     # and the wall only re-measures scan throughput the headline
     # already tracks.  quantile_sample_audit's exact arm is
     # validation-scale by design (few global groups force a per-group
-    # sort — its own docstring).  knn_label_agreement's fixed 256-
-    # bucket LSH makes candidate volume n^2/B at fixed planes — the
-    # production knob is growing the plane count with the corpus
-    # (dedup_embedding's band_config precedent), so scaled walls
-    # belong to that knob, not the fixed-shape slug.
+    # sort — its own docstring).
     "dsir_importance_weights",
     "jl_projection_audit",
     "hll_merge_by_source",
+    # round 12 (r11 verdict item 2): knn_label_agreement's plane count
+    # now SCALES with the corpus (K = scaled_plane_count(n), bucket
+    # occupancy ~4), so its candidate mass is ~4n by construction —
+    # the decade walls/telemetry are the evidence for that claim (the
+    # old fixed-256-bucket shape was deliberately excluded as n^2/B).
+    # Output rows are label-domain-bounded (10), so its linearity
+    # ratio reads 1.0 — the claim lives in the wall and shuffle bytes.
+    "knn_label_agreement",
     # round-11 fourth/fifth waves, volume-scaling shapes only: the
     # KN bigram-type collapse (the corpus pass + four marginals off
     # one checkpointed frame; top-20 output is SF-invariant, the wall
@@ -417,7 +436,7 @@ def _drop_persistent_blocks(spark) -> None:
 # whose registered defaults are pinned by the oracle (r9 verdict item
 # 4 — dedup_embedding at a dedup-sensible threshold over the planted-
 # near-twin corpus; the registered slug keeps threshold 0.35).
-def _dedup_embedding_t80(spark, sf_dir):
+def _dedup_embedding_t80_pairs(spark, sf_dir):
     from resotodatalink_spark.queries.similarity import dedup_embedding
 
     # production shape: threshold 0.8 + wide bands (6x16) — see the
@@ -427,7 +446,12 @@ def _dedup_embedding_t80(spark, sf_dir):
 
 
 BENCH_VARIANTS = {
-    "dedup_embedding_t80": _dedup_embedding_t80,
+    # the decade ledger's pair-stage variant of the REGISTERED
+    # dedup_embedding_t80 slug (which outputs per-vector keep
+    # decisions): pair rows are what the planted-linearity claim
+    # counts.  Named _pairs since round 12; r11 rows carried the
+    # bare name.
+    "dedup_embedding_t80_pairs": _dedup_embedding_t80_pairs,
 }
 
 
@@ -687,7 +711,10 @@ def main() -> None:
             # _scale_embeddings): qualifying-pair mass is linear by
             # construction, so rows must read ~10.0x sf1 -> sf10.
             sf10_candidates.append("ann_lsh_bucketed")
-            sf10_candidates.append("dedup_embedding_t80")
+            sf10_candidates.append("dedup_embedding_t80_pairs")
+            # round 12: the corpus-scaled-K 1-NN audit at 200k vectors
+            # (K=16 -> ~3 vectors/bucket, candidate mass ~4n)
+            sf10_candidates.append("knn_label_agreement")
             # round-11 second wave: the JL audit's successor-pair
             # equi-join is linear by design (output is the 3-bucket
             # histogram; the pair volume inside its n_pairs values
@@ -731,6 +758,38 @@ def main() -> None:
                     )
         out["sf10_shuffle_partitions"] = 4 * int(prev_parts)
         out["shuffle_partitions"] = int(prev_parts)
+
+    # sf30 tri-decade datum (r11 verdict item 4): the posting-join
+    # family's two biggest sf10 walls, re-measured at 3x the decade
+    # corpus WITH stage telemetry so any shape change adjudicates on
+    # shuffle bytes (the r11 jaccard superlinearity traced to storage
+    # pressure, not plan shape — DESIGN_NOTES "Tri-decade datum").
+    # ENV-GATED like the retired sf3 section: a 166 MB corpus and
+    # ~4 min is the wrong STANDING cost (r11 note), so the datum is
+    # taken deliberately (SPARK_GRAFT_SF30=1) and committed in
+    # BENCH_LOCAL_r12.json rather than re-paid every driver run.
+    sf30_dir = os.path.join(base, "benchdata", "sf30")
+    if os.path.isdir(sf30_dir) and os.environ.get("SPARK_GRAFT_SF30"):
+        sf30_telemetry: dict = {}
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        prev_adv = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+        spark.conf.set("spark.sql.shuffle.partitions", str(4 * int(prev_parts)))
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+        try:
+            sf30, sf30_rows = _run(
+                spark,
+                ["sparse_cosine_pairs", "dedup_ngram_jaccard"],
+                sf30_dir,
+                telemetry=sf30_telemetry,
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+            spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", prev_adv)
+        out["sf30_queries"] = sf30
+        out["sf30_rows"] = sf30_rows
+        out["sf30_total"] = round(sum(sf30.values()), 3)
+        if sf30_telemetry:
+            out["sf30_stage_metrics"] = sf30_telemetry
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings, _ = _run(spark, names, sf_dir, runs=runs)

@@ -182,3 +182,67 @@ def lsh_bucket_duck(col: str) -> str:
         for j, p in enumerate(HYPERPLANES)
     )
     return f"CAST({expr} AS INTEGER)"
+
+
+# Corpus-scaled sign-bucket (r11 verdict item 2: knn_label_agreement's
+# fixed-plane fix).  A FIXED plane count K puts ~n^2/2^K candidate
+# pairs through any within-bucket self-join — quadratic at 100x data.
+# Scaling K so 2^K >= n / TARGET_OCCUPANCY bounds expected bucket
+# occupancy at ~TARGET_OCCUPANCY and candidate mass at ~TARGET * n —
+# linear, the same discipline as semdedup's k = ceil(n/64).  n is one
+# O(1) driver scalar on the Spark side; the DuckDB oracle derives the
+# identical 2^K from count(*) via the exact-integer CASE ladder below
+# (no libm — float discipline says no log2 whose rounding could differ
+# across engines at power-of-two boundaries).  The plane pool is
+# DEDUP_PLANES (same 0xC0FFEE seed as HYPERPLANES, so the first
+# MIN_PLANES planes coincide and K = MIN_PLANES reproduces
+# lsh_bucket_spark/duck bit-for-bit).  The MAX_PLANES = 24 cap is a
+# literal-constants artifact (the shared plane pool holds 96); at
+# billion-vector scale the knob is growing the pool — occupancy stays
+# bounded until n > 4 * 2^24 ~ 67M vectors per partition of the audit.
+SCALED_MIN_PLANES = 8
+SCALED_MAX_PLANES = 24
+SCALED_TARGET_OCCUPANCY = 4
+
+
+def scaled_plane_count(n: int) -> int:
+    """Smallest K in [MIN, MAX] with 2^K * TARGET_OCCUPANCY >= n —
+    exact integer arithmetic, mirrored by scaled_pow2k_duck's ladder."""
+    k = SCALED_MIN_PLANES
+    while k < SCALED_MAX_PLANES and n > SCALED_TARGET_OCCUPANCY * (1 << k):
+        k += 1
+    return k
+
+
+def scaled_pow2k_duck(count_expr: str = "count(*)") -> str:
+    """DuckDB CASE ladder computing 2^scaled_plane_count(count_expr)
+    with pure integer comparisons (branch j: n <= 4 * 2^j -> 2^j)."""
+    branches = " ".join(
+        f"WHEN {count_expr} <= {SCALED_TARGET_OCCUPANCY * (1 << k)} THEN {1 << k}"
+        for k in range(SCALED_MIN_PLANES, SCALED_MAX_PLANES)
+    )
+    return f"(CASE {branches} ELSE {1 << SCALED_MAX_PLANES} END)"
+
+
+def scaled_bucket_spark(col: str, k: int) -> Column:
+    """Sign-bit bucket over the first ``k`` DEDUP_PLANES (0..2^k-1).
+    k <= ~16 keeps the codegen'd projection at <= 1024 multiply-add
+    nodes (the 8-plane production shape is 512; janino's measured OOM
+    was the 6144-node 96-plane form — tests pin that k = SCALED_MAX
+    still compiles)."""
+    expr = " + ".join(
+        f"(CASE WHEN ({_plane_dot_spark(col, p)}) >= 0.0 THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(DEDUP_PLANES[:k])
+    )
+    return F.expr(expr).cast("int")
+
+
+def scaled_bucket_duck(col: str, pow2k_sql: str) -> str:
+    """Full SCALED_MAX_PLANES-bit bucket masked to the low K bits via
+    ``% pow2k`` — bit j carries weight 2^j, so ``full % 2^K`` equals
+    the bucket over the first K planes exactly."""
+    expr = " + ".join(
+        f"(CASE WHEN ({_plane_dot_duck(col, p)}) >= 0.0 THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(DEDUP_PLANES[:SCALED_MAX_PLANES])
+    )
+    return f"CAST((CAST({expr} AS INTEGER) % ({pow2k_sql})) AS INTEGER)"

@@ -1155,3 +1155,91 @@ def gazetteer_tagging(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "term")
     )
+
+
+# Reciprocal-rank fusion: 1/(60+ra) + 1/(60+rb) over two per-source
+# rankings, computed as ONE exactly-rounded division of exact integers
+# ((120+ra+rb) / ((60+ra)*(60+rb))) so both engines produce
+# bit-identical doubles — no order-sensitive float sums, no rounding
+# slop (DESIGN_NOTES float rules; 60 is the standard RRF constant).
+_RRF_C = 60
+
+
+@query(
+    "rrf_fusion",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             CAST(length(text) AS INTEGER) AS n_chars_calc,
+             CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars_calc DESC, doc_id) AS rank_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY ws_tokens DESC, doc_id) AS rank_tokens
+      FROM scored
+    ),
+    fused AS (
+      SELECT doc_id, source, rank_chars, rank_tokens,
+             CAST({2 * _RRF_C} + rank_chars + rank_tokens AS BIGINT) * 1.0
+               / (CAST({_RRF_C} + rank_chars AS BIGINT)
+                  * CAST({_RRF_C} + rank_tokens AS BIGINT)) AS rrf
+      FROM ranked
+    )
+    SELECT doc_id, source, rank_chars, rank_tokens, rrf FROM (
+      SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY rrf DESC, doc_id) AS rn
+      FROM fused
+    ) t WHERE rn <= 3
+    """,
+)
+def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval/quality signals (the
+    standard way to combine heterogeneous rankings without score
+    calibration — here the char-length and token-count rankings as
+    the two deterministic stand-in signals): per source, rank by each
+    signal, fuse with RRF_60, keep the top 3 fused docs per source.
+
+    Float discipline: 1/(60+ra) + 1/(60+rb) is algebraically
+    (120+ra+rb)/((60+ra)(60+rb)) — exact int64 numerator/denominator
+    and ONE correctly-rounded division, so the fused score (and hence
+    the top-3 ordering) is bit-identical across engines; ties break
+    on doc_id.
+
+    Scale shape: ONE shuffle partitioned by source feeds all three
+    rank windows (quota_sample's justification: per-source windows
+    are the shard-parallel shape; a skewed mega-source is AQE
+    skew-handling's job), and the final rank <= 3 filter engages
+    Spark's WindowGroupLimit pushdown so the fused sort keeps only
+    per-partition top-k state."""
+    d = table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.length("text").cast("int").alias("n_chars_calc"),
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+    )
+    wa = W.partitionBy("source").orderBy(F.desc("n_chars_calc"), F.asc("doc_id"))
+    wb = W.partitionBy("source").orderBy(F.desc("ws_tokens"), F.asc("doc_id"))
+    ranked = scored.select(
+        "doc_id",
+        "source",
+        F.row_number().over(wa).alias("rank_chars"),
+        F.row_number().over(wb).alias("rank_tokens"),
+    )
+    num = (F.lit(2 * _RRF_C) + F.col("rank_chars") + F.col("rank_tokens")).cast(
+        "long"
+    )
+    den = (F.col("rank_chars") + _RRF_C).cast("long") * (
+        F.col("rank_tokens") + _RRF_C
+    ).cast("long")
+    fused = ranked.withColumn("rrf", num * F.lit(1.0) / den)
+    wtop = W.partitionBy("source").orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "source", "rank_chars", "rank_tokens", "rrf")
+    )

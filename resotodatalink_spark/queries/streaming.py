@@ -846,3 +846,90 @@ def shuffle_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n") / F.col("total"), 6).alias("share"),
         F.round("skew_ratio", 6).alias("skew_ratio"),
     )
+
+
+# EWMA over the dense hourly series: dyadic weights 2^(K-1-k) so the
+# numerator/denominator are EXACT INTEGERS until one final division
+# (float-discipline: no order-sensitive double sums, so the Spark
+# lag-chain and the DuckDB window chain are bit-identical with no
+# rounding slop).  K = 24 hours, alpha = 1/2 per step.
+_EWMA_K = 24
+
+
+def _ewma_exprs_duck() -> tuple[str, str]:
+    num = [f"n_events * {1 << (_EWMA_K - 1)}"]
+    den = [str(1 << (_EWMA_K - 1))]
+    for k in range(1, _EWMA_K):
+        w = 1 << (_EWMA_K - 1 - k)
+        lk = f"lag(n_events, {k}) OVER w"
+        num.append(f"CASE WHEN {lk} IS NOT NULL THEN {lk} * {w} ELSE 0 END")
+        den.append(f"CASE WHEN {lk} IS NOT NULL THEN {w} ELSE 0 END")
+    return " + ".join(num), " + ".join(den)
+
+
+_EWMA_NUM_DUCK, _EWMA_DEN_DUCK = _ewma_exprs_duck()
+
+
+@query(
+    "ewma_hourly",
+    oracle=f"""
+    WITH b AS (
+      SELECT date_trunc('hour', min(ts)) AS h0,
+             date_trunc('hour', max(ts)) AS h1
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM b
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    counts AS (
+      SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    dense AS (
+      SELECT s.hour, t.event_type, CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+      FROM spine s CROSS JOIN types t
+      LEFT JOIN counts c ON c.hour = s.hour AND c.event_type = t.event_type
+    )
+    SELECT hour, event_type, n_events,
+           ({_EWMA_NUM_DUCK}) * 1.0 / ({_EWMA_DEN_DUCK}) AS ewma
+    FROM dense
+    WINDOW w AS (PARTITION BY event_type ORDER BY hour)
+    """,
+)
+def ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of hourly event volume
+    per type (the smoothing/forecast-baseline pass downstream of
+    timeseries_gapfill — EWMA of the DENSE series, so silent hours
+    decay the average instead of being skipped).
+
+    Float discipline: weights are dyadic (2^23, 2^22, ... over a
+    24-hour window, alpha = 1/2 per step), so the numerator and
+    denominator are exact int64 sums and the ONE final division is
+    correctly rounded identically on both engines — no rounding slop,
+    no order-sensitive double accumulation (DESIGN_NOTES float rules).
+    Series-start rows renormalize over the lags that exist (the
+    standard adjusted-EWMA form).
+
+    Scale shape: composes the gapfill plan (calendar x vocabulary
+    bounded), then ONE window partitioned by event_type over the
+    bounded dense frame — the 24 lag columns all ride a single
+    WindowExec pass; the corpus-sized work remains gapfill's one
+    map-side-combined count.  The reference has no analytics tier
+    (collect_plugins.py:220-228 delegates SQL to the target DB); this
+    is the downstream-analytics surface re-expressed Spark-first."""
+    dense = timeseries_gapfill(spark, sf_dir)
+    w = W.partitionBy("event_type").orderBy("hour")
+    num = F.col("n_events") * F.lit(1 << (_EWMA_K - 1))
+    den = F.lit(1 << (_EWMA_K - 1)).cast("long")
+    for k in range(1, _EWMA_K):
+        wt = 1 << (_EWMA_K - 1 - k)
+        lk = F.lag("n_events", k).over(w)
+        num = num + F.when(lk.isNotNull(), lk * wt).otherwise(F.lit(0))
+        den = den + F.when(lk.isNotNull(), F.lit(wt)).otherwise(F.lit(0))
+    return dense.select(
+        "hour",
+        "event_type",
+        "n_events",
+        (num * F.lit(1.0) / den).alias("ewma"),
+    )

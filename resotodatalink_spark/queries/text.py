@@ -2191,3 +2191,69 @@ def kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("c12"), "w1", "w2")
     )
+
+
+# MLM masking-plan audit: the mask decision is a pure function of
+# (doc_id, position, token) via the portable polynomial hash + spread,
+# so both engines select the SAME 15% and the plan is reproducible
+# across reruns/engines (the property a masking plan must have for
+# resumable preprocessing).  doc_id|pos lead the key because str_hash
+# mixes the first 16 chars + length — a token-led key would let long
+# tokens alias across positions.
+_MLM_RATE_PCT = 15
+
+
+def _mlm_selected(dialect: str) -> str:
+    cast = "STRING" if dialect == "spark" else "VARCHAR"
+    key = (
+        f"concat(CAST(doc_id AS {cast}), '|', CAST(pos AS {cast}), '|', tok)"
+    )
+    return f"({H.spread_sql(H.str_hash_sql(key))}) % 100 < {_MLM_RATE_PCT}"
+
+
+@query(
+    "mlm_masking_plan",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+             unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN {_mlm_selected('duck')} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_masked,
+           round(sum(CASE WHEN {_mlm_selected('duck')} THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 6) AS mask_rate
+    FROM toks GROUP BY source
+    """,
+)
+def mlm_masking_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Masked-LM masking-plan audit: deterministically select ~15% of
+    token positions via the shared polynomial hash (a pure function of
+    doc_id/position/token — the reproducibility property a masking
+    plan needs so a resumed or re-sharded preprocessing job masks the
+    SAME positions), then report per-source token counts, masked
+    counts, and the realized mask rate (drift from the nominal 15%
+    flags hash-input skew).
+
+    Scale shape: one posexplode of the whitespace split (the staged
+    explode-then-project form — hash expressions stay in whole-stage
+    codegen, never inside interpreted lambdas), one map-side-combined
+    aggregate to the source-bounded output frame.  No joins, no
+    windows; at 100 TB this is scan-speed.  Exact integer counts until
+    the ONE rate division (round 6)."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split("text", " ")).alias("pos", "tok"),
+    )
+    sel = F.expr(_mlm_selected("spark"))
+    masked = F.sum(F.when(sel, 1).otherwise(0))
+    return toks.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        masked.cast("long").alias("n_masked"),
+        F.round(masked * 1.0 / F.count("*"), 6).alias("mask_rate"),
+    )

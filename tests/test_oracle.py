@@ -80,22 +80,22 @@ def test_attest_window_consistency():
     assert len(af) == len(set(af)), "duplicate slug in _ATTEST_FIRST"
     unknown = set(af) - set(registry.QUERIES)
     assert not unknown, f"unknown slugs in _ATTEST_FIRST: {unknown}"
-    # the never-attested backlog and this round's new slugs must sit
-    # inside the 50-slot window (round-9 policy: no driver row ever =>
-    # head of window, unconditionally)
+    # the never-attested backlog and this round's changed slugs must
+    # sit inside the 50-slot window (round-9 policy: no driver row
+    # ever / changed this round => head of window, unconditionally)
     window = set(names[:50])
-    assert set(entry._NEVER_ATTESTED) <= window
-    # changed slugs are always re-attested the round they change; the
-    # r10 checkpoint-seam group leads the r11 window (r10 verdict
-    # item 1)
-    assert set(entry._R10_SEAM_CHANGED) <= window
-    assert set(entry._CHANGED_THIS_ROUND) <= window
-    # after r11 the r6 staleness tier must be fully drained
-    assert set(entry._R6_TIER) <= window
-    # the r12 cohort is exactly the staleness-tier slugs the r11
-    # window spills (r8/r9/r10-fresh slugs rotate later)
-    assert set(entry._R12_COHORT) == set(entry._ATTEST_FIRST) - window
-    assert not set(entry._R12_COHORT) & window
+    assert set(entry._R12_CHANGED) <= window
+    assert set(entry._R12_NEWCOMERS) <= window
+    # after r12 the r7 staleness tier must be fully drained — the r12
+    # window is EXACTLY changed + newcomers + r7 tier (50 slots)
+    assert set(entry._R7_TIER) <= window
+    assert window == set(
+        entry._R12_CHANGED + entry._R12_NEWCOMERS + entry._R7_TIER
+    )
+    # the r13 cohort is exactly the staleness-tier slugs the r12
+    # window spills (r8/r9/r10/r11-fresh slugs rotate later)
+    assert set(entry._R13_COHORT) == set(entry._ATTEST_FIRST) - window
+    assert not set(entry._R13_COHORT) & window
 
 
 def test_bench_names_registered():
@@ -159,11 +159,22 @@ def test_t80_variant_finds_planted_twins(spark, tmp_path):
         ),
         str(tmp_path / "embeddings.parquet"),
     )
-    rows = bench.BENCH_VARIANTS["dedup_embedding_t80"](
+    rows = bench.BENCH_VARIANTS["dedup_embedding_t80_pairs"](
         spark, str(tmp_path)
     ).collect()
     assert len(rows) == n_plant
     assert all(r["cosine"] >= 0.8 for r in rows)
     assert {(r["vec_a"], r["vec_b"]) for r in rows} == {
         (2 * j, 2 * j + 1) for j in range(n_plant)
+    }
+    # the registered keep-shape slug marks exactly the odd twins
+    from resotodatalink_spark import registry as reg
+
+    keep = {
+        r.vec_id: r.keep
+        for r in reg.QUERIES["dedup_embedding_t80"](spark, str(tmp_path)).collect()
+    }
+    assert len(keep) == n
+    assert {v for v, k in keep.items() if not k} == {
+        2 * j + 1 for j in range(n_plant)
     }

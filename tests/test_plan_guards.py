@@ -150,6 +150,10 @@ CARTESIAN_OK = {
     # cusum_changepoint — attaches the ONE-ROW total/day-count to the
     # bounded day frame via broadcast crossJoin.
     "cusum_changepoint",
+    # ewma_hourly — composes timeseries_gapfill, inheriting its
+    # calendar-bounded spine x vocabulary-bounded types cross join;
+    # the EWMA window itself is partitioned and adds no join.
+    "ewma_hourly",
 }
 
 
