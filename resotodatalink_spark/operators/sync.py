@@ -16,6 +16,7 @@ cluster's business, not the driver loop's.
 
 from __future__ import annotations
 
+from collections.abc import Iterable
 from typing import Callable, Protocol
 
 from pyspark.sql import DataFrame, SparkSession
@@ -165,3 +166,87 @@ def on_progress(fn: Callable[[str, int, int], None]) -> Feedback:
             fn(step, current, total)
 
     return _F()
+
+
+class CollectorGraph(Protocol):
+    """What a plugin's ``.graph`` must expose: the exported kind model
+    (collect_plugins.py:38-39 ``graph.export_model``) and the graph
+    rendered as node/edge JSON docs — the exact stream shape the
+    reference's BatchStream feeds its writers (sql_test.py:71-107;
+    schema_utils.py:66-85), and the shape ``GraphSource.from_docs``
+    ingests."""
+
+    def export_model(self) -> list[dict]: ...
+
+    def export_docs(self) -> Iterable[dict]: ...
+
+
+class CollectorPlugin(Protocol):
+    """The BaseCollectorPlugin-shaped protocol (reference
+    collect_plugins.py:30-33, 103-110): a cloud name, a ``collect()``
+    that populates ``self.graph``, and the graph itself.  resotolib is
+    not a dependency here — any object with these three members can be
+    handed to ``collect_plugin``; a real BaseCollectorPlugin bridges by
+    exporting its graph to docs (the reference streams the same JSON
+    docs out of the graph)."""
+
+    cloud: str
+    graph: CollectorGraph
+
+    def collect(self) -> None: ...
+
+
+def collect_plugin(
+    spark: SparkSession,
+    collector: CollectorPlugin,
+    dest_dir: str,
+    fmt: str = "parquet",
+    swap: bool = True,
+    feedback: Feedback | None = None,
+    node_index: bool = False,
+) -> tuple[str, int, int]:
+    """Invoke a collector plugin end-to-end — the U4 driver loop, the
+    Spark analog of reference ``collect_to_file``/``collect_sql``
+    (collect_plugins.py:30-68, 103-152) with the reference's stage
+    names: ``progress_done(cloud, 0, 1)`` before ``collect()``,
+    ``"sync_db"`` progress while tables write, ``progress_done(cloud,
+    1, 1)`` at the end, returning ``(cloud, n_nodes, n_edges)``.
+
+    The kind model comes from ``collector.graph.export_model()``
+    (collect_plugins.py:116-117) and the data path is the standard
+    docs -> GraphSource -> model-compiled flatten -> staged write ->
+    atomic swap pipeline.  ``from_docs`` parallelizes the in-memory
+    doc list; a collector too large for the driver should spill NDJSON
+    and use ``GraphSource.from_json_lines`` instead (same downstream
+    path)."""
+    feedback = feedback or NoFeedback()
+    feedback.progress_done(collector.cloud, 0, 1)
+    collector.collect()
+    model = Model.from_json(collector.graph.export_model())
+    docs = list(collector.graph.export_docs())
+    n_nodes = sum(1 for d in docs if d.get("type") == "node")
+    n_edges = sum(1 for d in docs if d.get("type") == "edge")
+    source = GraphSource.from_docs(spark, docs)
+
+    outer = feedback
+
+    class _SyncDb:
+        """Reference stage-name adapter: table-write/swap progress
+        surfaces as the reference's "sync_db" step
+        (collect_plugins.py:40, 95-96)."""
+
+        def progress_done(self, step: str, current: int, total: int) -> None:
+            outer.progress_done("sync_db", current, total)
+
+    collect_to_files(
+        spark,
+        source,
+        model,
+        dest_dir,
+        fmt=fmt,
+        swap=swap,
+        feedback=_SyncDb(),
+        node_index=node_index,
+    )
+    feedback.progress_done(collector.cloud, 1, 1)
+    return collector.cloud, n_nodes, n_edges

@@ -64,27 +64,51 @@ class SqlDialect:
         "float": "REAL",
         "double": "DOUBLE PRECISION",
         "boolean": "BOOLEAN",
-        "string": "TEXT",
-        "duration": "TEXT",
         "datetime": "TIMESTAMP",
         "date": "DATE",
         "any": "TEXT",
     }
 
-    def column_type(self, model: Model, kind_name: str) -> str:
+    # P9 (reference sql.py:92-100, pinned by sql_test.py:34-38):
+    # string/duration columns size power-of-2 from the property's
+    # ``metadata["len"]`` — <=32 -> VARCHAR(32), 32..1024 -> next
+    # power of two, >1024 -> the dialect's unbounded text type; no
+    # length metadata -> VARCHAR(255).
+    _SIZED_KINDS = ("string", "duration")
+
+    def string_type(self, length: int | None) -> str:
+        if length is None:
+            return "VARCHAR(255)"
+        if length > 1024:
+            return self.text_type()
+        width = 32
+        while width < length:
+            width *= 2
+        return f"VARCHAR({width})"
+
+    def text_type(self) -> str:
+        """Unbounded text for >1024-char strings (and JSON blobs via
+        nested_type) — per-dialect: TEXT / CLOB / STRING."""
+        return "TEXT"
+
+    def column_type(
+        self, model: Model, kind_name: str, metadata: dict | None = None
+    ) -> str:
         if "[]" in kind_name or kind_name.startswith("dict"):
             return self.nested_type()
+        if kind_name in self._SIZED_KINDS:
+            return self.string_type((metadata or {}).get("len"))
         if kind_name in self._SCALARS:
             return self._SCALARS[kind_name]
         kind = model.kinds.get(kind_name)
         if kind is not None and kind.runtime_kind is not None:
-            return self.column_type(model, kind.runtime_kind)
+            return self.column_type(model, kind.runtime_kind, metadata)
         if kind is not None and kind.properties:
             return self.nested_type()
         raise ValueError(f"Not able to handle kind {kind_name}")
 
     def nested_type(self) -> str:
-        return "TEXT"
+        return self.text_type()
 
     def quote_ident(self, name: str) -> str:
         """Column-identifier quoting hook.  Default: bare (sqlite and
@@ -96,10 +120,17 @@ class SqlDialect:
         """Nested Spark types -> JSON strings before the JDBC write."""
         return stringify_nested(df)
 
+    @staticmethod
+    def _unpack_prop(p) -> tuple[str, str, dict | None]:
+        """props entries are (name, kind) pairs or (name, kind,
+        metadata) triples — the triple form carries Property.metadata
+        so string columns can size per the P9 heuristic."""
+        return p[0], p[1], (p[2] if len(p) > 2 else None)
+
     def create_table_sql(self, table: str, props, model: Model) -> str:
         cols = ", ".join(
-            f"{self.quote_ident(name)} {self.column_type(model, kind)}"
-            for name, kind in props
+            f"{self.quote_ident(name)} {self.column_type(model, kind, meta)}"
+            for name, kind, meta in map(self._unpack_prop, props)
         )
         return f"CREATE TABLE IF NOT EXISTS {table} ({cols})"
 
@@ -136,7 +167,12 @@ class SnowflakeDialect(SqlDialect):
         "date": "STRING",
     }
 
-    def column_type(self, model: Model, kind_name: str) -> str:
+    def column_type(
+        self, model: Model, kind_name: str, metadata: dict | None = None
+    ) -> str:
+        # Snowflake keeps plain STRING regardless of metadata.len —
+        # the reference's snowflake mapper has no width heuristic
+        # (snowflake.py:37-38 vs sql.py:92-100).
         if "[]" in kind_name:
             return "ARRAY"
         if kind_name.startswith("dict") or kind_name == "any":
@@ -145,7 +181,7 @@ class SnowflakeDialect(SqlDialect):
             return self._SCALARS[kind_name]
         kind = model.kinds.get(kind_name)
         if kind is not None and kind.runtime_kind is not None:
-            return self.column_type(model, kind.runtime_kind)
+            return self.column_type(model, kind.runtime_kind, metadata)
         if kind is not None and kind.properties:
             return "OBJECT"
         raise ValueError(f"Not able to handle kind {kind_name}")
@@ -240,12 +276,13 @@ class DerbyDialect(SqlDialect):
         "float": "REAL",
         "double": "DOUBLE",
         "boolean": "BOOLEAN",
-        "string": "VARCHAR(32672)",
-        "duration": "VARCHAR(32672)",
         "datetime": "TIMESTAMP",
         "date": "DATE",
         "any": "VARCHAR(32672)",
     }
+
+    def text_type(self) -> str:
+        return "CLOB"  # Derby has no TEXT; CLOB accepts setString
 
     def nested_type(self) -> str:
         return "VARCHAR(32672)"  # Derby max VARCHAR; no TEXT type
@@ -258,8 +295,8 @@ class DerbyDialect(SqlDialect):
     def create_table_sql(self, table: str, props, model: Model) -> str:
         # Derby has no CREATE TABLE IF NOT EXISTS
         cols = ", ".join(
-            f"{self.quote_ident(name)} {self.column_type(model, kind)}"
-            for name, kind in props
+            f"{self.quote_ident(name)} {self.column_type(model, kind, meta)}"
+            for name, kind, meta in map(self._unpack_prop, props)
         )
         return f"CREATE TABLE {table} ({cols})"
 
@@ -271,6 +308,17 @@ class DerbyDialect(SqlDialect):
             f"DROP TABLE {prod_table}",
             f"RENAME TABLE {tmp_table} TO {prod_table}",
         ]
+
+
+def ddl_props(
+    model: Model, kind_name: str, with_id: bool = True
+) -> list[tuple[str, str, dict | None]]:
+    """(name, kind, metadata) triples for ``create_table_sql`` from
+    the model's flattened properties — the production path that feeds
+    ``Property.metadata`` (and with it the P9 width heuristic) into
+    the DDL, reference sql.py:182-188 + 92-100."""
+    props, _ = model.kind_properties(model.kinds[kind_name], with_id=with_id)
+    return [(p.name, p.kind, p.metadata) for p in props]
 
 
 DIALECTS: dict[str, SqlDialect] = {}

@@ -99,17 +99,39 @@ def write_table(
     name = table_name + STAGING_SUFFIX if staging else table_name
     path = os.path.join(dest_dir, name)
     if fmt == "csv":
-        stringify_nested(df).write.mode("overwrite").option("header", True).csv(path)
+        flat = stringify_nested(df)
+        flat.write.mode("overwrite").option("header", True).csv(path)
+        _write_schema_sibling(flat, dest_dir, table_name, staging)
     elif fmt == "parquet":
         df.write.mode("overwrite").parquet(path)
     elif fmt == "orc":
         df.write.mode("overwrite").orc(path)
     elif fmt == "json":
-        # JSON-lines keeps nested types natively; no stringification
+        # JSON-lines keeps nested types natively; no stringification.
+        # Type fidelity on re-read comes from the schema sibling: JSON
+        # text cannot distinguish timestamp/date/decimal from string,
+        # so inference alone would round-trip them as strings.
         df.write.mode("overwrite").json(path)
+        _write_schema_sibling(df, dest_dir, table_name, staging)
     else:
         raise ValueError(f"unsupported format: {fmt}")
     return path
+
+
+SCHEMA_SIBLING_SUFFIX = ".schema.parquet"
+
+
+def _write_schema_sibling(
+    df: DataFrame, dest_dir: str, table_name: str, staging: bool
+) -> None:
+    """Zero-row parquet carrying the exact write-side schema for text
+    formats — the sink-side twin of ``sources.tables._read_any``'s
+    ``<name>.schema.parquet`` convention, so a JSON/CSV round-trip
+    keeps timestamp/date/decimal columns typed instead of falling back
+    to string inference (round-11 advice).  Follows the same staging/
+    swap lifecycle as the data dir."""
+    name = table_name + SCHEMA_SIBLING_SUFFIX + (STAGING_SUFFIX if staging else "")
+    df.limit(0).write.mode("overwrite").parquet(os.path.join(dest_dir, name))
 
 
 OLD_SUFFIX = "__old"
@@ -155,8 +177,15 @@ def swap_staging(
         if not entry.endswith(STAGING_SUFFIX):
             continue
         final = entry[: -len(STAGING_SUFFIX)]
-        if tables is not None and final not in tables:
-            continue
+        if tables is not None:
+            # a schema sibling publishes with its data table
+            base = (
+                final[: -len(SCHEMA_SIBLING_SUFFIX)]
+                if final.endswith(SCHEMA_SIBLING_SUFFIX)
+                else final
+            )
+            if base not in tables:
+                continue
         final_path = join(dest_dir, final)
         old_path = final_path + OLD_SUFFIX
         if exists(old_path):  # leftover from a prior crash
@@ -167,16 +196,39 @@ def swap_staging(
         rename(join(dest_dir, entry), final_path)
         if had_old:
             rmtree(old_path)
-        published.append(final)
+        if not final.endswith(SCHEMA_SIBLING_SUFFIX):
+            # siblings publish alongside but are an implementation
+            # detail, not a table the caller asked about
+            published.append(final)
     return published
 
 
-def read_table(spark: SparkSession, dest_dir: str, table_name: str, fmt: str = "parquet") -> DataFrame:
+def read_table(
+    spark: SparkSession,
+    dest_dir: str,
+    table_name: str,
+    fmt: str = "parquet",
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """Read a published table back.  Text formats (csv/json) take the
+    explicit ``schema`` when given, else the ``<name>.schema.parquet``
+    sibling ``write_table`` published beside them, else inference —
+    the ladder that keeps timestamp/date/decimal columns typed across
+    a JSON/CSV round-trip."""
     path = os.path.join(dest_dir, table_name)
+    if fmt in ("csv", "json") and schema is None:
+        sibling = path + SCHEMA_SIBLING_SUFFIX
+        if os.path.exists(sibling):
+            schema = spark.read.parquet(sibling).schema
     if fmt == "csv":
-        return spark.read.option("header", True).option("inferSchema", True).csv(path)
+        r = spark.read.option("header", True)
+        r = r.schema(schema) if schema is not None else r.option("inferSchema", True)
+        return r.csv(path)
     if fmt == "orc":
         return spark.read.orc(path)
     if fmt == "json":
-        return spark.read.json(path)
+        r = spark.read
+        if schema is not None:
+            r = r.schema(schema)
+        return r.json(path)
     return spark.read.parquet(path)

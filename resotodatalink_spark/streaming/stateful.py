@@ -117,8 +117,9 @@ def running_type_profiles(events: DataFrame) -> DataFrame:
     the RocksDB state store provider
     (``spark.sql.streaming.stateStore.providerClass`` =
     ``...state.RocksDBStateStoreProvider``).  protobuf is not
-    installed in this sandbox (re-checked rounds 7-10: ``import
-    google.protobuf`` still raises and installs are not possible), so
+    installed in this sandbox (re-checked rounds 7-12: ``import
+    google.protobuf`` still raises and ``pip download`` has no DNS
+    egress), so
     the operator is exercised by a skip-gated test
     (tests/test_streaming.py) and the oracle-attested stateful slug
     remains the ``applyInPandasWithState`` path

@@ -46,6 +46,22 @@ def test_limit_fed_global_window_recognized_as_bounded():
     assert plan_audit.audit_plan(plan)["global_windows"] == 0
 
 
+def test_sibling_limit_does_not_bound_global_window():
+    """A Limit in a SIBLING subtree (the other side of a join printed
+    right below the Window) must NOT be credited to the window — the
+    round-11 advice's silent ratchet skip."""
+    plan = "\n".join(
+        [
+            "+- SortMergeJoin [k#1], [k#2], Inner",
+            "   :- " + GLOBAL_ORDERED.lstrip("+- "),
+            "   :  +- Exchange SinglePartition",
+            "   +- GlobalLimit 20",
+            "      +- Exchange hashpartitioning(k#2, 32)",
+        ]
+    )
+    assert plan_audit.audit_plan(plan)["global_windows"] == 1
+
+
 def test_feature_counts():
     plan = "\n".join(
         [

@@ -149,7 +149,7 @@ def test_default_dialect_create_and_insert():
     props = [("id", "string"), ("cores", "int32"), ("tags", "dictionary[string, string]")]
     d = dialect_for("jdbc:sqlite://h/db")
     assert d.create_table_sql("thing", props, model) == (
-        "CREATE TABLE IF NOT EXISTS thing (id TEXT, cores INTEGER, tags TEXT)"
+        "CREATE TABLE IF NOT EXISTS thing (id VARCHAR(255), cores INTEGER, tags TEXT)"
     )
     assert d.insert_sql("thing", props, model, n_rows=1) == (
         "INSERT INTO thing (id, cores, tags) VALUES (?, ?, ?)"
@@ -157,11 +157,11 @@ def test_default_dialect_create_and_insert():
     # Postgres ships nested values as JSONB, MySQL as native JSON
     pg = dialect_for("jdbc:postgresql://h/db")
     assert pg.create_table_sql("thing", props, model) == (
-        "CREATE TABLE IF NOT EXISTS thing (id TEXT, cores INTEGER, tags JSONB)"
+        "CREATE TABLE IF NOT EXISTS thing (id VARCHAR(255), cores INTEGER, tags JSONB)"
     )
     my = dialect_for("jdbc:mysql://h/db")
     assert my.create_table_sql("thing", props, model) == (
-        "CREATE TABLE IF NOT EXISTS thing (id TEXT, cores INTEGER, tags JSON)"
+        "CREATE TABLE IF NOT EXISTS thing (id VARCHAR(255), cores INTEGER, tags JSON)"
     )
     assert my.column_type(model, "double") == "DOUBLE"
     assert my.column_type(model, "datetime") == "DATETIME"
@@ -252,3 +252,94 @@ def test_orc_and_json_roundtrip(spark, tmp_path):
         back = read_table(spark, dest, f"t_{fmt}", fmt=fmt)
         got = sorted((r.id, list(r.arr)) for r in back.collect())
         assert got == [(0, [0, 0]), (1, [1, 2]), (2, [2, 4])]
+
+
+def test_json_roundtrip_keeps_temporal_and_decimal_types(spark, tmp_path):
+    """Round-11 advice: JSON text can't distinguish timestamp/date/
+    decimal from string, so write_table publishes a zero-row
+    ``<name>.schema.parquet`` sibling (the sink-side twin of
+    sources._read_any's convention) and read_table applies it — the
+    types must survive the round-trip, through the staging swap too,
+    and an explicit ``schema=`` must also be honored."""
+    df = spark.sql(
+        "SELECT TIMESTAMP '2024-02-29 12:34:56' AS ts,"
+        " DATE '2024-02-29' AS d,"
+        " CAST(12.34 AS DECIMAL(10,2)) AS amt,"
+        " 'x' AS s"
+    )
+    dest = str(tmp_path)
+    write_table(df, dest, "typed", fmt="json", staging=True)
+    assert swap_staging(dest, tables=["typed"]) == ["typed"]
+    back = read_table(spark, dest, "typed", fmt="json")
+    # nullability is reader policy (JSON always reads nullable);
+    # names and TYPES are the fidelity under test
+    def _shape(schema):
+        return [(f.name, f.dataType) for f in schema.fields]
+
+    assert _shape(back.schema) == _shape(df.schema)
+    row = back.collect()[0]
+    want = df.collect()[0]
+    assert (row.ts, row.d, row.amt, row.s) == (want.ts, want.d, want.amt, want.s)
+    # explicit schema wins over the sibling
+    explicit = read_table(spark, dest, "typed", fmt="json", schema=df.schema)
+    assert _shape(explicit.schema) == _shape(df.schema)
+    # csv sibling carries the stringified shape
+    df2 = df.select("ts", "d", "amt", "s")
+    write_table(df2, dest, "typed_csv", fmt="csv", staging=False)
+    back_csv = read_table(spark, dest, "typed_csv", fmt="csv")
+    assert _shape(back_csv.schema) == _shape(df2.schema)
+
+
+def test_p9_varchar_width_heuristic():
+    """P9 (reference sql.py:92-100, mirroring sql_test.py:34-38):
+    string columns size power-of-2 from ``metadata["len"]`` — 34 ->
+    VARCHAR(64), no metadata -> VARCHAR(255), tiny -> the VARCHAR(32)
+    floor, >1024 -> the dialect's unbounded text type (TEXT, or CLOB
+    on Derby which has none); Snowflake ignores widths (STRING)."""
+    from resotodatalink_spark.model.kinds import Kind, Model, Property
+    from resotodatalink_spark.sinks.dialects import ddl_props, dialect_for
+
+    model = Model(
+        kinds={
+            "thing": Kind(
+                fqn="thing",
+                aggregate_root=True,
+                properties=[
+                    Property("name", "string", metadata={"len": 34}),
+                    Property("note", "string"),
+                    Property("code", "string", metadata={"len": 3}),
+                    Property("blob", "string", metadata={"len": 1500}),
+                ],
+            )
+        }
+    )
+    d = dialect_for("default")
+    assert d.column_type(model, "string", {"len": 34}) == "VARCHAR(64)"
+    assert d.column_type(model, "string") == "VARCHAR(255)"
+    assert d.column_type(model, "string", {"len": 3}) == "VARCHAR(32)"
+    assert d.column_type(model, "string", {"len": 1024}) == "VARCHAR(1024)"
+    assert d.column_type(model, "string", {"len": 1025}) == "TEXT"
+    assert d.column_type(model, "duration", {"len": 34}) == "VARCHAR(64)"
+    # the triple-prop production path threads metadata through DDL
+    props = ddl_props(model, "thing")
+    ddl = d.create_table_sql("thing", props, model)
+    assert "name VARCHAR(64)" in ddl
+    assert "note VARCHAR(255)" in ddl
+    assert "code VARCHAR(32)" in ddl
+    assert "blob TEXT" in ddl
+    assert "_id VARCHAR(255)" in ddl  # synthesized id column
+    # per-dialect unbounded text type
+    assert dialect_for("jdbc:derby:memory:x").column_type(
+        model, "string", {"len": 1500}
+    ) == "CLOB"
+    assert dialect_for("jdbc:mysql://h/db").column_type(
+        model, "string", {"len": 1500}
+    ) == "TEXT"
+    # Snowflake has no width heuristic (reference snowflake.py:37-38)
+    assert dialect_for("snowflake://h/db").column_type(
+        model, "string", {"len": 34}
+    ) == "STRING"
+    # pairs (no metadata) still accepted
+    assert "id VARCHAR(255)" in d.create_table_sql(
+        "t", [("id", "string")], model
+    )

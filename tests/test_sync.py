@@ -134,3 +134,95 @@ def test_progress_tree_renderer(spark, tmp_path):
     for i in range(30):
         t.add_progress(f"collect/s{i}", 1, 1)
     assert len(t.render(max_height=10).splitlines()) == 10
+
+
+def test_collect_plugin_protocol_golden_counts(spark, tmp_path):
+    """U4: a fake BaseCollectorPlugin-shaped object driven through
+    ``collect_plugin`` reproduces the example-collector E2E goldens of
+    test_example_collector_e2e_counts, with the reference's stage
+    names in order (cloud 0/1 BEFORE collect(), sync_db progress,
+    cloud 1/1 last — collect_plugins.py:34, 40, 66) and the
+    reference's (cloud, n_nodes, n_edges) return."""
+    from resotodatalink_spark.model.kinds import Model
+    from resotodatalink_spark.operators.sync import collect_plugin, on_progress
+    from resotodatalink_spark.sinks.files import read_table
+    from tests.fixtures import example_collector_docs, example_collector_model
+
+    def _kind_json(model: Model) -> list[dict]:
+        return [
+            {
+                "fqn": k.fqn,
+                "runtime_kind": k.runtime_kind,
+                "properties": [
+                    {
+                        "name": p.name,
+                        "kind": p.kind,
+                        "required": p.required,
+                        "metadata": p.metadata,
+                    }
+                    for p in (k.properties or [])
+                ],
+                "bases": k.bases,
+                "aggregate_root": k.aggregate_root,
+                "successor_kinds": k.successor_kinds,
+            }
+            for k in model.kinds.values()
+        ]
+
+    class FakeGraph:
+        def __init__(self):
+            self.docs = None  # populated by collect()
+
+        def export_model(self):
+            return _kind_json(example_collector_model())
+
+        def export_docs(self):
+            assert self.docs is not None, "collect() must run first"
+            return self.docs
+
+    class FakePlugin:
+        cloud = "example"
+
+        def __init__(self):
+            self.graph = FakeGraph()
+            self.collected = False
+
+        def collect(self):
+            self.collected = True
+            self.graph.docs = example_collector_docs()
+
+    steps: list[tuple[str, int, int]] = []
+    plugin = FakePlugin()
+    cloud, n_nodes, n_edges = collect_plugin(
+        spark,
+        plugin,
+        str(tmp_path),
+        feedback=on_progress(lambda s, c, t: steps.append((s, c, t))),
+    )
+    assert plugin.collected
+    assert (cloud, n_nodes, n_edges) == ("example", 10, 13)
+    # stage names and order match the reference driver loop
+    assert steps[0] == ("example", 0, 1)
+    assert steps[-1] == ("example", 1, 1)
+    assert all(s == "sync_db" for s, _, _ in steps[1:-1]) and len(steps) > 3
+
+    expected_counts = {
+        "example_account": 1,
+        "example_custom_resource": 1,
+        "example_instance": 2,
+        "example_network": 2,
+        "example_region": 2,
+        "example_volume": 2,
+        "link_example_account_example_region": 2,
+        "link_example_instance_example_volume": 2,
+        "link_example_network_example_instance": 2,
+        "link_example_region_example_custom_resource": 1,
+        "link_example_region_example_instance": 2,
+        "link_example_region_example_network": 2,
+        "link_example_region_example_volume": 2,
+        "resource_short_property_access": 0,
+    }
+    counts = {
+        t: read_table(spark, str(tmp_path), t).count() for t in expected_counts
+    }
+    assert counts == expected_counts

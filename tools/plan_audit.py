@@ -35,6 +35,31 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+_TREE_PREFIX = re.compile(r"^[\s:+|-]*")
+
+
+def _indent(ln: str) -> int:
+    """Tree-art depth of a plan line: length of the leading
+    space/colon/branch prefix before the operator name."""
+    return _TREE_PREFIX.match(ln).end()
+
+
+def _limit_in_child_subtree(lines: list[str], i: int) -> bool:
+    """True iff a GlobalLimit/TakeOrderedAndProject appears among the
+    next few STRICTLY DEEPER-indented lines — i.e. inside the Window
+    node's own child subtree.  Scanning a flat line range credited a
+    Limit in a SIBLING subtree (the other side of a join printed
+    immediately below) to an unbounded global window, silently
+    skipping the REVIEWED_GLOBAL_WINDOWS ratchet (round-11 advice)."""
+    depth = _indent(lines[i])
+    for ln in lines[i + 1 : i + 8]:
+        if _indent(ln) <= depth:
+            break  # left the window's subtree
+        if re.search(r"GlobalLimit|TakeOrderedAndProject", ln):
+            return True
+    return False
+
+
 def audit_plan(plan: str) -> dict:
     """Count scale-relevant features of an executedPlan string."""
     lines = plan.splitlines()
@@ -48,13 +73,12 @@ def audit_plan(plan: str) -> dict:
             r"windowspecdefinition\((specifiedwindowframe|\S+ (ASC|DESC))",
             ln,
         ):
-            # bounded-by-limit if a GlobalLimit/TakeOrdered feeds it
-            # within the next few plan lines (top-k-then-rank idiom);
+            # bounded-by-limit if a GlobalLimit/TakeOrdered feeds the
+            # window's OWN child subtree (top-k-then-rank idiom);
             # everything else is reported for review (domain-bounded
             # aggregate frames land here too and are justified in
             # DESIGN_NOTES).
-            below = "\n".join(lines[i : i + 8])
-            if not re.search(r"GlobalLimit|TakeOrderedAndProject", below):
+            if not _limit_in_child_subtree(lines, i):
                 n_global_windows += 1
     return {
         "exchanges": len(

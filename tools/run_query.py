@@ -20,8 +20,10 @@ documents embeddings) and runs the statement through Spark SQL — the
                  and prints both row counts (a one-slug correctness
                  spot check; tools/check_queries.py does the full
                  value-hash comparison)
-* ``--limit N``  caps printed rows (default 20; the full query still
-                 executes)
+* ``--limit N``  caps printed rows (default 20; ``0`` prints none).
+                 One bounded collect of N+1 rows serves both the
+                 preview and the ``>= N+1``/exact row hint — no
+                 second full execution, no unbounded collect
 * ``--list``     prints registered slugs, optionally filtered by a
                  case-insensitive substring
 """
@@ -88,9 +90,11 @@ def main(argv: list[str]) -> int:
         if "--explain" in flags:
             df.explain("formatted")
             return 0
-        for r in df.limit(limit).collect():
+        rows = df.limit(limit + 1).collect()
+        for r in rows[:limit]:
             print(r.asDict())
-        print(f"-- sql: {df.count()} rows total ({sf_dir})")
+        n_hint = f">= {limit + 1}" if len(rows) > limit else str(len(rows))
+        print(f"-- sql: {n_hint} rows ({sf_dir})")
         return 0
 
     slug = args[0]
@@ -108,11 +112,15 @@ def main(argv: list[str]) -> int:
         df.explain("formatted")
         return 0
 
-    rows = df.limit(limit).collect() if limit else df.collect()
-    n = df.count()
-    for r in rows:
+    # One bounded action: collect limit+1 rows, print limit, derive a
+    # ">= limit" hint from the sentinel row instead of a second full
+    # execution via count().  --limit 0 prints nothing (and never
+    # falls through to an unbounded whole-result collect).
+    rows = df.limit(limit + 1).collect()
+    for r in rows[:limit]:
         print(r.asDict())
-    print(f"-- {slug}: {n} rows total ({sf_dir})")
+    n_hint = f">= {limit + 1}" if len(rows) > limit else str(len(rows))
+    print(f"-- {slug}: {n_hint} rows ({sf_dir})")
 
     if "--oracle" in flags and slug in registry.ORACLES:
         import duckdb
@@ -125,6 +133,8 @@ def main(argv: list[str]) -> int:
                     f"CREATE VIEW {t} AS SELECT * FROM '{path}'"
                 )
         on = len(con.execute(registry.ORACLES[slug]).fetchall())
+        n = df.count()  # exact count only on explicit --oracle opt-in
+        print(f"-- spark: {n} rows")
         print(f"-- oracle: {on} rows ({'MATCH' if on == n else 'MISMATCH'})")
     return 0
 
