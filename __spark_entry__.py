@@ -100,18 +100,23 @@ _R7_TIER = [
 ]
 
 _R12_WAVE = [
-    # Round-12 newcomers (registry 221 -> 224): exact-dyadic EWMA over
+    # Round-12 newcomers (registry 221 -> 227): exact-dyadic EWMA over
     # the dense hourly series, the deterministic MLM masking-plan
-    # audit, and exact-rational reciprocal-rank fusion.  The r12
-    # window is exactly full with the staleness drain (arithmetic
-    # below), so — the same deliberate deviation as r11's fifth wave,
-    # this time with a sustainable landing — they lead the r13 cohort
-    # instead, carrying tri-SF local-gate + fixture evidence until the
-    # r13 driver row.  r13's window fits them with room: 3 newcomers
-    # + 35 r8-tier = 38, leaving 12 slots for r13's changed slugs.
+    # audit, exact-rational reciprocal-rank fusion, the functional-
+    # dependency profiler, the bucket-prefix winsorization audit, and
+    # per-language term lift.  The r12 window is exactly full with the
+    # staleness drain (arithmetic below), so — the same deliberate
+    # deviation as r11's fifth wave, this time with a sustainable
+    # landing — they lead the r13 cohort instead, carrying tri-SF
+    # local-gate + fixture evidence until the r13 driver row.  r13's
+    # window fits them with room: 6 newcomers + 35 r8-tier = 41,
+    # leaving 9 slots for r13's changed slugs.
     "ewma_hourly",
+    "functional_dependency_audit",
     "mlm_masking_plan",
     "rrf_fusion",
+    "term_lift_by_lang",
+    "winsorize_audit",
 ]
 
 _R8_TIER = [
@@ -307,6 +312,7 @@ _ATTEST_FIRST = (
     _R12_CHANGED
     + _R12_NEWCOMERS
     + _R7_TIER
+    + _R12_WAVE
     + _R8_TIER
     + _R9_TIER
     + _R10_TIER
@@ -318,9 +324,10 @@ _ATTEST_FIRST = (
 # the r11 verdict's "48 + <= 2 r12 changes" budget spent to the slot.
 # After r12 every slug's newest driver row is r8+, the never-attested
 # set is empty, and the staleness tail is drained for good.  The r13
-# cohort is the spill below (35 r8 + 42 r9 + 45 r10 + 49 r11 = 171 of
-# the 221 registered slugs; its head, the r8 tier, is 35 <= 50, so
-# r13 keeps 15 spare slots for its own changed slugs).
+# cohort is the spill below (6 r12-wave + 35 r8 + 42 r9 + 45 r10 +
+# 49 r11 = 177 of the 227 registered slugs; its head, the 6 wave
+# newcomers + 35 r8-tier, is 41 <= 50, so r13 keeps 9 spare slots
+# for its own changed slugs).
 _R13_COHORT = _ATTEST_FIRST[50:]
 
 

@@ -233,10 +233,15 @@ EXTENDED = [
     "dedup_embedding_t80",
     # round-12 wave: exact-dyadic EWMA over the dense hourly series,
     # the deterministic MLM masking-plan audit (scan + one map-side
-    # aggregate), and exact-rational reciprocal-rank fusion
+    # aggregate), exact-rational reciprocal-rank fusion, the
+    # functional-dependency profiler, the bucket-prefix winsorization
+    # audit, and per-language term lift
     "ewma_hourly",
     "mlm_masking_plan",
     "rrf_fusion",
+    "functional_dependency_audit",
+    "winsorize_audit",
+    "term_lift_by_lang",
 ]
 
 

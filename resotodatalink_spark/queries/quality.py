@@ -1127,3 +1127,158 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.cast("long").alias("cusum"),
         F.when(s > 2 * F.col("total"), 1).otherwise(0).alias("flagged"),
     ).orderBy("day")
+
+
+# --- functional-dependency audit ------------------------------------------
+
+# Candidate FDs over the star schema: lhs -> rhs pairs a profiler
+# would propose (the lakehouse replacement for the UNIQUE/CHECK
+# constraints the reference's SQL sinks would lean on).  The driver
+# corpus makes three of them FAIL with distinct violation counts and
+# one (the PK-led one) HOLD — both branches corpus-exercised.
+_FD_CANDIDATES = [
+    ("part.p_name->p_brand", "part", "p_name", "p_brand"),
+    ("part.p_brand->p_type", "part", "p_brand", "p_type"),
+    ("part.p_type->p_size", "part", "p_type", "p_size"),
+    ("orders.o_orderkey->o_custkey", "orders", "o_orderkey", "o_custkey"),
+]
+
+_FD_ORACLE = "\n    UNION ALL\n".join(
+    f"""    SELECT '{fd}' AS fd,
+           CAST(count(*) AS BIGINT) AS n_lhs,
+           CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating,
+           sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) = 0 AS holds
+    FROM (SELECT {lhs}, count(DISTINCT {rhs}) AS n_rhs
+          FROM {tbl} GROUP BY {lhs}) g_{i}"""
+    for i, (fd, tbl, lhs, rhs) in enumerate(_FD_CANDIDATES)
+)
+
+
+@query("functional_dependency_audit", oracle=_FD_ORACLE)
+def functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit: for each candidate lhs -> rhs
+    dependency, count lhs groups and the groups where rhs is NOT
+    determined (count distinct rhs > 1) — the schema-profiling pass
+    that tells a pipeline which columns are safe normalization /
+    partition keys.  The shipped corpus fails three part-table FDs
+    with distinct violation counts and holds the PK-led orders FD, so
+    both branches are corpus-attested.
+
+    Scale shape: one partial-aggregated count-distinct per candidate
+    (shuffle keyed on the lhs), each collapsing to a ONE-ROW summary;
+    the 4-row union is constant.  No windows, no joins, no cross
+    products — at 100 TB each audit is scan + one keyed exchange."""
+    out = None
+    for fd, tbl, lhs, rhs in _FD_CANDIDATES:
+        g = (
+            table(spark, sf_dir, tbl)
+            .groupBy(lhs)
+            .agg(F.countDistinct(rhs).alias("n_rhs"))
+        )
+        viol = F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0))
+        row = g.agg(
+            F.lit(fd).alias("fd"),
+            F.count("*").cast("long").alias("n_lhs"),
+            viol.cast("long").alias("n_violating"),
+            (viol == 0).alias("holds"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+# --- winsorization audit ---------------------------------------------------
+
+_CENTS_V = "CAST(round(value * 100) AS BIGINT)"
+
+
+@query(
+    "winsorize_audit",
+    oracle=f"""
+    WITH buckets AS (
+      SELECT event_type, {_CENTS_V} AS cents, count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, cents, cnt,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY cents
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             sum(cnt) OVER (PARTITION BY event_type) AS n
+      FROM buckets
+    ),
+    thresholds AS (
+      SELECT event_type, max(n) AS n,
+             min(CASE WHEN cum >= (n + 99) // 100 THEN cents END) AS lo,
+             min(CASE WHEN cum >= (99 * n + 99) // 100 THEN cents END) AS hi
+      FROM cum GROUP BY event_type
+    )
+    SELECT t.event_type, CAST(t.n AS BIGINT) AS n,
+           t.lo / 100.0 AS p01, t.hi / 100.0 AS p99,
+           CAST(coalesce(sum(CASE WHEN b.cents < t.lo THEN b.cnt END), 0)
+                AS BIGINT) AS n_clipped_low,
+           CAST(coalesce(sum(CASE WHEN b.cents > t.hi THEN b.cnt END), 0)
+                AS BIGINT) AS n_clipped_high
+    FROM thresholds t JOIN buckets b ON b.event_type = t.event_type
+    GROUP BY t.event_type, t.n, t.lo, t.hi
+    """,
+)
+def winsorize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization audit: exact nearest-rank p01/p99 of the event
+    value per type plus how many rows a clip at those fences would
+    touch — the outlier-capping report a feature pipeline runs before
+    normalizing heavy-tailed inputs.
+
+    Exact-quantile discipline for FEW global groups (the shape
+    quantile_sample_audit documents as needing a per-group sort):
+    solved with the two-phase bucket-prefix pattern instead
+    (ks_drift_audit's machinery) — one (type, cents) aggregate off
+    the corpus, then cumulative sums over the VALUE-DOMAIN-bounded
+    bucket frame, so no corpus-sized partition ever sorts.  Ranks are
+    pure integer ceilings ((n+99)//100, (99n+99)//100); cents stay
+    exact integers until the two /100.0 fence divisions.
+
+    Scale shape: scan -> map-side-combined bucket counts -> windows
+    and a self-join on the bounded bucket frame.  At 100 TB the only
+    corpus-sized stage is the first aggregate."""
+    ev = table(spark, sf_dir, "events")
+    buckets = ev.groupBy(
+        "event_type", F.expr(_CENTS_V).alias("cents")
+    ).agg(F.count("*").alias("cnt"))
+    buckets = _ckpt(buckets)
+    wc = (
+        W.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = buckets.select(
+        "event_type",
+        "cents",
+        "cnt",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.sum("cnt").over(W.partitionBy("event_type")).alias("n"),
+    )
+    lo_rank = F.expr("(n + 99) div 100")
+    hi_rank = F.expr("(99 * n + 99) div 100")
+    thresholds = cum.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.min(F.when(F.col("cum") >= lo_rank, F.col("cents"))).alias("lo"),
+        F.min(F.when(F.col("cum") >= hi_rank, F.col("cents"))).alias("hi"),
+    )
+    b = buckets.select(
+        F.col("event_type").alias("bt"), "cents", "cnt"
+    )
+    joined = thresholds.join(b, F.col("event_type") == F.col("bt"))
+    clip_low = F.sum(F.when(F.col("cents") < F.col("lo"), F.col("cnt")))
+    clip_high = F.sum(F.when(F.col("cents") > F.col("hi"), F.col("cnt")))
+    return joined.groupBy("event_type", "n", "lo", "hi").agg(
+        F.coalesce(clip_low, F.lit(0)).cast("long").alias("n_clipped_low"),
+        F.coalesce(clip_high, F.lit(0)).cast("long").alias("n_clipped_high"),
+    ).select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        (F.col("lo") / 100.0).alias("p01"),
+        (F.col("hi") / 100.0).alias("p99"),
+        "n_clipped_low",
+        "n_clipped_high",
+    )

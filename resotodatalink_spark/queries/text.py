@@ -2257,3 +2257,93 @@ def mlm_masking_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         masked.cast("long").alias("n_masked"),
         F.round(masked * 1.0 / F.count("*"), 6).alias("mask_rate"),
     )
+
+
+# --- per-language term lift --------------------------------------------------
+
+_LIFT_MIN_SUPPORT = 5
+_LIFT_TOP_K = 3
+
+
+@query(
+    "term_lift_by_lang",
+    oracle=f"""
+    WITH lt AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    n_lt AS (
+      SELECT lang, tok, count(*) AS n_lt FROM lt GROUP BY lang, tok
+    ),
+    n_t AS (SELECT tok, sum(n_lt) AS n_t FROM n_lt GROUP BY tok),
+    n_l AS (SELECT lang, sum(n_lt) AS n_l FROM n_lt GROUP BY lang),
+    total AS (SELECT sum(n_lt) AS big_n FROM n_lt),
+    lifted AS (
+      SELECT x.lang, x.tok, CAST(x.n_lt AS BIGINT) AS n_lt,
+             CAST(x.n_lt * t.big_n AS BIGINT) * 1.0
+               / CAST(n_t.n_t * n_l.n_l AS BIGINT) AS lift
+      FROM n_lt x
+      JOIN n_t ON n_t.tok = x.tok
+      JOIN n_l ON n_l.lang = x.lang
+      CROSS JOIN total t
+      WHERE x.n_lt >= {_LIFT_MIN_SUPPORT}
+    )
+    SELECT lang, tok, n_lt, lift FROM (
+      SELECT *, row_number() OVER (PARTITION BY lang
+                                   ORDER BY lift DESC, tok) AS rn
+      FROM lifted
+    ) r WHERE rn <= {_LIFT_TOP_K}
+    """,
+)
+def term_lift_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language term lift — P(token|lang) / P(token), the
+    association score that surfaces the tokens most over-represented
+    in each language slice (the corpus-segmentation twin of
+    mutual_information's grid view; a lift far above 1 with real
+    support marks slice-specific vocabulary, the signal language-ID
+    word lists and contamination probes are mined from).
+
+    Float discipline: lift = (n_lt * N) / (n_t * n_l) — both products
+    exact int64 (headroom to ~3e9 tokens; past that swap to the
+    fixed-tree double-product form, still deterministic because no
+    reassociation happens inside a single expression tree) and ONE
+    correctly-rounded division, so scores and the per-lang top-3
+    ordering are bit-identical across engines; ties break on token.
+
+    Scale shape: ONE corpus pass into the map-side-combined
+    (lang, tok) frame (checkpointed — three downstream reads); the
+    marginals and the lift join all run on that VOCABULARY-bounded
+    frame, the corpus total attaches as a 1-row broadcast crossJoin
+    (unigram_logprob's constant-append pattern), and the top-k window
+    partitions on lang over the bounded frame."""
+    d = table(spark, sf_dir, "documents")
+    n_lt = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count("*").alias("n_lt"))
+        .transform(_ckpt)
+    )
+    n_t = n_lt.groupBy("tok").agg(F.sum("n_lt").alias("n_t"))
+    n_l = n_lt.groupBy("lang").agg(F.sum("n_lt").alias("n_l"))
+    total = n_lt.agg(F.sum("n_lt").alias("big_n"))
+    lifted = (
+        n_lt.filter(F.col("n_lt") >= _LIFT_MIN_SUPPORT)
+        .join(n_t, "tok")
+        .join(n_l, "lang")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "tok",
+            F.col("n_lt").cast("long").alias("n_lt"),
+            (
+                (F.col("n_lt") * F.col("big_n")).cast("long") * F.lit(1.0)
+                / (F.col("n_t") * F.col("n_l")).cast("long")
+            ).alias("lift"),
+        )
+    )
+    w = W.partitionBy("lang").orderBy(F.desc("lift"), F.asc("tok"))
+    return (
+        lifted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _LIFT_TOP_K)
+        .select("lang", "tok", "n_lt", "lift")
+    )

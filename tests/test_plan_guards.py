@@ -154,6 +154,10 @@ CARTESIAN_OK = {
     # calendar-bounded spine x vocabulary-bounded types cross join;
     # the EWMA window itself is partitioned and adds no join.
     "ewma_hourly",
+    # term_lift_by_lang — attaches the ONE-ROW corpus token total to
+    # the vocabulary-bounded (lang, tok) frame via broadcast
+    # crossJoin (unigram_logprob's constant-append pattern).
+    "term_lift_by_lang",
 }
 
 

@@ -346,3 +346,120 @@ def test_rrf_fusion_hand_computed(spark, tmp_path):
     }
     con.close()
     assert ora == got
+
+
+def test_functional_dependency_audit_planted_violation(spark, tmp_path):
+    """Planted part table where p_brand -> p_type fails for exactly
+    one brand (b1 maps to two types) and p_type -> p_size holds; the
+    orders FD is PK-led and must hold on any input.  Both engines."""
+    spark.createDataFrame(
+        [
+            (1, "n1", "b1", "t1", 5, 1.0),
+            (2, "n2", "b1", "t2", 5, 1.0),  # b1 -> {t1, t2}: violation
+            (3, "n3", "b2", "t1", 5, 1.0),
+            (4, "n4", "b3", "t3", 7, 1.0),
+        ],
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/part.parquet")
+    spark.createDataFrame(
+        [(10, 100), (11, 100), (12, 101)],
+        "o_orderkey long, o_custkey long",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    got = {
+        r.fd: (r.n_lhs, r.n_violating, r.holds)
+        for r in registry.QUERIES["functional_dependency_audit"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    want = {
+        "part.p_name->p_brand": (4, 0, True),
+        "part.p_brand->p_type": (3, 1, False),
+        "part.p_type->p_size": (3, 0, True),
+        "orders.o_orderkey->o_custkey": (3, 0, True),
+    }
+    assert got == want
+    con = _duck_on(tmp_path, {"part": "part", "orders": "orders"})
+    ora = {
+        fd: (n, v, h)
+        for fd, n, v, h in con.execute(
+            registry.ORACLES["functional_dependency_audit"]
+        ).fetchall()
+    }
+    con.close()
+    assert ora == want
+
+
+def test_winsorize_audit_hand_computed(spark, tmp_path):
+    """100 distinct values 1.00..100.00 in one type: nearest-rank
+    fences are p01 = 1.00 (rank ceil(100/100) = 1) and p99 = 99.00
+    (rank ceil(99*100/100) = 99), clipping 0 rows below and exactly
+    the 100.00 row above; a second 3-row type pins the tiny-n branch
+    (ranks 1 and 3 -> fences min/max, nothing clipped).  Both
+    engines."""
+    rows = [(i, f"2024-03-01 10:{i % 60:02d}:{i // 60:02d}", 1, "a", float(i + 1))
+            for i in range(100)]
+    rows += [(200 + j, "2024-03-01 11:00:00", 1, "b", v)
+             for j, v in enumerate((5.0, 7.0, 9.0))]
+    _write_events_ts(spark, tmp_path, rows)
+    got = {
+        r.event_type: (r.n, r.p01, r.p99, r.n_clipped_low, r.n_clipped_high)
+        for r in registry.QUERIES["winsorize_audit"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    want = {
+        "a": (100, 1.0, 99.0, 0, 1),
+        "b": (3, 5.0, 9.0, 0, 0),
+    }
+    assert got == want
+    con = _duck_on(tmp_path, {"events": "events"})
+    ora = {
+        t: (n, p01, p99, lo, hi)
+        for t, n, p01, p99, lo, hi in con.execute(
+            registry.ORACLES["winsorize_audit"]
+        ).fetchall()
+    }
+    con.close()
+    assert ora == want
+
+
+def test_term_lift_by_lang_hand_computed(spark, tmp_path):
+    """Two languages with one exclusive high-support token each plus a
+    shared token: exclusive tokens lift to N/n_l exactly, the shared
+    token sits at 1.0 when balanced; the support floor drops rare
+    tokens.  Hand-computed exact rationals, both engines."""
+    # en: 5x 'foo' + 5x 'same'; de: 5x 'bar' + 5x 'same'
+    docs = [
+        (0, " ".join(["foo"] * 5 + ["same"] * 5), "en", "s0"),
+        (1, " ".join(["bar"] * 5 + ["same"] * 5), "de", "s0"),
+        (2, "rare", "en", "s0"),  # support 1 < 5: dropped
+    ]
+    _write_documents(spark, tmp_path, docs)
+    # totals: N = 21, n_en = 11, n_de = 10
+    # lift(en, foo)  = (5*21)/(5*11)  = 21/11
+    # lift(en, same) = (5*21)/(10*11) = 105/110
+    # lift(de, bar)  = (5*21)/(5*10)  = 21/10
+    # lift(de, same) = (5*21)/(10*10) = 105/100
+    got = {
+        (r.lang, r.tok): (r.n_lt, r.lift)
+        for r in registry.QUERIES["term_lift_by_lang"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    want = {
+        ("en", "foo"): (5, 105 / 55),
+        ("en", "same"): (5, 105 / 110),
+        ("de", "bar"): (5, 105 / 50),
+        ("de", "same"): (5, 105 / 100),
+    }
+    assert got == want
+    con = _duck_on(tmp_path, {"documents": "documents"})
+    ora = {
+        (lang, tok): (n, lift)
+        for lang, tok, n, lift in con.execute(
+            registry.ORACLES["term_lift_by_lang"]
+        ).fetchall()
+    }
+    con.close()
+    assert ora == want
