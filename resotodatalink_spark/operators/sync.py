@@ -121,11 +121,31 @@ def collect_sql(
         write_jdbc,
     )
 
+    from resotodatalink_spark.model.kinds import get_table_name
+    from resotodatalink_spark.sinks.dialects import jdbc_column_types
+
     feedback = feedback or NoFeedback()
     views = sync_views(spark, source, model, temp_prefix=True)
     names = sorted(views)
+    # P9 on the production path: Spark's JDBC writer generates the
+    # DDL, so the width heuristic reaches it via the
+    # createTableColumnTypes option (kind tables from the model's
+    # metadata; link tables are two id columns).
+    col_types = {
+        get_table_name(k.fqn, with_tmp_prefix=True): jdbc_column_types(
+            model, k.fqn
+        )
+        for k in model.table_kinds()
+    }
+    link_types = "`from_id` VARCHAR(255), `to_id` VARCHAR(255)"
     for i, name in enumerate(names, 1):
-        write_jdbc(views[name], url, name, batch_size=batch_size)
+        write_jdbc(
+            views[name],
+            url,
+            name,
+            batch_size=batch_size,
+            column_types=col_types.get(name, link_types),
+        )
         feedback.progress_done("write_jdbc", i, len(names))
     dialect = dialect_for(url)
     stmts: list[str] = []

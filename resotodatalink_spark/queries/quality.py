@@ -1197,7 +1197,7 @@ _CENTS_V = "CAST(round(value * 100) AS BIGINT)"
     oracle=f"""
     WITH buckets AS (
       SELECT event_type, {_CENTS_V} AS cents, count(*) AS cnt
-      FROM events GROUP BY 1, 2
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
     ),
     cum AS (
       SELECT event_type, cents, cnt,
@@ -1241,7 +1241,12 @@ def winsorize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: scan -> map-side-combined bucket counts -> windows
     and a self-join on the bounded bucket frame.  At 100 TB the only
     corpus-sized stage is the first aggregate."""
-    ev = table(spark, sf_dir, "events")
+    # NULL values are excluded on BOTH engines before bucketing: a
+    # NULL cents bucket would sort NULLS FIRST in Spark's ASC window
+    # but NULLS LAST in DuckDB's, silently shifting every cumulative
+    # count and with it the fences (the pandas_udaf_zscore class of
+    # latent divergence — corpus-unreachable, fixture-pinned).
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     buckets = ev.groupBy(
         "event_type", F.expr(_CENTS_V).alias("cents")
     ).agg(F.count("*").alias("cnt"))

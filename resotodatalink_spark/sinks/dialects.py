@@ -135,7 +135,9 @@ class SqlDialect:
         return f"CREATE TABLE IF NOT EXISTS {table} ({cols})"
 
     def insert_sql(self, table: str, props, model: Model, n_rows: int = 1) -> str:
-        names = ", ".join(self.quote_ident(name) for name, _ in props)
+        names = ", ".join(
+            self.quote_ident(name) for name, _, _ in map(self._unpack_prop, props)
+        )
         row = "(" + ", ".join("?" for _ in props) + ")"
         rows = ", ".join(row for _ in range(n_rows))
         return f"INSERT INTO {table} ({names}) VALUES {rows}"
@@ -190,10 +192,11 @@ class SnowflakeDialect(SqlDialect):
         """The reference's structured-insert shape (snowflake.py:66-88):
         positional column1..N aliases from VALUES, nested columns routed
         through parse_json server-side."""
-        names = ", ".join(name for name, _ in props)
+        unpacked = [self._unpack_prop(p) for p in props]
+        names = ", ".join(name for name, _, _ in unpacked)
         selects = ", ".join(
             f"parse_json(column{i + 1})" if _is_nested(model, kind) else f"column{i + 1}"
-            for i, (_, kind) in enumerate(props)
+            for i, (_, kind, _) in enumerate(unpacked)
         )
         row = "(" + ", ".join("?" for _ in props) + ")"
         rows = ", ".join(row for _ in range(n_rows))
@@ -308,6 +311,40 @@ class DerbyDialect(SqlDialect):
             f"DROP TABLE {prod_table}",
             f"RENAME TABLE {tmp_table} TO {prod_table}",
         ]
+
+
+def _resolve_scalar(model: Model, kind_name: str) -> str:
+    """Follow runtime_kind refinements down to the base scalar name."""
+    kind = model.kinds.get(kind_name)
+    if kind is not None and kind.runtime_kind is not None:
+        return _resolve_scalar(model, kind.runtime_kind)
+    return kind_name
+
+
+def jdbc_column_types(
+    model: Model, kind_name: str, with_id: bool = True
+) -> str | None:
+    """Spark JDBC ``createTableColumnTypes`` fragment applying the P9
+    width heuristic on the PRODUCTION write path (``write_jdbc`` ->
+    ``df.write.jdbc``, where Spark generates the DDL and would emit
+    its dialect default — TEXT/CLOB — for every string column).
+
+    Only VARCHAR widths are expressible: Spark validates the option
+    value with its own DDL parser, which accepts VARCHAR(n) but not
+    engine types like TEXT or CLOB, so >1024-length strings are
+    OMITTED (the dialect default is the unbounded type anyway — the
+    same outcome the full heuristic picks).  Returns None when no
+    column needs an override."""
+    parts = []
+    for name, kind, meta in ddl_props(model, kind_name, with_id):
+        if _resolve_scalar(model, kind) not in SqlDialect._SIZED_KINDS:
+            continue
+        length = (meta or {}).get("len")
+        if length is not None and length > 1024:
+            continue  # unbounded text: let the JDBC dialect default apply
+        width = 255 if length is None else max(32, 1 << (length - 1).bit_length())
+        parts.append(f"`{name}` VARCHAR({width})")
+    return ", ".join(parts) if parts else None
 
 
 def ddl_props(

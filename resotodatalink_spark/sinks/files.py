@@ -32,6 +32,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.utils import AnalysisException
 
 STAGING_SUFFIX = "__staging"
 
@@ -101,37 +102,42 @@ def write_table(
     if fmt == "csv":
         flat = stringify_nested(df)
         flat.write.mode("overwrite").option("header", True).csv(path)
-        _write_schema_sibling(flat, dest_dir, table_name, staging)
+        _write_schema_marker(flat, path)
     elif fmt == "parquet":
         df.write.mode("overwrite").parquet(path)
     elif fmt == "orc":
         df.write.mode("overwrite").orc(path)
     elif fmt == "json":
         # JSON-lines keeps nested types natively; no stringification.
-        # Type fidelity on re-read comes from the schema sibling: JSON
+        # Type fidelity on re-read comes from the schema marker: JSON
         # text cannot distinguish timestamp/date/decimal from string,
         # so inference alone would round-trip them as strings.
         df.write.mode("overwrite").json(path)
-        _write_schema_sibling(df, dest_dir, table_name, staging)
+        _write_schema_marker(df, path)
     else:
         raise ValueError(f"unsupported format: {fmt}")
     return path
 
 
-SCHEMA_SIBLING_SUFFIX = ".schema.parquet"
+SCHEMA_MARKER = "_schema.parquet"
 
 
-def _write_schema_sibling(
-    df: DataFrame, dest_dir: str, table_name: str, staging: bool
-) -> None:
+def _write_schema_marker(df: DataFrame, table_path: str) -> None:
     """Zero-row parquet carrying the exact write-side schema for text
-    formats — the sink-side twin of ``sources.tables._read_any``'s
-    ``<name>.schema.parquet`` convention, so a JSON/CSV round-trip
-    keeps timestamp/date/decimal columns typed instead of falling back
-    to string inference (round-11 advice).  Follows the same staging/
-    swap lifecycle as the data dir."""
-    name = table_name + SCHEMA_SIBLING_SUFFIX + (STAGING_SUFFIX if staging else "")
-    df.limit(0).write.mode("overwrite").parquet(os.path.join(dest_dir, name))
+    formats, written INSIDE the table directory (the sink-side twin of
+    ``sources.tables._read_any``'s schema-sibling convention, round-11
+    advice) so a JSON/CSV round-trip keeps timestamp/date/decimal
+    columns typed instead of falling back to string inference.
+
+    Living inside the data dir (underscore-prefixed, so every Spark
+    reader's hidden-file filter skips it) means it rides the SAME
+    staging rename as its data — no publish-order crash window where a
+    new schema could silently misparse old data, no extra entry in the
+    swap, and ``df.write`` resolves cloud URIs the exact same way the
+    data write did."""
+    df.limit(0).write.mode("overwrite").parquet(
+        table_path.rstrip("/") + "/" + SCHEMA_MARKER
+    )
 
 
 OLD_SUFFIX = "__old"
@@ -177,15 +183,8 @@ def swap_staging(
         if not entry.endswith(STAGING_SUFFIX):
             continue
         final = entry[: -len(STAGING_SUFFIX)]
-        if tables is not None:
-            # a schema sibling publishes with its data table
-            base = (
-                final[: -len(SCHEMA_SIBLING_SUFFIX)]
-                if final.endswith(SCHEMA_SIBLING_SUFFIX)
-                else final
-            )
-            if base not in tables:
-                continue
+        if tables is not None and final not in tables:
+            continue
         final_path = join(dest_dir, final)
         old_path = final_path + OLD_SUFFIX
         if exists(old_path):  # leftover from a prior crash
@@ -196,10 +195,7 @@ def swap_staging(
         rename(join(dest_dir, entry), final_path)
         if had_old:
             rmtree(old_path)
-        if not final.endswith(SCHEMA_SIBLING_SUFFIX):
-            # siblings publish alongside but are an implementation
-            # detail, not a table the caller asked about
-            published.append(final)
+        published.append(final)
     return published
 
 
@@ -217,9 +213,15 @@ def read_table(
     a JSON/CSV round-trip."""
     path = os.path.join(dest_dir, table_name)
     if fmt in ("csv", "json") and schema is None:
-        sibling = path + SCHEMA_SIBLING_SUFFIX
-        if os.path.exists(sibling):
-            schema = spark.read.parquet(sibling).schema
+        # the marker lives inside the table dir, so this resolves on
+        # any scheme df.write reached (local, file:, s3a://, ...) —
+        # a plain reader probe, no local-only os.path.exists
+        try:
+            schema = spark.read.parquet(
+                path.rstrip("/") + "/" + SCHEMA_MARKER
+            ).schema
+        except AnalysisException:
+            schema = None  # pre-marker table: fall through to inference
     if fmt == "csv":
         r = spark.read.option("header", True)
         r = r.schema(schema) if schema is not None else r.option("inferSchema", True)

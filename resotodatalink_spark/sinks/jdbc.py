@@ -35,10 +35,19 @@ def write_jdbc(
     batch_size: int = 5000,
     properties: dict[str, str] | None = None,
     stringify: bool = True,
+    column_types: str | None = None,
 ) -> None:
+    """``df.write.jdbc`` with dialect prepare; ``column_types`` is a
+    Spark ``createTableColumnTypes`` fragment (see
+    ``dialects.jdbc_column_types``) that makes the P9 VARCHAR width
+    heuristic govern the DDL Spark generates — without it every string
+    column gets the JDBC dialect's unbounded default."""
     props = {"batchsize": str(batch_size), **(properties or {})}
     out = dialect_for(url).prepare(df) if stringify else df
-    out.write.jdbc(url=url, table=table, mode=mode, properties=props)
+    w = out.write
+    if column_types:
+        w = w.option("createTableColumnTypes", column_types)
+    w.jdbc(url=url, table=table, mode=mode, properties=props)
 
 
 def execute_statements(

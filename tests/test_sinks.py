@@ -343,3 +343,44 @@ def test_p9_varchar_width_heuristic():
     assert "id VARCHAR(255)" in d.create_table_sql(
         "t", [("id", "string")], model
     )
+
+
+def test_p9_jdbc_column_types_fragment():
+    """The production JDBC path gets the P9 widths via Spark's
+    createTableColumnTypes option: VARCHAR widths for sized/default
+    strings, >1024 lengths omitted (Spark's DDL parser rejects
+    TEXT/CLOB, and the dialect default IS the unbounded type), and
+    None when nothing needs an override."""
+    from resotodatalink_spark.model.kinds import Kind, Model, Property
+    from resotodatalink_spark.sinks.dialects import jdbc_column_types
+
+    model = Model(
+        kinds={
+            "thing": Kind(
+                fqn="thing",
+                aggregate_root=True,
+                properties=[
+                    Property("name", "string", metadata={"len": 34}),
+                    Property("blob", "string", metadata={"len": 1500}),
+                    Property("cores", "int32"),
+                ],
+            ),
+            "bare": Kind(
+                fqn="bare",
+                aggregate_root=True,
+                properties=[Property("cores", "int32")],
+            ),
+        }
+    )
+    frag = jdbc_column_types(model, "thing")
+    assert "`name` VARCHAR(64)" in frag
+    assert "`_id` VARCHAR(255)" in frag
+    assert "blob" not in frag  # >1024: dialect default (unbounded) applies
+    assert "cores" not in frag
+    # every aggregate kind carries the carz string columns, so the
+    # fragment always includes their VARCHAR(255) defaults
+    frag_bare = jdbc_column_types(model, "bare", with_id=False)
+    assert frag_bare == (
+        "`cloud` VARCHAR(255), `account` VARCHAR(255),"
+        " `region` VARCHAR(255), `zone` VARCHAR(255)"
+    )

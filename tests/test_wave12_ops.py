@@ -401,6 +401,10 @@ def test_winsorize_audit_hand_computed(spark, tmp_path):
             for i in range(100)]
     rows += [(200 + j, "2024-03-01 11:00:00", 1, "b", v)
              for j, v in enumerate((5.0, 7.0, 9.0))]
+    # NULL values must not shift the fences (Spark windows sort NULLS
+    # FIRST, DuckDB NULLS LAST — the audit excludes them up front)
+    rows += [(300, "2024-03-01 11:30:00", 1, "a", None),
+             (301, "2024-03-01 11:31:00", 1, "b", None)]
     _write_events_ts(spark, tmp_path, rows)
     got = {
         r.event_type: (r.n, r.p01, r.p99, r.n_clipped_low, r.n_clipped_high)
