@@ -167,21 +167,23 @@ def band_keys_udf(
     return _band_keys
 
 
+def _sign_bucket_sql(col: str, planes: list[list[float]], dialect: str) -> str:
+    """Shared sign-bit bucket form: sum of 2^j per non-negative plane
+    dot — the one expression behind lsh_bucket_* and scaled_bucket_*."""
+    dot = _plane_dot_spark if dialect == "spark" else _plane_dot_duck
+    return " + ".join(
+        f"(CASE WHEN ({dot(col, p)}) >= 0.0 THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(planes)
+    )
+
+
 def lsh_bucket_spark(col: str) -> Column:
     """Sign-bit bucket id over the fixed hyperplanes (0..2^K-1)."""
-    expr = " + ".join(
-        f"(CASE WHEN ({_plane_dot_spark(col, p)}) >= 0.0 THEN {1 << j} ELSE 0 END)"
-        for j, p in enumerate(HYPERPLANES)
-    )
-    return F.expr(expr).cast("int")
+    return F.expr(_sign_bucket_sql(col, HYPERPLANES, "spark")).cast("int")
 
 
 def lsh_bucket_duck(col: str) -> str:
-    expr = " + ".join(
-        f"(CASE WHEN ({_plane_dot_duck(col, p)}) >= 0.0 THEN {1 << j} ELSE 0 END)"
-        for j, p in enumerate(HYPERPLANES)
-    )
-    return f"CAST({expr} AS INTEGER)"
+    return f"CAST({_sign_bucket_sql(col, HYPERPLANES, 'duck')} AS INTEGER)"
 
 
 # Corpus-scaled sign-bucket (r11 verdict item 2: knn_label_agreement's
@@ -230,19 +232,12 @@ def scaled_bucket_spark(col: str, k: int) -> Column:
     nodes (the 8-plane production shape is 512; janino's measured OOM
     was the 6144-node 96-plane form — tests pin that k = SCALED_MAX
     still compiles)."""
-    expr = " + ".join(
-        f"(CASE WHEN ({_plane_dot_spark(col, p)}) >= 0.0 THEN {1 << j} ELSE 0 END)"
-        for j, p in enumerate(DEDUP_PLANES[:k])
-    )
-    return F.expr(expr).cast("int")
+    return F.expr(_sign_bucket_sql(col, DEDUP_PLANES[:k], "spark")).cast("int")
 
 
 def scaled_bucket_duck(col: str, pow2k_sql: str) -> str:
     """Full SCALED_MAX_PLANES-bit bucket masked to the low K bits via
     ``% pow2k`` — bit j carries weight 2^j, so ``full % 2^K`` equals
     the bucket over the first K planes exactly."""
-    expr = " + ".join(
-        f"(CASE WHEN ({_plane_dot_duck(col, p)}) >= 0.0 THEN {1 << j} ELSE 0 END)"
-        for j, p in enumerate(DEDUP_PLANES[:SCALED_MAX_PLANES])
-    )
+    expr = _sign_bucket_sql(col, DEDUP_PLANES[:SCALED_MAX_PLANES], "duck")
     return f"CAST((CAST({expr} AS INTEGER) % ({pow2k_sql})) AS INTEGER)"

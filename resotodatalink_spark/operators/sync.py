@@ -113,16 +113,13 @@ def collect_sql(
     (requires ``run_swap``) then drops every production table this
     sync did NOT update — the reference's stale-table cleanup
     (sql.py:147-151, update_sql's flag, collect_plugins.py:176-178)."""
-    from resotodatalink_spark.model.kinds import TEMP_PREFIX
-    from resotodatalink_spark.sinks.dialects import dialect_for
+    from resotodatalink_spark.model.kinds import TEMP_PREFIX, get_table_name
+    from resotodatalink_spark.sinks.dialects import dialect_for, jdbc_column_types
     from resotodatalink_spark.sinks.jdbc import (
         execute_statements,
         list_jdbc_tables,
         write_jdbc,
     )
-
-    from resotodatalink_spark.model.kinds import get_table_name
-    from resotodatalink_spark.sinks.dialects import jdbc_column_types
 
     feedback = feedback or NoFeedback()
     views = sync_views(spark, source, model, temp_prefix=True)
@@ -248,15 +245,13 @@ def collect_plugin(
     n_edges = sum(1 for d in docs if d.get("type") == "edge")
     source = GraphSource.from_docs(spark, docs)
 
-    outer = feedback
-
     class _SyncDb:
         """Reference stage-name adapter: table-write/swap progress
         surfaces as the reference's "sync_db" step
         (collect_plugins.py:40, 95-96)."""
 
         def progress_done(self, step: str, current: int, total: int) -> None:
-            outer.progress_done("sync_db", current, total)
+            feedback.progress_done("sync_db", current, total)
 
     collect_to_files(
         spark,

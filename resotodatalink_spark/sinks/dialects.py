@@ -333,17 +333,18 @@ def jdbc_column_types(
     value with its own DDL parser, which accepts VARCHAR(n) but not
     engine types like TEXT or CLOB, so >1024-length strings are
     OMITTED (the dialect default is the unbounded type anyway — the
-    same outcome the full heuristic picks).  Returns None when no
-    column needs an override."""
+    same outcome the full heuristic picks).  The widths come from the
+    SAME ``SqlDialect.string_type`` the per-dialect DDL uses — one
+    heuristic, two surfaces.  Returns None when no column needs an
+    override."""
+    base = DIALECTS["default"]
     parts = []
     for name, kind, meta in ddl_props(model, kind_name, with_id):
         if _resolve_scalar(model, kind) not in SqlDialect._SIZED_KINDS:
             continue
-        length = (meta or {}).get("len")
-        if length is not None and length > 1024:
-            continue  # unbounded text: let the JDBC dialect default apply
-        width = 255 if length is None else max(32, 1 << (length - 1).bit_length())
-        parts.append(f"`{name}` VARCHAR({width})")
+        t = base.string_type((meta or {}).get("len"))
+        if t.startswith("VARCHAR"):
+            parts.append(f"`{name}` {t}")
     return ", ".join(parts) if parts else None
 
 
