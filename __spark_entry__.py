@@ -20,97 +20,35 @@ registry.load_all()
 # (CORRECTNESS_r01/r02 each stop at exactly 50).  Policy (per round-2
 # ADVICE): slugs whose implementation or oracle CHANGED this round are
 # always inside the window, followed by the slugs with the stalest
-# attestation (no row in the previous round's CORRECTNESS file).  Slugs
-# with a fresh green row from last round and no changes this round are
-# the ones that may fall past the cap.  All slugs stay registered.
-_R12_CHANGED = [
-    # Round-12 changed/new slugs — changed-slug policy says window-first.
-    # * knn_label_agreement (r11 verdict item 2): the fixed K=8 sign-
-    #   bucket became corpus-scaled (K = scaled_plane_count(n), oracle
-    #   masks a 24-plane bucket with the exact-integer 2^K ladder) so
-    #   within-bucket candidate mass is ~4n, linear — values unchanged
-    #   at the K=8 floor (sf0.01), re-attested on the changed-slug
-    #   principle.
-    # * dedup_embedding_t80 (r11 verdict item 3, registry 220 -> 221):
-    #   the production-shape embedding dedup (theta=0.8, 6x16 bands,
-    #   per-vector keeper output) with a banding-mirrored oracle — the
-    #   attested surface's scale-safe embedding-dedup default.
-    "knn_label_agreement",
-    "dedup_embedding_t80",
-]
-
-_R12_NEWCOMERS = [
-    # Fifth-wave round-11 newcomers (registry 215 -> 220): never
-    # driver-attested (the r11 window was exactly full), carried at
-    # the r12 window head per the r11 verdict's top priority.
-    "benford_audit",
-    "cusum_changepoint",
-    "gazetteer_tagging",
-    "kneser_ney_bigram",
-    "rank_biased_overlap",
-]
-
-_R7_TIER = [
-    # Newest driver row is CORRECTNESS_r07 — the stalest tier, all 43
-    # inside the r12 window, so after r12 no slug's newest row
-    # predates r8 (and the whole r7 staleness tail is drained).
-    "agg_bool_ops",
-    "agg_filter_clause",
-    "agg_sum_avg_min_max",
-    "array_ops",
-    "cdc_latest",
-    "class_rebalance",
-    "curation_pipeline",
-    "date_functions",
-    "dedup_levenshtein",
-    "distinct_kmv_estimate",
-    "doc_fingerprint",
-    "frequent_terms",
-    "funnel_conversion",
-    "graph_pagerank",
-    "graph_shortest_paths",
-    "interval_overlap",
-    "kmeans_lloyd",
-    "lang_id",
-    "ntile_deciles",
-    "quality_score",
-    "quota_sample",
-    "retention_cohorts",
-    "sample_hash_stratified",
-    "scd2_intervals",
-    "sequence_packing",
-    "stream_dedup",
-    "stream_distinct_users",
-    "stream_interval_join",
-    "stream_session_window",
-    "stream_sliding_window",
-    "stream_topk_windowed",
-    "stream_tumbling_window",
-    "subquery_scalar_correlated",
-    "table_checksum",
-    "text_chunking",
-    "text_normalize",
-    "tfidf_top_terms",
-    "token_count",
-    "tpch_q18_shape",
-    "udtf_tokenize",
-    "unigram_logprob",
-    "window_first_last",
-    "window_lag_lead",
+# attestation.  Slugs with a fresh green row from last round and no
+# changes this round are the ones that may fall past the cap.  All
+# slugs stay registered.
+_R13_CHANGED = [
+    # Round-13 changed/new slugs — changed-slug policy says window-first.
+    # * dedup_embedding (r12 verdict item 2): the bare name now carries
+    #   the scale-safe production shape (theta=0.8, 6x16 bands,
+    #   per-vector keeper decisions) that rounds 11-12 registered as
+    #   dedup_embedding_t80 (green r12 row for this exact impl+oracle);
+    #   re-attested under the primary name it now owns.
+    # * dedup_embedding_fullrecall_audit: the full-recall-at-0.35
+    #   validation config (32x3 bands) the bare name used to carry,
+    #   renamed so its ~all-pairs candidate mass is audit-scoped by
+    #   name; same impl+oracle as the old bare slug's green r10 row.
+    "dedup_embedding",
+    "dedup_embedding_fullrecall_audit",
+    # Round-13 newcomers (registry 227 -> 233): see SURVEY §8j.
+    "stream_watermark_late_drop",
+    "robust_scale_normalize",
+    "embedding_dim_stats",
+    "tokens_per_doc_histogram",
+    "stratified_quantile_bands",
+    "ann_ndcg_at_k",
 ]
 
 _R12_WAVE = [
-    # Round-12 newcomers (registry 221 -> 227): exact-dyadic EWMA over
-    # the dense hourly series, the deterministic MLM masking-plan
-    # audit, exact-rational reciprocal-rank fusion, the functional-
-    # dependency profiler, the bucket-prefix winsorization audit, and
-    # per-language term lift.  The r12 window is exactly full with the
-    # staleness drain (arithmetic below), so — the same deliberate
-    # deviation as r11's fifth wave, this time with a sustainable
-    # landing — they lead the r13 cohort instead, carrying tri-SF
-    # local-gate + fixture evidence until the r13 driver row.  r13's
-    # window fits them with room: 6 newcomers + 35 r8-tier = 41,
-    # leaving 9 slots for r13's changed slugs.
+    # Round-12 newcomers: locally green + fixture-pinned since r12 but
+    # never driver-attested (the r12 window was exactly consumed by the
+    # staleness drain) — the r13 window head per the r12 verdict item 1.
     "ewma_hourly",
     "functional_dependency_audit",
     "mlm_masking_plan",
@@ -120,8 +58,9 @@ _R12_WAVE = [
 ]
 
 _R8_TIER = [
-    # Newest driver row is CORRECTNESS_r08 (35 slugs) — the r13
-    # cohort's head after the r12 spill.
+    # Newest driver row is CORRECTNESS_r08 (35 slugs) — the stalest
+    # tier, all inside the r13 window, so after r13 no slug's newest
+    # row predates r9.
     "anomaly_zscore_hours",
     "distinct_agg",
     "filter_predicate",
@@ -160,7 +99,8 @@ _R8_TIER = [
 ]
 
 _R9_TIER = [
-    # Newest driver row is CORRECTNESS_r09 (42 slugs).
+    # Newest driver row is CORRECTNESS_r09 (42 slugs) — the r14
+    # cohort's head after the r13 spill.
     "anomaly_mad",
     "bm25_scoring",
     "boilerplate_ngrams",
@@ -206,7 +146,9 @@ _R9_TIER = [
 ]
 
 _R10_TIER = [
-    # Newest driver row is CORRECTNESS_r10 (45 slugs).
+    # Newest driver row is CORRECTNESS_r10 (44 slugs; the 45th, the
+    # old bare dedup_embedding config, moved up into _R13_CHANGED
+    # under its new fullrecall_audit name).
     "ann_cosine_topk",
     "ann_ivf_cells",
     "ann_lsh_bucketed",
@@ -219,7 +161,6 @@ _R10_TIER = [
     "decontamination",
     "dedup_clusters",
     "dedup_containment",
-    "dedup_embedding",
     "dedup_exact",
     "dedup_incremental",
     "dedup_minhash",
@@ -255,8 +196,7 @@ _R10_TIER = [
 ]
 
 _R11_TIER = [
-    # Newest driver row is CORRECTNESS_r11 (50 slugs minus
-    # knn_label_agreement, which moved up into _R12_CHANGED).
+    # Newest driver row is CORRECTNESS_r11 (49 slugs).
     "ann_pq_adc",
     "ann_recall_at_k",
     "bloom_prefilter_audit",
@@ -308,27 +248,82 @@ _R11_TIER = [
     "zorder_pruning_audit",
 ]
 
+_R12_TIER = [
+    # Newest driver row is CORRECTNESS_r12 (49 slugs: the r12 window's
+    # 50 minus dedup_embedding_t80, whose shape moved up into
+    # _R13_CHANGED under the bare dedup_embedding name).
+    "knn_label_agreement",
+    "benford_audit",
+    "cusum_changepoint",
+    "gazetteer_tagging",
+    "kneser_ney_bigram",
+    "rank_biased_overlap",
+    "agg_bool_ops",
+    "agg_filter_clause",
+    "agg_sum_avg_min_max",
+    "array_ops",
+    "cdc_latest",
+    "class_rebalance",
+    "curation_pipeline",
+    "date_functions",
+    "dedup_levenshtein",
+    "distinct_kmv_estimate",
+    "doc_fingerprint",
+    "frequent_terms",
+    "funnel_conversion",
+    "graph_pagerank",
+    "graph_shortest_paths",
+    "interval_overlap",
+    "kmeans_lloyd",
+    "lang_id",
+    "ntile_deciles",
+    "quality_score",
+    "quota_sample",
+    "retention_cohorts",
+    "sample_hash_stratified",
+    "scd2_intervals",
+    "sequence_packing",
+    "stream_dedup",
+    "stream_distinct_users",
+    "stream_interval_join",
+    "stream_session_window",
+    "stream_sliding_window",
+    "stream_topk_windowed",
+    "stream_tumbling_window",
+    "subquery_scalar_correlated",
+    "table_checksum",
+    "text_chunking",
+    "text_normalize",
+    "tfidf_top_terms",
+    "token_count",
+    "tpch_q18_shape",
+    "udtf_tokenize",
+    "unigram_logprob",
+    "window_first_last",
+    "window_lag_lead",
+]
+
 _ATTEST_FIRST = (
-    _R12_CHANGED
-    + _R12_NEWCOMERS
-    + _R7_TIER
+    _R13_CHANGED
     + _R12_WAVE
     + _R8_TIER
     + _R9_TIER
     + _R10_TIER
     + _R11_TIER
+    + _R12_TIER
 )
 
 # Window arithmetic (the driver attests the FIRST 50 dict entries):
-# 2 changed/new + 5 fifth-wave newcomers + 43 r7-tier = 50 EXACTLY —
-# the r11 verdict's "48 + <= 2 r12 changes" budget spent to the slot.
-# After r12 every slug's newest driver row is r8+, the never-attested
-# set is empty, and the staleness tail is drained for good.  The r13
-# cohort is the spill below (6 r12-wave + 35 r8 + 42 r9 + 45 r10 +
-# 49 r11 = 177 of the 227 registered slugs; its head, the 6 wave
-# newcomers + 35 r8-tier, is 41 <= 50, so r13 keeps 9 spare slots
-# for its own changed slugs).
-_R13_COHORT = _ATTEST_FIRST[50:]
+# 8 changed/new (2 renames + 6 newcomers) + 6 r12-wave + 35 r8-tier
+# = 49, with _R9_TIER's first entry (anomaly_mad) taking slot 50 —
+# the r12 verdict's "41 head + 9 spare" budget spent 8-for-changed,
+# 1 rolled into the staleness drain.  After r13 every slug's newest
+# driver row is r9+ (except that one r9 slug, already re-attested)
+# and the never-attested set is empty again.  The r14 cohort is the
+# spill below (41 remaining r9 + 44 r10 + 49 r11 + 49 r12 = 183 of
+# the 233 registered slugs; its head, the 41 r9-tier slugs, leaves
+# 9 spare slots for r14's changed slugs).
+_R14_COHORT = _ATTEST_FIRST[50:]
 
 
 def _ordered(mapping: dict) -> dict:

@@ -229,8 +229,11 @@ EXTENDED = [
     "rank_biased_overlap",
     # round 12: the attested production-shape embedding dedup (keeper
     # decisions; the pair-stage decade variant is
-    # dedup_embedding_t80_pairs in BENCH_VARIANTS/SF1_SUBSET)
-    "dedup_embedding_t80",
+    # dedup_embedding_t80_pairs in BENCH_VARIANTS/SF1_SUBSET).  Round
+    # 13: the shape took over the bare name (r12 verdict item 2) and
+    # the old full-recall-at-0.35 config joined under its audit name.
+    "dedup_embedding",
+    "dedup_embedding_fullrecall_audit",
     # round-12 wave: exact-dyadic EWMA over the dense hourly series,
     # the deterministic MLM masking-plan audit (scan + one map-side
     # aggregate), exact-rational reciprocal-rank fusion, the
@@ -242,6 +245,16 @@ EXTENDED = [
     "functional_dependency_audit",
     "winsorize_audit",
     "term_lift_by_lang",
+    # round-13 wave: the per-key watermark lateness-drop replay, the
+    # exact-fence robust scaler, the per-dimension embedding health
+    # profile, the pow2 sequence-length histogram, the corpus-decile
+    # band composition, and the LSH-vs-exact NDCG@10 eval
+    "stream_watermark_late_drop",
+    "robust_scale_normalize",
+    "embedding_dim_stats",
+    "tokens_per_doc_histogram",
+    "stratified_quantile_bands",
+    "ann_ndcg_at_k",
 ]
 
 
@@ -417,6 +430,16 @@ SF1_SUBSET = [
     "kneser_ney_bigram",
     "pareto_frontier",
     "cusum_changepoint",
+    # round-13 newcomers with volume-scaling shapes: the per-user
+    # lateness window at real event volume, the fence-join scaler's
+    # corpus-sized equi-join, and the 64x coordinate explode whose
+    # map-side combine IS the scale claim.  tokens_per_doc_histogram /
+    # stratified_quantile_bands are scan+bounded-frame shapes the
+    # headline already tracks; ann_ndcg_at_k's fixed query set makes
+    # its wall plan-compile-bound (embedding_pca_power's rule).
+    "stream_watermark_late_drop",
+    "robust_scale_normalize",
+    "embedding_dim_stats",
 ]
 
 
@@ -442,20 +465,22 @@ def _drop_persistent_blocks(spark) -> None:
 # 4 — dedup_embedding at a dedup-sensible threshold over the planted-
 # near-twin corpus; the registered slug keeps threshold 0.35).
 def _dedup_embedding_t80_pairs(spark, sf_dir):
-    from resotodatalink_spark.queries.similarity import dedup_embedding
+    from resotodatalink_spark.queries.similarity import embedding_dup_pairs
 
     # production shape: threshold 0.8 + wide bands (6x16) — see the
     # slug docstring; the planted corpus carries exactly n//100
     # near-twin pairs per copy, so rows must read 10.0x sf1 -> sf10
-    return dedup_embedding(spark, sf_dir, threshold=0.8, band_config=(6, 16))
+    return embedding_dup_pairs(
+        spark, sf_dir, threshold=0.8, band_config=(6, 16)
+    )
 
 
 BENCH_VARIANTS = {
     # the decade ledger's pair-stage variant of the REGISTERED
-    # dedup_embedding_t80 slug (which outputs per-vector keep
-    # decisions): pair rows are what the planted-linearity claim
-    # counts.  Named _pairs since round 12; r11 rows carried the
-    # bare name.
+    # dedup_embedding slug (which outputs per-vector keep decisions;
+    # named dedup_embedding_t80 in rounds 11-12): pair rows are what
+    # the planted-linearity claim counts.  The _t80_pairs ledger name
+    # is kept so r11/r12 decade rows continue under one key.
     "dedup_embedding_t80_pairs": _dedup_embedding_t80_pairs,
 }
 
@@ -701,15 +726,17 @@ def main() -> None:
         if os.path.exists(os.path.join(sf10_dir, "embeddings.parquet")):
             # embeddings-family decade rep (round 9; tools/
             # make_scaled_data.py benchdata/sf10 100 embeddings): the
-            # bucketed query path over 200k vectors.  dedup_embedding
-            # is deliberately NOT here: on the generator's fresh-random
+            # bucketed query path over 200k vectors.  The 0.35
+            # full-recall config (dedup_embedding_fullrecall_audit;
+            # the bare dedup_embedding name until round 13) is
+            # deliberately NOT here: on the generator's fresh-random
             # copies, P(cos >= 0.35) ~ 2.6e-3 for independent 64-dim
-            # vectors, so the slug's OUTPUT is quadratic by data
+            # vectors, so its OUTPUT is quadratic by data
             # construction (measured: 426k pairs / 81.6s at sf1's 20k
             # vectors) — a property of random-copy scaling at that
             # threshold, not of the plan; see DESIGN_NOTES round-9
             # embeddings-ledger note.  Round-10 (r9 verdict item 4):
-            # dedup_embedding_t80 converts that veto into positive
+            # the t80 shape converts that veto into positive
             # evidence — the SAME banded-LSH builder at the docstring's
             # production threshold (0.8) over the regenerated corpus
             # with planted near-twin pairs (tools/make_scaled_data.py

@@ -136,12 +136,18 @@ def collect_sql(
     }
     link_types = "`from_id` VARCHAR(255), `to_id` VARCHAR(255)"
     for i, name in enumerate(names, 1):
+        # The link-table fragment applies ONLY to names carrying the
+        # link-table convention (link_<from>_<to>); any other name
+        # missing from col_types writes unsized (None) rather than
+        # with from_id/to_id types its schema doesn't have — which
+        # Spark would reject with a confusing DDL error (r12 ADVICE).
+        is_link = name[len(TEMP_PREFIX):].startswith("link_")
         write_jdbc(
             views[name],
             url,
             name,
             batch_size=batch_size,
-            column_types=col_types.get(name, link_types),
+            column_types=col_types.get(name, link_types if is_link else None),
         )
         feedback.progress_done("write_jdbc", i, len(names))
     dialect = dialect_for(url)

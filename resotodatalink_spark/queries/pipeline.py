@@ -1243,3 +1243,108 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "source", "rank_chars", "rank_tokens", "rrf")
     )
+
+
+# --- corpus-decile quantile bands per stratum -------------------------------
+
+_QB_EDGES = list(range(1, 10))  # decile edge ranks k/10, k = 1..9
+
+_QB_EDGES_DUCK = ",\n             ".join(
+    f"min(CASE WHEN cum >= ({k} * n + 9) // 10 THEN n_chars END) AS e{k}"
+    for k in _QB_EDGES
+)
+_QB_BAND_DUCK = " + ".join(
+    f"(CASE WHEN d.n_chars > e.e{k} THEN 1 ELSE 0 END)" for k in _QB_EDGES
+)
+
+
+@query(
+    "stratified_quantile_bands",
+    oracle=f"""
+    WITH buckets AS (
+      SELECT n_chars, count(*) AS cnt FROM documents GROUP BY 1
+    ),
+    cum AS (
+      SELECT n_chars,
+             sum(cnt) OVER (ORDER BY n_chars
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             sum(cnt) OVER () AS n
+      FROM buckets
+    ),
+    edges AS (
+      SELECT {_QB_EDGES_DUCK}
+      FROM cum
+    ),
+    banded AS (
+      SELECT d.lang, 1 + {_QB_BAND_DUCK} AS band
+      FROM documents d CROSS JOIN edges e
+    )
+    SELECT lang, CAST(band AS INTEGER) AS band,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) AS DOUBLE)
+             / sum(count(*)) OVER (PARTITION BY lang) AS share
+    FROM banded GROUP BY lang, band
+    """,
+)
+def stratified_quantile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-decile band composition per language: exact nearest-rank
+    decile edges of document length over the WHOLE corpus, then each
+    stratum's share across those shared bands — the distribution-shift
+    readout (which languages sit in the short tail?) that a mixture/
+    curriculum sampler consumes.  Unlike ntile_deciles (per-frame
+    ranks), the bands here are one corpus-wide ruler applied to every
+    stratum, so shares are comparable ACROSS strata.
+
+    Exact-quantile discipline: nearest-rank edges via the two-phase
+    bucket-prefix pattern — the cumulative window runs over the
+    LENGTH-DOMAIN-bounded bucket frame (distinct n_chars values, a
+    domain ceiling independent of corpus size; reviewed-global-window
+    ratchet entry), ranks are pure integer ceilings (k*n+9)//10, and
+    band assignment compares exact integers.  The one division is the
+    final share of two exact counts.
+
+    Scale shape: scan -> map-side-combined length histogram -> bounded
+    windows -> a ONE-ROW edge frame broadcast-crossJoined back onto
+    the corpus (unigram_logprob's constant-append pattern; CARTESIAN_OK
+    entry) -> one keyed aggregate to the bounded lang x 10 frame."""
+    d = table(spark, sf_dir, "documents")
+    buckets = d.groupBy("n_chars").agg(F.count("*").alias("cnt"))
+    wc = W.orderBy("n_chars").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = buckets.select(
+        "n_chars",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.sum("cnt").over(
+            W.orderBy("n_chars").rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    edges = cum.agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr(f"({k} * n + 9) div 10"),
+                    F.col("n_chars"),
+                )
+            ).alias(f"e{k}")
+            for k in _QB_EDGES
+        ]
+    )
+    band = F.lit(1)
+    for k in _QB_EDGES:
+        band = band + F.when(F.col("n_chars") > F.col(f"e{k}"), 1).otherwise(0)
+    banded = d.crossJoin(F.broadcast(edges)).select(
+        "lang", band.alias("band")
+    )
+    return banded.groupBy("lang", "band").agg(
+        F.count("*").cast("long").alias("n_docs")
+    ).select(
+        "lang",
+        F.col("band").cast("int").alias("band"),
+        "n_docs",
+        (
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(W.partitionBy("lang"))
+        ).alias("share"),
+    )

@@ -1287,3 +1287,100 @@ def winsorize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_clipped_low",
         "n_clipped_high",
     )
+
+
+# --- robust scaling --------------------------------------------------------
+
+
+@query(
+    "robust_scale_normalize",
+    oracle=f"""
+    WITH buckets AS (
+      SELECT event_type, {_CENTS_V} AS cents, count(*) AS cnt
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, cents, cnt,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY cents
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             sum(cnt) OVER (PARTITION BY event_type) AS n
+      FROM buckets
+    ),
+    thresholds AS (
+      SELECT event_type,
+             min(CASE WHEN cum >= (n + 1) // 2 THEN cents END) AS med,
+             min(CASE WHEN cum >= (n + 3) // 4 THEN cents END) AS q1,
+             min(CASE WHEN cum >= (3 * n + 3) // 4 THEN cents END) AS q3
+      FROM cum GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           CAST({_CENTS_V.replace('value', 'e.value')} - t.med AS DOUBLE)
+             / nullif(t.q3 - t.q1, 0) AS scaled
+    FROM events e JOIN thresholds t ON e.event_type = t.event_type
+    WHERE e.value IS NOT NULL
+    """,
+)
+def robust_scale_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust scaling of the event value per type — (x - median) / IQR
+    with EXACT nearest-rank median/quartiles — the outlier-insensitive
+    normalization (sklearn's RobustScaler) a feature pipeline applies
+    to heavy-tailed inputs where mean/std scaling would let one spike
+    move every score.
+
+    Winsorize_audit's machinery, pointed at normalization: the
+    two-phase bucket-prefix pattern computes the three fences without
+    any per-group corpus sort (ranks are pure integer ceilings
+    (n+1)//2, (n+3)//4, (3n+3)//4 over exact cents), the 5-row fence
+    frame joins back to events on the type key, and the ONE division
+    per row maps exact integer cents offsets into the scaled double
+    (IQR == 0 degrades to NULL on both engines via nullif).  NULL
+    values are excluded on both engines (the winsorize NULLS
+    FIRST/LAST divergence rule).
+
+    Scale shape: scan -> map-side-combined bucket counts -> windows
+    over the value-domain-bounded bucket frame -> an aggregate-reduced
+    fence frame broadcast back onto the corpus equi-join.  At 100 TB
+    the corpus-sized stages are the first aggregate and the final
+    join, both keyed on event_type."""
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    buckets = ev.groupBy(
+        "event_type", F.expr(_CENTS_V).alias("cents")
+    ).agg(F.count("*").alias("cnt"))
+    buckets = _ckpt(buckets)
+    wc = (
+        W.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = buckets.select(
+        "event_type",
+        "cents",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.sum("cnt").over(W.partitionBy("event_type")).alias("n"),
+    )
+    thresholds = cum.groupBy("event_type").agg(
+        F.min(
+            F.when(F.col("cum") >= F.expr("(n + 1) div 2"), F.col("cents"))
+        ).alias("med"),
+        F.min(
+            F.when(F.col("cum") >= F.expr("(n + 3) div 4"), F.col("cents"))
+        ).alias("q1"),
+        F.min(
+            F.when(F.col("cum") >= F.expr("(3 * n + 3) div 4"), F.col("cents"))
+        ).alias("q3"),
+    ).withColumnRenamed("event_type", "tt")
+    return (
+        ev.join(
+            F.broadcast(thresholds), F.col("event_type") == F.col("tt")
+        )
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            (
+                (F.expr(_CENTS_V) - F.col("med")).cast("double")
+                / F.nullif(F.col("q3") - F.col("q1"), F.lit(0))
+            ).alias("scaled"),
+        )
+    )

@@ -933,3 +933,83 @@ def ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         (num * F.lit(1.0) / den).alias("ewma"),
     )
+
+
+@query(
+    "stream_watermark_late_drop",
+    oracle="""
+    WITH seen AS (
+      SELECT event_type, epoch_us(ts) AS ts_us,
+             max(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm_us
+      FROM events
+    ),
+    flagged AS (
+      SELECT event_type,
+             CASE WHEN hwm_us IS NOT NULL
+                       AND ts_us < hwm_us - 600000000 THEN 1 ELSE 0 END AS late,
+             CASE WHEN hwm_us IS NOT NULL AND ts_us < hwm_us - 600000000
+                  THEN hwm_us - ts_us END AS late_us
+      FROM seen
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(late) AS BIGINT) AS n_dropped,
+           CAST(coalesce(max(late_us), 0) AS BIGINT) AS max_late_us
+    FROM flagged GROUP BY event_type
+    """,
+)
+def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark lateness-drop audit: replay the events table in
+    arrival order (event_id) and count, per type, the events a keyed
+    streaming pipeline with a 10-minute watermark delay would have
+    DROPPED — an event is dropped when its event time is more than the
+    delay behind the high-water mark its key had already reached.
+    This is the sizing companion to watermark_lag_audit (which sizes
+    the delay); this one prices a CHOSEN delay in lost events, the
+    audit run before lowering `withWatermark` to shrink state.
+
+    Semantics note: Structured Streaming's watermark is global and
+    advances per micro-batch, so a per-key arrival-order replay is the
+    CONSERVATIVE upper bound of what the engine would drop (a key's
+    own max is <= the global max).  Timestamps compare as exact int64
+    microseconds on both engines (no timestamp arithmetic, no floats);
+    the lateness extremum is also exact micros.
+
+    Scale shape: ONE window partitioned by user_id (the keyed-stream
+    pattern — partitions scale with the key domain, never a
+    corpus-sized single partition) followed by a map-side-combined
+    aggregate to the bounded type frame.  At 100 TB this is one keyed
+    shuffle + one scan-shaped aggregate."""
+    # parquet ts is TIMESTAMP_NTZ; the session pins
+    # spark.sql.session.timeZone=UTC (session.py), so the NTZ->TZ cast
+    # is the identity mapping DuckDB's epoch_us applies to the same
+    # naive values — both engines see identical int64 micros.
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "user_id",
+        "event_id",
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    seen = ev.select(
+        "event_type", "ts_us", F.max("ts_us").over(w).alias("hwm_us")
+    )
+    is_late = F.col("hwm_us").isNotNull() & (
+        F.col("ts_us") < F.col("hwm_us") - F.lit(600000000)
+    )
+    flagged = seen.select(
+        "event_type",
+        F.when(is_late, 1).otherwise(0).alias("late"),
+        F.when(is_late, F.col("hwm_us") - F.col("ts_us")).alias("late_us"),
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("late").cast("long").alias("n_dropped"),
+        F.coalesce(F.max("late_us"), F.lit(0)).cast("long").alias("max_late_us"),
+    )

@@ -2347,3 +2347,88 @@ def term_lift_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _LIFT_TOP_K)
         .select("lang", "tok", "n_lt", "lift")
     )
+
+
+# --- sequence-length planning: pow2 token-length histogram -----------------
+
+
+@query(
+    "tokens_per_doc_histogram",
+    oracle="""
+    WITH toks AS (
+      SELECT source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    bucketed AS (
+      SELECT source,
+             (CAST(1 AS BIGINT) << (length(bin(n_tokens)) - 1)) AS bucket_lo,
+             n_tokens
+      FROM toks
+    ),
+    hist AS (
+      SELECT source, bucket_lo,
+             count(*) AS n_docs, sum(n_tokens) AS tok_total
+      FROM bucketed GROUP BY 1, 2
+    )
+    SELECT source, bucket_lo,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(tok_total AS BIGINT) AS tok_total,
+           CAST(sum(n_docs) OVER (
+             PARTITION BY source ORDER BY bucket_lo
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_docs,
+           CAST(sum(n_docs) OVER (
+             PARTITION BY source ORDER BY bucket_lo
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / sum(n_docs) OVER (PARTITION BY source) AS cum_share
+    FROM hist
+    """,
+)
+def tokens_per_doc_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two token-length histogram per source with the
+    cumulative document share — the sequence-length planning pass that
+    picks max_seq_len / packing buckets for a training run (what share
+    of documents fit in 256, 512, 1024 tokens, per source).
+
+    The bucket is computed in EXACT integer arithmetic — floor(log2)
+    via the binary-string length (length(bin(n)) - 1) and the bucket
+    floor via a left shift — no libm, so no boundary-value drift
+    between engines at exact powers of two.  The one division (the
+    cumulative share) divides two exact int64 counts.
+
+    Scale shape: scan -> map-side-combined (source, bucket) counts ->
+    windows over the bounded histogram frame (sources x ~12 pow2
+    buckets).  At 100 TB the only corpus-sized stage is the first
+    aggregate; the whitespace token count never leaves the scan
+    projection."""
+    d = table(spark, sf_dir, "documents").select(
+        "source", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    bucketed = d.select(
+        "source",
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), length(bin(n_tokens)) - 1)"
+        ).alias("bucket_lo"),
+        "n_tokens",
+    )
+    hist = bucketed.groupBy("source", "bucket_lo").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("tok_total")
+    )
+    wc = (
+        W.partitionBy("source")
+        .orderBy("bucket_lo")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wall = W.partitionBy("source")
+    return hist.select(
+        "source",
+        "bucket_lo",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("tok_total").cast("long").alias("tok_total"),
+        F.sum("n_docs").over(wc).cast("long").alias("cum_docs"),
+        (
+            F.sum("n_docs").over(wc).cast("double")
+            / F.sum("n_docs").over(wall)
+        ).alias("cum_share"),
+    )

@@ -77,7 +77,11 @@ class SqlDialect:
     _SIZED_KINDS = ("string", "duration")
 
     def string_type(self, length: int | None) -> str:
-        if length is None:
+        # isinstance guard mirrors the reference (sql.py:92-100):
+        # malformed model metadata (e.g. a string '34') degrades to
+        # the default width instead of crashing DDL generation.
+        # bool is excluded explicitly — True would otherwise size as 1.
+        if not isinstance(length, int) or isinstance(length, bool):
             return "VARCHAR(255)"
         if length > 1024:
             return self.text_type()

@@ -207,10 +207,10 @@ def read_table(
     schema: T.StructType | None = None,
 ) -> DataFrame:
     """Read a published table back.  Text formats (csv/json) take the
-    explicit ``schema`` when given, else the ``<name>.schema.parquet``
-    sibling ``write_table`` published beside them, else inference —
-    the ladder that keeps timestamp/date/decimal columns typed across
-    a JSON/CSV round-trip."""
+    explicit ``schema`` when given, else the zero-row ``_schema.parquet``
+    marker (``SCHEMA_MARKER``) ``write_table`` publishes INSIDE the
+    table directory, else inference — the ladder that keeps
+    timestamp/date/decimal columns typed across a JSON/CSV round-trip."""
     path = os.path.join(dest_dir, table_name)
     if fmt in ("csv", "json") and schema is None:
         # the marker lives inside the table dir, so this resolves on

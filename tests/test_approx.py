@@ -30,13 +30,14 @@ def test_approx_percentile_close_to_exact(spark):
 
 
 def test_dedup_embedding_banded_matches_exact(spark):
-    """The banded-LSH candidate path must return the exact pair set
-    (full recall at the slug's threshold) and must not contain a
+    """The banded-LSH candidate path (the full-recall audit shape,
+    slug dedup_embedding_fullrecall_audit) must return the exact pair
+    set (full recall at the slug's threshold) and must not contain a
     cartesian product anywhere in the physical plan."""
-    from resotodatalink_spark.queries.similarity import dedup_embedding
+    from resotodatalink_spark.queries.similarity import embedding_dup_pairs
 
-    banded = dedup_embedding(spark, SF_DIR)
-    exact = dedup_embedding(spark, SF_DIR, exact=True)
+    banded = embedding_dup_pairs(spark, SF_DIR)
+    exact = embedding_dup_pairs(spark, SF_DIR, exact=True)
     got = {(r.vec_a, r.vec_b) for r in banded.collect()}
     want = {(r.vec_a, r.vec_b) for r in exact.collect()}
     assert got == want and len(want) > 0

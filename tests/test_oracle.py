@@ -84,18 +84,18 @@ def test_attest_window_consistency():
     # sit inside the 50-slot window (round-9 policy: no driver row
     # ever / changed this round => head of window, unconditionally)
     window = set(names[:50])
-    assert set(entry._R12_CHANGED) <= window
-    assert set(entry._R12_NEWCOMERS) <= window
-    # after r12 the r7 staleness tier must be fully drained — the r12
-    # window is EXACTLY changed + newcomers + r7 tier (50 slots)
-    assert set(entry._R7_TIER) <= window
-    assert window == set(
-        entry._R12_CHANGED + entry._R12_NEWCOMERS + entry._R7_TIER
-    )
-    # the r13 cohort is exactly the staleness-tier slugs the r12
-    # window spills (r8/r9/r10/r11-fresh slugs rotate later)
-    assert set(entry._R13_COHORT) == set(entry._ATTEST_FIRST) - window
-    assert not set(entry._R13_COHORT) & window
+    assert set(entry._R13_CHANGED) <= window
+    assert set(entry._R12_WAVE) <= window
+    # after r13 the r8 staleness tier must be fully drained — the r13
+    # window is changed + r12 wave + r8 tier (49) with the remaining
+    # slot rolling into the r9 staleness drain
+    assert set(entry._R8_TIER) <= window
+    head = entry._R13_CHANGED + entry._R12_WAVE + entry._R8_TIER
+    assert window == set(head + entry._R9_TIER[: 50 - len(head)])
+    # the r14 cohort is exactly the staleness-tier slugs the r13
+    # window spills (r9/r10/r11/r12-fresh slugs rotate later)
+    assert set(entry._R14_COHORT) == set(entry._ATTEST_FIRST) - window
+    assert not set(entry._R14_COHORT) & window
 
 
 def test_bench_names_registered():
@@ -172,7 +172,7 @@ def test_t80_variant_finds_planted_twins(spark, tmp_path):
 
     keep = {
         r.vec_id: r.keep
-        for r in reg.QUERIES["dedup_embedding_t80"](spark, str(tmp_path)).collect()
+        for r in reg.QUERIES["dedup_embedding"](spark, str(tmp_path)).collect()
     }
     assert len(keep) == n
     assert {v for v, k in keep.items() if not k} == {

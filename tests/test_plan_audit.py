@@ -111,6 +111,7 @@ REVIEWED_GLOBAL_WINDOWS = {
     "pareto_frontier",        # stage-2 local-frontier union
     "psi_drift_audit",        # 8-bin frame
     "shuffle_skew_audit",     # per-partition stats frame
+    "stratified_quantile_bands",  # length-domain bucket-prefix frame
     "temperature_mixture",    # per-source marginal
     "vocab_coverage",         # documented vocabulary frame
 }

@@ -158,6 +158,14 @@ CARTESIAN_OK = {
     # the vocabulary-bounded (lang, tok) frame via broadcast
     # crossJoin (unigram_logprob's constant-append pattern).
     "term_lift_by_lang",
+    # stratified_quantile_bands — attaches the ONE-ROW decile-edge
+    # frame to the corpus via broadcast crossJoin (unigram_logprob's
+    # constant-append pattern: 9 integer edges per row).
+    "stratified_quantile_bands",
+    # ann_ndcg_at_k — its eval baseline IS ann_cosine_topk's
+    # allowlisted constant-query-set broadcast (ann_recall_at_k's
+    # rule: an eval op runs on a fixed query sample by construction).
+    "ann_ndcg_at_k",
 }
 
 
@@ -325,8 +333,8 @@ def test_tpch_join_strategies(spark, slug):
 # their derivations) — bounded by construction, not by SF.
 BOUNDED_BROADCAST_OK = {
     "ann_cosine_topk", "ann_lsh_bucketed", "ann_lsh_multiprobe",
-    "ann_ivf_cells", "ann_recall_at_k", "hard_negatives",
-    "dedup_embedding", "ivf_cell_balance",
+    "ann_ivf_cells", "ann_recall_at_k", "ann_ndcg_at_k", "hard_negatives",
+    "dedup_embedding_fullrecall_audit", "ivf_cell_balance",
     # k=8 seed centroids (vec_id < k) — constant-bounded by the
     # cluster count, not by SF
     "kmeans_lloyd",

@@ -1,7 +1,8 @@
 """Semantic tests for the round-12 changes: the corpus-scaled sign
 bucket that fixes knn_label_agreement's fixed-plane candidate mass
 (r11 verdict item 2) and the attested production-shape embedding dedup
-``dedup_embedding_t80`` (r11 verdict item 3).  The oracle sweep
+``dedup_embedding`` (r11 verdict item 3; slug named
+``dedup_embedding_t80`` until round 13 re-pointed the bare name).  The oracle sweep
 attests engine parity on the shipped tables; these pin the branches
 the shipped corpora never hit (K above the floor, the duplicate-keep
 branch, the 24-plane codegen ceiling) plus the cross-engine sign
@@ -132,10 +133,10 @@ def test_knn_label_agreement_above_floor_both_engines(spark, tmp_path):
     assert sum(r[1] for r in got) > 0  # some vectors shared a bucket
 
 
-# --- dedup_embedding_t80 ----------------------------------------------------
+# --- dedup_embedding (production t80 shape) ---------------------------------
 
 
-def test_dedup_embedding_t80_planted_twins_both_engines(spark, tmp_path):
+def test_dedup_embedding_planted_twins_both_engines(spark, tmp_path):
     """Planted near-twin pairs (2j, 2j+1) — co-directional, so cosine
     is exactly 1.0 and every band collides — plus unpaired tail
     vectors.  keep must be False exactly on the odd twin of each pair
@@ -151,7 +152,7 @@ def test_dedup_embedding_t80_planted_twins_both_engines(spark, tmp_path):
     _write_embeddings(spark, tmp_path, rows)
     got = {
         r.vec_id: r.keep
-        for r in registry.QUERIES["dedup_embedding_t80"](
+        for r in registry.QUERIES["dedup_embedding"](
             spark, str(tmp_path)
         ).collect()
     }
@@ -159,7 +160,7 @@ def test_dedup_embedding_t80_planted_twins_both_engines(spark, tmp_path):
     assert got == want
     con = _duck_on(tmp_path, {"embeddings": "embeddings"})
     ora = dict(
-        con.execute(registry.ORACLES["dedup_embedding_t80"]).fetchall()
+        con.execute(registry.ORACLES["dedup_embedding"]).fetchall()
     )
     con.close()
     assert ora == want
