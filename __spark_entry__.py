@@ -145,6 +145,22 @@ _R9_TIER = [
     "weighted_sample",
 ]
 
+_R13B_WAVE = [
+    # Round-13 SECOND wave (registry 233 -> 239): written after the
+    # r13 attestation window was already exactly consumed by the
+    # wave-1 changed slugs + r12 wave + r8-tier drain, so these six
+    # ship locally green (tri-SF oracle sweeps + dual-engine fixtures
+    # in tests/test_wave13b_ops.py) and driver-unattested — the r14
+    # window head alongside r14's changed slugs (the r12-wave
+    # precedent).  Deliberately placed AFTER the 50-slot boundary.
+    "zipf_fit_audit",
+    "span_corruption_plan",
+    "join_cardinality_audit",
+    "contribution_capping_audit",
+    "target_encode_loo",
+    "timeseries_interpolate",
+]
+
 _R10_TIER = [
     # Newest driver row is CORRECTNESS_r10 (44 slugs; the 45th, the
     # old bare dedup_embedding config, moved up into _R13_CHANGED
@@ -308,6 +324,7 @@ _ATTEST_FIRST = (
     + _R12_WAVE
     + _R8_TIER
     + _R9_TIER
+    + _R13B_WAVE
     + _R10_TIER
     + _R11_TIER
     + _R12_TIER
@@ -318,11 +335,14 @@ _ATTEST_FIRST = (
 # = 49, with _R9_TIER's first entry (anomaly_mad) taking slot 50 —
 # the r12 verdict's "41 head + 9 spare" budget spent 8-for-changed,
 # 1 rolled into the staleness drain.  After r13 every slug's newest
-# driver row is r9+ (except that one r9 slug, already re-attested)
-# and the never-attested set is empty again.  The r14 cohort is the
-# spill below (41 remaining r9 + 44 r10 + 49 r11 + 49 r12 = 183 of
-# the 233 registered slugs; its head, the 41 r9-tier slugs, leaves
-# 9 spare slots for r14's changed slugs).
+# driver row is r9+ (except that one r9 slug, already re-attested);
+# the never-attested set is exactly the 6 _R13B_WAVE slugs written
+# after the window filled (locally green, the r12-wave precedent).
+# The r14 cohort is the spill below (41 remaining r9 + 6 r13b-wave
+# + 44 r10 + 49 r11 + 49 r12 = 189 of the 239 registered slugs);
+# the r14 window head should be the 6 never-attested r13b slugs +
+# the 41 r9-tier slugs = 47, leaving 3 spare slots for r14's
+# changed slugs.
 _R14_COHORT = _ATTEST_FIRST[50:]
 
 

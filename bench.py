@@ -255,6 +255,16 @@ EXTENDED = [
     "tokens_per_doc_histogram",
     "stratified_quantile_bands",
     "ann_ndcg_at_k",
+    # round-13 second wave: the Zipf head-rank fit, the T5 span-
+    # corruption plan audit, the pre-join cardinality/fan-out
+    # profiler, the per-user contribution-capping report, leave-one-
+    # out target encoding, and two-sided linear gap interpolation
+    "zipf_fit_audit",
+    "span_corruption_plan",
+    "join_cardinality_audit",
+    "contribution_capping_audit",
+    "target_encode_loo",
+    "timeseries_interpolate",
 ]
 
 
@@ -440,6 +450,16 @@ SF1_SUBSET = [
     "stream_watermark_late_drop",
     "robust_scale_normalize",
     "embedding_dim_stats",
+    # round-13 second wave, volume-scaling shapes: the corpus token
+    # explode feeding the vocab-bounded Zipf rank window, the n/3
+    # span-start sequence explode, and the 6M-row lineitem per-key
+    # count pair behind the cardinality profiler.
+    # contribution_capping / target_encode / interpolate are scan +
+    # keyed-aggregate shapes the ledger already carries (psi/k-anon
+    # rule); their walls are plan-compile-bound at sf1.
+    "zipf_fit_audit",
+    "span_corruption_plan",
+    "join_cardinality_audit",
 ]
 
 
@@ -627,7 +647,7 @@ def main() -> None:
         # per-query scatter up to +/-30% on sub-second queries.  Cross-
         # round totals within ~+/-20% are environment noise, not plan
         # changes; compare same-session back-to-back runs to attribute.
-        "noise_band_note": "cross-session totals vary ~+/-20%; see DESIGN_NOTES 'Bench noise band'",
+        "noise_band_note": "cross-session totals vary ~+/-20%; adjudicate wall swings on headline_stage_metrics/sf10_stage_metrics shuffle bytes+tasks, not walls — see DESIGN_NOTES 'Bench noise band'",
     }
 
     # sf10 decade sweep FIRST (100 copies; tools/make_scaled_data.py) —
@@ -808,9 +828,15 @@ def main() -> None:
         spark.conf.set("spark.sql.shuffle.partitions", str(4 * int(prev_parts)))
         spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         try:
+            # dedup_clusters joins in round 13 (r12 verdict item 4):
+            # the graph family's tri-decade datum — iterative
+            # hash-to-min connected components over the candidate
+            # graph at 1.5M docs, adjudicated on stage bytes like the
+            # two posting joins (its r11 one-off spot-run was
+            # wall-only; see DESIGN_NOTES "Tri-decade datum").
             sf30, sf30_rows = _run(
                 spark,
-                ["sparse_cosine_pairs", "dedup_ngram_jaccard"],
+                ["sparse_cosine_pairs", "dedup_ngram_jaccard", "dedup_clusters"],
                 sf30_dir,
                 telemetry=sf30_telemetry,
             )
@@ -824,11 +850,23 @@ def main() -> None:
             out["sf30_stage_metrics"] = sf30_telemetry
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    timings, _ = _run(spark, names, sf_dir, runs=runs)
+    # Headline telemetry (r12 verdict item 3): the agg_sum_avg_min_max
+    # 1.36s-vs-0.45s episode showed headline walls had no stage metrics
+    # to adjudicate against — scrape the same per-query shuffle/spill
+    # record the sf1/sf10 sections carry, but commit only the 10
+    # slowest queries' rows (the full 160-query map would triple
+    # BENCH_LOCAL.json for sub-second entries nobody adjudicates).
+    headline_telemetry: dict = {}
+    timings, _ = _run(spark, names, sf_dir, runs=runs, telemetry=headline_telemetry)
     total = round(sum(timings.values()), 3)
     out["value"] = total
     out["queries"] = timings
     out["runs_per_query"] = runs
+    if headline_telemetry:
+        top10 = sorted(timings, key=lambda n: -timings[n])[:10]
+        out["headline_stage_metrics"] = {
+            n: headline_telemetry[n] for n in top10 if n in headline_telemetry
+        }
 
     sf1_dir = os.environ.get(
         "SPARK_GRAFT_SF1_DIR", os.path.join(base, "benchdata", "sf1")

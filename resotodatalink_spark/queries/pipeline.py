@@ -1348,3 +1348,108 @@ def stratified_quantile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_docs").over(W.partitionBy("lang"))
         ).alias("share"),
     )
+
+
+# --- leave-one-out target encoding -------------------------------------------
+
+# Smoothing pseudo-count for the shrunk encoding (a standard CatBoost/
+# target-encoder prior weight).
+_TE_M = 20
+
+
+@query(
+    "target_encode_loo",
+    oracle=f"""
+    WITH rows_t AS (
+      SELECT o_orderpriority AS category,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS target
+      FROM orders
+    ),
+    per_cat AS (
+      SELECT category, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(target) AS BIGINT) AS s
+      FROM rows_t GROUP BY category
+    ),
+    gtot AS (
+      SELECT CAST(count(*) AS BIGINT) AS gn, CAST(sum(target) AS BIGINT) AS gs
+      FROM rows_t
+    ),
+    cells AS (
+      SELECT category, target, CAST(count(*) AS BIGINT) AS n_rows
+      FROM rows_t GROUP BY category, target
+    )
+    SELECT c.category, c.target, c.n_rows,
+           round(CAST(p.s - c.target AS DOUBLE)
+                 / nullif(CAST(p.n - 1 AS DOUBLE), 0), 6) AS loo_encoding,
+           round(CAST(CAST(p.s - c.target AS DECIMAL(38,0)) * g.gn
+                      + CAST({_TE_M} AS DECIMAL(38,0)) * g.gs AS DOUBLE)
+                 / nullif(CAST(CAST(p.n - 1 + {_TE_M} AS DECIMAL(38,0)) * g.gn
+                               AS DOUBLE), 0), 6) AS loo_smoothed
+    FROM cells c
+    JOIN per_cat p USING (category)
+    CROSS JOIN gtot g
+    ORDER BY category, target
+    """,
+)
+def target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of the order-priority category
+    against the 'order finished' target, with an m-estimate shrink
+    toward the global prior (the CatBoost-style categorical encoder a
+    feature pipeline fits before training).  Within a category every
+    row with the same target value shares one LOO encoding
+    ((S - t) / (n - 1)), so the per-(category, target) frame IS the
+    complete encoder output — bounded by category x {{0,1}}, never by
+    corpus size — plus the row count each cell applies to.
+
+    Float discipline: category sums and the global prior stay exact
+    int64; the smoothed encoding clears its internal prior division
+    by cross-multiplying ((S-t)*GN + m*GS) / ((n-1+m)*GN) in
+    DECIMAL(38,0) (zipf_fit_audit's overflow discipline), so each
+    output column is ONE division of exact integers (round 6).  A
+    singleton category (n=1) yields NULL via the nullif fence —
+    corpus-unreachable, fixture-pinned.
+
+    Scale shape: two map-side-combined aggregates over one scan
+    lineage (per-cell and per-category), an equi-join of the two
+    CATEGORY-bounded frames, and the ONE-ROW global prior attached
+    via broadcast crossJoin (unigram_logprob's constant-append
+    pattern, plan-guard allowlisted).  No windows; nothing
+    corpus-sized past the first aggregates."""
+    rows_t = table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("category"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("target"),
+    )
+    per_cat = rows_t.groupBy("category").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("target").cast("long").alias("s"),
+    )
+    glob = rows_t.agg(
+        F.count("*").cast("long").alias("gn"),
+        F.sum("target").cast("long").alias("gs"),
+    )
+    cells = rows_t.groupBy("category", "target").agg(
+        F.count("*").cast("long").alias("n_rows")
+    )
+    j = cells.join(per_cat, "category").crossJoin(F.broadcast(glob))
+    dec = "DECIMAL(38,0)"
+    return j.select(
+        "category",
+        "target",
+        "n_rows",
+        F.round(
+            (F.col("s") - F.col("target")).cast("double")
+            / F.nullif((F.col("n") - 1).cast("double"), F.lit(0.0)),
+            6,
+        ).alias("loo_encoding"),
+        F.round(
+            F.expr(
+                f"CAST(CAST(s - target AS {dec}) * gn"
+                f" + CAST({_TE_M} AS {dec}) * gs AS DOUBLE)"
+            )
+            / F.nullif(
+                F.expr(f"CAST(CAST(n - 1 + {_TE_M} AS {dec}) * gn AS DOUBLE)"),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("loo_smoothed"),
+    ).orderBy("category", "target")

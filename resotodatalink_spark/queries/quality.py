@@ -1384,3 +1384,169 @@ def robust_scale_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("scaled"),
         )
     )
+
+
+# --- join cardinality audit -------------------------------------------------
+
+# Candidate join edges to profile: (edge label, left table, left key,
+# right table, right key).  The oracle SQL is generated from this same
+# tuple list (the _FK_EDGES pattern) so the engines can never drift.
+_JC_EDGES = (
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+)
+
+_JC_ORACLE = "\n    UNION ALL\n".join(
+    f"""    SELECT '{edge}' AS edge,
+           CAST(coalesce(sum(nl), 0) AS BIGINT) AS n_left_rows,
+           CAST(coalesce(sum(nr), 0) AS BIGINT) AS n_right_rows,
+           CAST(sum(CASE WHEN nl IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_left_keys,
+           CAST(sum(CASE WHEN nr IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_right_keys,
+           CAST(sum(CASE WHEN nl IS NOT NULL AND nr IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_matched_keys,
+           CAST(coalesce(sum(nl * nr), 0) AS BIGINT) AS n_join_rows,
+           CAST(coalesce(max(nl * nr), 0) AS BIGINT) AS max_key_fanout,
+           CAST(coalesce(sum(CASE WHEN nr IS NULL THEN nl END), 0) AS BIGINT)
+             AS n_orphan_left_rows,
+           round(coalesce(sum(nl * nr), 0) * 1.0
+                 / nullif(coalesce(sum(nl), 0), 0), 6) AS amplification
+    FROM (SELECT {lk} AS k, count(*) AS nl FROM {lt} GROUP BY 1) l_{i}
+    FULL OUTER JOIN
+         (SELECT {rk} AS k, count(*) AS nr FROM {rt} GROUP BY 1) r_{i}
+    USING (k)"""
+    for i, (edge, lt, lk, rt, rk) in enumerate(_JC_EDGES)
+)
+
+
+@query("join_cardinality_audit", oracle=_JC_ORACLE)
+def join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality audit: for each candidate join edge, predict
+    the join's output size and shape WITHOUT running it — per-key row
+    counts on both sides, matched/orphan key tallies, the exact row
+    count the join would produce (sum over keys of nl*nr), the worst
+    single-key fan-out, and the left-row amplification factor.  This
+    is the pre-join explosion check a 100 TB pipeline runs before
+    committing to a shuffle: a skewed max_key_fanout or an
+    amplification >> 1 reroutes the plan to salting / pre-aggregation
+    (the reference delegates join planning to the target DB,
+    collect_plugins.py:220-228; here the planner's input statistics
+    become a first-class audit).
+
+    Float discipline: every tally is an exact int64 sum of per-key
+    count products; the ONE division per edge is the final
+    amplification ratio (round 6).
+
+    Scale shape: per edge, two map-side-combined per-key counts (the
+    only corpus-sized stages) followed by a full-outer equi-join of
+    the two KEY frames — bounded by distinct-key counts, not row
+    counts — collapsing to a ONE-ROW summary; the 3-row union is
+    constant.  No windows, no cross products."""
+    out = None
+    for edge, lt, lk, rt, rk in _JC_EDGES:
+        l = (
+            table(spark, sf_dir, lt)
+            .groupBy(F.col(lk).alias("k"))
+            .agg(F.count("*").alias("nl"))
+        )
+        r = (
+            table(spark, sf_dir, rt)
+            .groupBy(F.col(rk).alias("k"))
+            .agg(F.count("*").alias("nr"))
+        )
+        j = l.join(r, "k", "full_outer")
+        prod = F.col("nl") * F.col("nr")
+        n_left = F.coalesce(F.sum("nl"), F.lit(0))
+        join_rows = F.coalesce(F.sum(prod), F.lit(0))
+        row = j.agg(
+            F.lit(edge).alias("edge"),
+            n_left.cast("long").alias("n_left_rows"),
+            F.coalesce(F.sum("nr"), F.lit(0)).cast("long").alias("n_right_rows"),
+            F.sum(F.when(F.col("nl").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_left_keys"),
+            F.sum(F.when(F.col("nr").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_right_keys"),
+            F.sum(
+                F.when(
+                    F.col("nl").isNotNull() & F.col("nr").isNotNull(), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_matched_keys"),
+            join_rows.cast("long").alias("n_join_rows"),
+            F.coalesce(F.max(prod), F.lit(0)).cast("long").alias("max_key_fanout"),
+            F.coalesce(
+                F.sum(F.when(F.col("nr").isNull(), F.col("nl"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_orphan_left_rows"),
+            F.round(
+                join_rows * F.lit(1.0) / F.nullif(n_left, F.lit(0)), 6
+            ).alias("amplification"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+# --- contribution capping audit ---------------------------------------------
+
+# Per-user contribution cap (the DP-style bounding step a training
+# pipeline applies so no single user dominates a dataset slice).
+_CC_CAP = 8
+
+
+@query(
+    "contribution_capping_audit",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT event_type, user_id, count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(cnt) AS BIGINT) AS n_events,
+           CAST(sum(least(cnt, {_CC_CAP})) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN cnt > {_CC_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_capped_users,
+           round(sum(least(cnt, {_CC_CAP})) * 1.0 / sum(cnt), 6) AS kept_share
+    FROM per_user GROUP BY event_type ORDER BY event_type
+    """,
+)
+def contribution_capping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user contribution-capping audit: per event type, how many
+    rows survive if each user contributes at most {cap} events — the
+    bounded-contribution report a privacy-aware (DP-adjacent) or
+    dedup-by-author pipeline runs before sampling, where capping
+    keeps one prolific user from dominating a slice.
+
+    Float discipline: counts and least(cnt, cap) are exact int64
+    sums; the ONE division per type is the final kept_share ratio
+    (round 6).
+
+    Scale shape: one map-side-combined (type, user) count — the only
+    corpus-sized stage — then a second map-side-combined collapse to
+    the type-bounded frame.  No windows, no joins; at 100 TB both
+    shuffles are keyed partial aggregates."""
+    per_user = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("cnt"))
+    )
+    kept = F.sum(F.least(F.col("cnt"), F.lit(_CC_CAP)))
+    return (
+        per_user.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("cnt").cast("long").alias("n_events"),
+            kept.cast("long").alias("n_kept"),
+            F.sum(F.when(F.col("cnt") > _CC_CAP, 1).otherwise(0))
+            .cast("long")
+            .alias("n_capped_users"),
+            F.round(kept * F.lit(1.0) / F.sum("cnt"), 6).alias("kept_share"),
+        )
+        .orderBy("event_type")
+    )

@@ -1013,3 +1013,168 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("late").cast("long").alias("n_dropped"),
         F.coalesce(F.max("late_us"), F.lit(0)).cast("long").alias("max_late_us"),
     )
+
+
+# --- linear gap interpolation ------------------------------------------------
+
+# Hour index anchor for exact integer gap arithmetic (any fixed epoch
+# works; both engines difference against the same literal).
+_TSI_ANCHOR = "TIMESTAMP '2020-01-01 00:00:00'"
+
+
+@query(
+    "timeseries_interpolate",
+    oracle=f"""
+    WITH b AS (
+      SELECT date_trunc('hour', min(ts)) AS h0,
+             date_trunc('hour', max(ts)) AS h1
+      FROM events WHERE value IS NOT NULL
+    ),
+    spine AS (
+      SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM b
+    ),
+    types AS (SELECT DISTINCT event_type FROM events WHERE value IS NOT NULL),
+    obs AS (
+      SELECT date_trunc('hour', ts) AS hour, event_type,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+             count(*) AS c
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    dense AS (
+      SELECT s0.hour, t.event_type,
+             datediff('hour', {_TSI_ANCHOR}, s0.hour) AS h,
+             o.s, coalesce(o.c, 0) AS c
+      FROM spine s0 CROSS JOIN types t
+      LEFT JOIN obs o ON o.hour = s0.hour AND o.event_type = t.event_type
+    ),
+    nb AS (
+      SELECT hour, event_type, h, s, c,
+             last_value(CASE WHEN c > 0 THEN h END IGNORE NULLS) OVER wp AS hp,
+             last_value(CASE WHEN c > 0 THEN s END IGNORE NULLS) OVER wp AS sp,
+             last_value(CASE WHEN c > 0 THEN c END IGNORE NULLS) OVER wp AS cp,
+             first_value(CASE WHEN c > 0 THEN h END IGNORE NULLS) OVER wn AS hn,
+             first_value(CASE WHEN c > 0 THEN s END IGNORE NULLS) OVER wn AS sn,
+             first_value(CASE WHEN c > 0 THEN c END IGNORE NULLS) OVER wn AS cn
+      FROM dense
+      WINDOW wp AS (PARTITION BY event_type ORDER BY hour
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             wn AS (PARTITION BY event_type ORDER BY hour
+                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT hour, event_type, CAST(c AS BIGINT) AS n_obs,
+           CASE WHEN c > 0 THEN 'observed'
+                WHEN hp IS NOT NULL AND hn IS NOT NULL THEN 'interpolated'
+                ELSE 'edge' END AS src,
+           CASE WHEN c > 0 THEN round(s * 1.0 / (100 * c), 6)
+                WHEN hp IS NOT NULL AND hn IS NOT NULL THEN
+                  round(CAST(CAST(sp AS DECIMAL(38,0)) * cn * (hn - h)
+                             + CAST(sn AS DECIMAL(38,0)) * cp * (h - hp)
+                             AS DOUBLE)
+                        / CAST(CAST(100 AS DECIMAL(38,0)) * cp * cn * (hn - hp)
+                               AS DOUBLE), 6)
+                END AS value_interp
+    FROM nb
+    """,
+)
+def timeseries_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of the hourly mean event value per type
+    over the DENSE hourly spine — timeseries_gapfill's sibling for
+    VALUES instead of counts: a silent hour gets the straight line
+    between its nearest observed hours ((vp*(hn-h) + vn*(h-hp)) /
+    (hn-hp)), hours outside the observed range stay NULL and are
+    labeled 'edge' (the forecasting/feature-pipeline imputation step;
+    LOCF is the gapfill/scd2 family, this is its two-sided refinement).
+
+    Float discipline: per-hour value sums are exact cents (int64) and
+    hours exact integer indexes (timestampdiff against a shared
+    anchor), so the interpolation numerator/denominator are exact
+    integer products in DECIMAL(38,0) (zipf_fit_audit's overflow
+    discipline: cents-sum x count x calendar-gap can pass 2^63 at
+    fleet scale) and every output value is ONE division (round 6).
+    The observed-hour mean s/(100c) rides the same rule.  The
+    prev/next observation is found with last/first IGNORE NULLS
+    windows — both engines pin identical frames, and the CASE fences
+    make NULL handling explicit rather than relying on lag defaults.
+
+    Scale shape: composes timeseries_gapfill's plan — the spine is
+    CALENDAR-bounded x VOCABULARY-bounded (allowlisted constant cross
+    join), the one corpus-sized stage is the map-side-combined
+    (hour, type) aggregate, and the six neighbor lookups ride TWO
+    WindowExec passes (one per frame direction) partitioned by type
+    over the bounded dense frame."""
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    hour = F.date_trunc("hour", F.col("ts"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("interval 1 hour"))
+        ).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    obs = ev.groupBy(hour.alias("hour"), F.col("event_type")).agg(
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("s"),
+        F.count("*").alias("c"),
+    )
+    dense = (
+        spine.crossJoin(types)
+        .join(obs, ["hour", "event_type"], "left")
+        .select(
+            "hour",
+            "event_type",
+            F.expr(f"timestampdiff(HOUR, {_TSI_ANCHOR}, hour)").alias("h"),
+            "s",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+        )
+    )
+    wp = (
+        W.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    wn = (
+        W.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+
+    def _obs(col: str):
+        return F.when(F.col("c") > 0, F.col(col))
+
+    nb = dense.select(
+        "hour",
+        "event_type",
+        "h",
+        "s",
+        "c",
+        F.last(_obs("h"), ignorenulls=True).over(wp).alias("hp"),
+        F.last(_obs("s"), ignorenulls=True).over(wp).alias("sp"),
+        F.last(_obs("c"), ignorenulls=True).over(wp).alias("cp"),
+        F.first(_obs("h"), ignorenulls=True).over(wn).alias("hn"),
+        F.first(_obs("s"), ignorenulls=True).over(wn).alias("sn"),
+        F.first(_obs("c"), ignorenulls=True).over(wn).alias("cn"),
+    )
+    has_both = F.col("hp").isNotNull() & F.col("hn").isNotNull()
+    interp = F.expr(
+        """round(CAST(CAST(sp AS DECIMAL(38,0)) * cn * (hn - h)
+                      + CAST(sn AS DECIMAL(38,0)) * cp * (h - hp) AS DOUBLE)
+                 / CAST(CAST(100 AS DECIMAL(38,0)) * cp * cn * (hn - hp)
+                        AS DOUBLE), 6)"""
+    )
+    return nb.select(
+        "hour",
+        "event_type",
+        F.col("c").cast("long").alias("n_obs"),
+        F.when(F.col("c") > 0, F.lit("observed"))
+        .when(has_both, F.lit("interpolated"))
+        .otherwise(F.lit("edge"))
+        .alias("src"),
+        F.when(
+            F.col("c") > 0,
+            F.round(F.col("s") * F.lit(1.0) / (F.lit(100) * F.col("c")), 6),
+        )
+        .when(has_both, interp)
+        .alias("value_interp"),
+    )

@@ -2432,3 +2432,228 @@ def tokens_per_doc_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_docs").over(wall)
         ).alias("cum_share"),
     )
+
+
+# --- Zipf-fit audit ----------------------------------------------------------
+
+_ZIPF_TOP = 256  # head ranks fitted; the tail's count-1 plateau is off-model
+
+
+@query(
+    "zipf_fit_audit",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    counts AS (
+      SELECT source, tok, count(*) AS cnt FROM toks GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT source, cnt,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY cnt DESC, tok) AS rnk
+      FROM counts
+    ),
+    logs AS (
+      SELECT source,
+             CAST(round(ln(rnk) * 1000000) AS BIGINT) AS lx,
+             CAST(round(ln(cnt) * 1000000) AS BIGINT) AS ly
+      FROM ranked WHERE rnk <= {_ZIPF_TOP}
+    ),
+    sums AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_ranks,
+             CAST(sum(lx) AS BIGINT) AS sx,
+             CAST(sum(ly) AS BIGINT) AS sy,
+             CAST(sum(lx * ly) AS BIGINT) AS sxy,
+             CAST(sum(lx * lx) AS BIGINT) AS sxx
+      FROM logs GROUP BY source
+    )
+    SELECT source, n_ranks,
+           round(CAST(CAST(n_ranks AS DECIMAL(38,0)) * sxy
+                      - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+                 / nullif(CAST(CAST(n_ranks AS DECIMAL(38,0)) * sxx
+                               - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE),
+                          0), 6) AS zipf_slope,
+           round(CAST(CAST(sxx AS DECIMAL(38,0)) * sy
+                      - CAST(sx AS DECIMAL(38,0)) * sxy AS DOUBLE)
+                 / nullif(CAST((CAST(n_ranks AS DECIMAL(38,0)) * sxx
+                                - CAST(sx AS DECIMAL(38,0)) * sx)
+                               * 1000000 AS DOUBLE), 0), 6) AS zipf_intercept
+    FROM sums ORDER BY source
+    """,
+)
+def zipf_fit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit per source: least-squares slope/intercept of
+    ln(count) against ln(rank) over the top-256 term ranks — the
+    corpus-health check that a natural-language source shows slope
+    near -1 while machine-generated or template text shows a flat or
+    cliff-shaped curve (Zipf 1949; the standard pretraining-corpus
+    triage stat).
+
+    Float discipline: ln() is called only on the EXACT integers rank
+    and count and its value is immediately quantized to a 1e-6-scaled
+    BIGINT, so every sum (sx, sy, sxy, sxx) is exact integer
+    arithmetic — order-independent across partitionings and engines.
+    The closed-form numerators/denominators are computed in
+    DECIMAL(38,0) (n*sxy overflows int64 at 256 ranks), then ONE
+    division per output column maps them to doubles (round 6); the
+    intercept's 1e6 descale rides the same division's denominator.
+
+    Scale shape: scan -> explode -> map-side-combined (source, token)
+    counts -> a rank window over the VOCABULARY-bounded count frame
+    (term_lift_by_lang's shape) pruned to 256 rows per source -> a
+    source-bounded closed-form projection.  No corpus-sized window,
+    no join."""
+    d = table(spark, sf_dir, "documents")
+    counts = (
+        d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    wr = W.partitionBy("source").orderBy(F.col("cnt").desc(), F.col("tok"))
+    logs = (
+        counts.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= _ZIPF_TOP)
+        .selectExpr(
+            "source",
+            "CAST(round(ln(rnk) * 1000000) AS BIGINT) AS lx",
+            "CAST(round(ln(cnt) * 1000000) AS BIGINT) AS ly",
+        )
+    )
+    sums = logs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_ranks"),
+        F.sum("lx").cast("long").alias("sx"),
+        F.sum("ly").cast("long").alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).cast("long").alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).cast("long").alias("sxx"),
+    )
+    return sums.selectExpr(
+        "source",
+        "n_ranks",
+        """round(CAST(CAST(n_ranks AS DECIMAL(38,0)) * sxy
+                      - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+                 / nullif(CAST(CAST(n_ranks AS DECIMAL(38,0)) * sxx
+                               - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE),
+                          0), 6) AS zipf_slope""",
+        """round(CAST(CAST(sxx AS DECIMAL(38,0)) * sy
+                      - CAST(sx AS DECIMAL(38,0)) * sxy AS DOUBLE)
+                 / nullif(CAST((CAST(n_ranks AS DECIMAL(38,0)) * sxx
+                                - CAST(sx AS DECIMAL(38,0)) * sx)
+                               * 1000000 AS DOUBLE), 0), 6) AS zipf_intercept""",
+    ).orderBy("source")
+
+
+# --- T5-style span-corruption plan -------------------------------------------
+
+# Span starts are every-3rd token position; 3-of-20 start selection *
+# span length 3 => a 15% nominal corruption rate (the T5 default).  The
+# hash key is doc_id|pos -- a pure function of document identity and
+# position, so a resumed or re-sharded job plans the SAME spans
+# (mlm_masking_plan's reproducibility property, lifted to spans).
+_SPAN_LEN = 3
+_SPAN_SEL_NUM = 3
+_SPAN_SEL_DEN = 20
+
+
+def _span_selected(dialect: str) -> str:
+    cast = "STRING" if dialect == "spark" else "VARCHAR"
+    key = f"concat(CAST(doc_id AS {cast}), '|', CAST(pos AS {cast}), '|s')"
+    return (
+        f"({H.spread_sql(H.str_hash_sql(key))}) % {_SPAN_SEL_DEN}"
+        f" < {_SPAN_SEL_NUM}"
+    )
+
+
+@query(
+    "span_corruption_plan",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, source, n_tok,
+             unnest(generate_series(0, n_tok - 1, {_SPAN_LEN})) AS pos
+      FROM docs
+    ),
+    sel AS (
+      SELECT doc_id, source, n_tok, pos
+      FROM starts WHERE {_span_selected('duck')}
+    ),
+    per_doc AS (
+      SELECT d.source, d.n_tok,
+             coalesce(s.n_spans, 0) AS n_spans,
+             coalesce(s.n_corrupted, 0) AS n_corrupted
+      FROM docs d LEFT JOIN (
+        SELECT doc_id, count(*) AS n_spans,
+               sum(least({_SPAN_LEN}, n_tok - pos)) AS n_corrupted
+        FROM sel GROUP BY doc_id
+      ) s ON s.doc_id = d.doc_id
+    )
+    SELECT source,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(sum(n_spans) AS BIGINT) AS n_spans,
+           CAST(sum(n_corrupted) AS BIGINT) AS n_corrupted,
+           round(sum(n_corrupted) * 1.0 / sum(n_tok), 6) AS corruption_rate
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+)
+def span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption plan audit: deterministically select
+    ~15% of each document's tokens as length-3 corruption spans (span
+    starts on every-3rd position, 3-of-20 hash-selected — one sentinel
+    per span, the T5 denoising objective's preprocessing step) and
+    report per-source token/span/corrupted counts and the realized
+    rate.  Spans never overlap by construction (starts are multiples
+    of the span length); a span at the document tail corrupts only the
+    tokens that exist (least(3, n_tok - pos)).
+
+    mlm_masking_plan's sibling: same shared polynomial hash, but the
+    plan explodes only the CANDIDATE START positions (an integer
+    sequence, one row per 3 tokens) instead of the tokens themselves —
+    no token strings are shuffled at all, and the per-doc collapse is
+    a map-side-combined aggregate on doc_id.  Exact integer counts
+    until the ONE rate division (round 6).
+
+    Scale shape: scan (projecting doc_id/source/token-count only) ->
+    bounded sequence explode (n/3 rows) -> hash filter in whole-stage
+    codegen -> two map-side-combined aggregates.  The left join keys
+    on doc_id (linear equi-join, preserves zero-span docs)."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    starts = d.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_tok") - 1, F.lit(_SPAN_LEN))
+        ).alias("pos"),
+    )
+    sel = starts.filter(F.expr(_span_selected("spark")))
+    per_doc = sel.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(
+            F.least(F.lit(_SPAN_LEN), F.col("n_tok") - F.col("pos"))
+        ).alias("n_corrupted"),
+    )
+    joined = d.join(per_doc, "doc_id", "left").select(
+        "source",
+        "n_tok",
+        F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+        F.coalesce("n_corrupted", F.lit(0)).alias("n_corrupted"),
+    )
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.sum("n_spans").cast("long").alias("n_spans"),
+            F.sum("n_corrupted").cast("long").alias("n_corrupted"),
+            F.round(
+                F.sum("n_corrupted") * 1.0 / F.sum("n_tok"), 6
+            ).alias("corruption_rate"),
+        )
+        .orderBy("source")
+    )

@@ -166,6 +166,15 @@ CARTESIAN_OK = {
     # allowlisted constant-query-set broadcast (ann_recall_at_k's
     # rule: an eval op runs on a fixed query sample by construction).
     "ann_ndcg_at_k",
+    # timeseries_interpolate — composes timeseries_gapfill's
+    # calendar-bounded spine x vocabulary-bounded types cross join;
+    # the neighbor windows are partitioned over the bounded dense
+    # frame and add no join.
+    "timeseries_interpolate",
+    # target_encode_loo — attaches the ONE-ROW global prior (gn, gs)
+    # to the category-bounded cell frame via broadcast crossJoin
+    # (unigram_logprob's constant-append pattern).
+    "target_encode_loo",
 }
 
 
