@@ -1365,18 +1365,19 @@ _TE_M = 20
              CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS target
       FROM orders
     ),
-    per_cat AS (
-      SELECT category, CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(target) AS BIGINT) AS s
-      FROM rows_t GROUP BY category
-    ),
-    gtot AS (
-      SELECT CAST(count(*) AS BIGINT) AS gn, CAST(sum(target) AS BIGINT) AS gs
-      FROM rows_t
-    ),
     cells AS (
       SELECT category, target, CAST(count(*) AS BIGINT) AS n_rows
       FROM rows_t GROUP BY category, target
+    ),
+    per_cat AS (
+      SELECT category, CAST(sum(n_rows) AS BIGINT) AS n,
+             CAST(sum(target * n_rows) AS BIGINT) AS s
+      FROM cells GROUP BY category
+    ),
+    gtot AS (
+      SELECT CAST(sum(n_rows) AS BIGINT) AS gn,
+             CAST(sum(target * n_rows) AS BIGINT) AS gs
+      FROM cells
     )
     SELECT c.category, c.target, c.n_rows,
            round(CAST(p.s - c.target AS DOUBLE)
@@ -1409,26 +1410,31 @@ def target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
     singleton category (n=1) yields NULL via the nullif fence —
     corpus-unreachable, fixture-pinned.
 
-    Scale shape: two map-side-combined aggregates over one scan
-    lineage (per-cell and per-category), an equi-join of the two
-    CATEGORY-bounded frames, and the ONE-ROW global prior attached
-    via broadcast crossJoin (unigram_logprob's constant-append
-    pattern, plan-guard allowlisted).  No windows; nothing
-    corpus-sized past the first aggregates."""
+    Scale shape: ONE corpus scan feeding one map-side-combined
+    (category, target) cell count; the per-category sums and the
+    ONE-ROW global prior both RE-AGGREGATE the cell frame (bounded by
+    category x {{0,1}}), so the corpus is read once and everything
+    downstream is constant-size — the cell frame self-joins equi on
+    category and the prior attaches via broadcast crossJoin
+    (unigram_logprob's constant-append pattern, plan-guard
+    allowlisted).  No windows."""
     rows_t = table(spark, sf_dir, "orders").select(
         F.col("o_orderpriority").alias("category"),
         F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("target"),
     )
-    per_cat = rows_t.groupBy("category").agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum("target").cast("long").alias("s"),
+    cells = _ckpt(
+        rows_t.groupBy("category", "target").agg(
+            F.count("*").cast("long").alias("n_rows")
+        )
     )
-    glob = rows_t.agg(
-        F.count("*").cast("long").alias("gn"),
-        F.sum("target").cast("long").alias("gs"),
+    tgt_rows = F.sum(F.col("target") * F.col("n_rows"))
+    per_cat = cells.groupBy("category").agg(
+        F.sum("n_rows").cast("long").alias("n"),
+        tgt_rows.cast("long").alias("s"),
     )
-    cells = rows_t.groupBy("category", "target").agg(
-        F.count("*").cast("long").alias("n_rows")
+    glob = cells.agg(
+        F.sum("n_rows").cast("long").alias("gn"),
+        tgt_rows.cast("long").alias("gs"),
     )
     j = cells.join(per_cat, "category").crossJoin(F.broadcast(glob))
     dec = "DECIMAL(38,0)"

@@ -2578,26 +2578,19 @@ def _span_selected(dialect: str) -> str:
              unnest(generate_series(0, n_tok - 1, {_SPAN_LEN})) AS pos
       FROM docs
     ),
-    sel AS (
-      SELECT doc_id, source, n_tok, pos
-      FROM starts WHERE {_span_selected('duck')}
-    ),
-    per_doc AS (
-      SELECT d.source, d.n_tok,
-             coalesce(s.n_spans, 0) AS n_spans,
-             coalesce(s.n_corrupted, 0) AS n_corrupted
-      FROM docs d LEFT JOIN (
-        SELECT doc_id, count(*) AS n_spans,
-               sum(least({_SPAN_LEN}, n_tok - pos)) AS n_corrupted
-        FROM sel GROUP BY doc_id
-      ) s ON s.doc_id = d.doc_id
+    marked AS (
+      SELECT source,
+             least({_SPAN_LEN}, n_tok - pos) AS covered,
+             CASE WHEN {_span_selected('duck')} THEN 1 ELSE 0 END AS sel
+      FROM starts
     )
     SELECT source,
-           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
-           CAST(sum(n_spans) AS BIGINT) AS n_spans,
-           CAST(sum(n_corrupted) AS BIGINT) AS n_corrupted,
-           round(sum(n_corrupted) * 1.0 / sum(n_tok), 6) AS corruption_rate
-    FROM per_doc GROUP BY source ORDER BY source
+           CAST(sum(covered) AS BIGINT) AS n_tokens,
+           CAST(sum(sel) AS BIGINT) AS n_spans,
+           CAST(sum(sel * covered) AS BIGINT) AS n_corrupted,
+           round(sum(sel * covered) * 1.0 / sum(covered), 6)
+             AS corruption_rate
+    FROM marked GROUP BY source ORDER BY source
     """,
 )
 def span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2613,14 +2606,19 @@ def span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     mlm_masking_plan's sibling: same shared polynomial hash, but the
     plan explodes only the CANDIDATE START positions (an integer
     sequence, one row per 3 tokens) instead of the tokens themselves —
-    no token strings are shuffled at all, and the per-doc collapse is
-    a map-side-combined aggregate on doc_id.  Exact integer counts
-    until the ONE rate division (round 6).
+    no token strings are shuffled at all.  Because the candidate spans
+    TILE each document exactly, sum(least(3, n_tok - pos)) over all
+    starts reproduces the token total, so one conditional aggregate
+    per source answers everything — the initial draft's per-doc left
+    join (to preserve zero-span docs) was dead weight and a second
+    corpus scan; zero-span docs simply contribute sel = 0 rows.
+    Exact integer counts until the ONE rate division (round 6).
 
-    Scale shape: scan (projecting doc_id/source/token-count only) ->
-    bounded sequence explode (n/3 rows) -> hash filter in whole-stage
-    codegen -> two map-side-combined aggregates.  The left join keys
-    on doc_id (linear equi-join, preserves zero-span docs)."""
+    Scale shape: ONE scan (projecting doc_id/source/token-count only)
+    -> bounded sequence explode (n/3 rows) -> hash selection as a
+    projected 0/1 column -> ONE map-side-combined aggregate keyed on
+    the vocabulary-bounded source.  No join, no broadcast, nothing
+    corpus-sized past the explode."""
     d = table(spark, sf_dir, "documents").select(
         "doc_id", "source", F.size(F.split("text", " ")).alias("n_tok")
     )
@@ -2632,27 +2630,26 @@ def span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence(F.lit(0), F.col("n_tok") - 1, F.lit(_SPAN_LEN))
         ).alias("pos"),
     )
-    sel = starts.filter(F.expr(_span_selected("spark")))
-    per_doc = sel.groupBy("doc_id").agg(
-        F.count("*").alias("n_spans"),
-        F.sum(
-            F.least(F.lit(_SPAN_LEN), F.col("n_tok") - F.col("pos"))
-        ).alias("n_corrupted"),
-    )
-    joined = d.join(per_doc, "doc_id", "left").select(
+    marked = starts.select(
         "source",
-        "n_tok",
-        F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
-        F.coalesce("n_corrupted", F.lit(0)).alias("n_corrupted"),
+        F.least(F.lit(_SPAN_LEN), F.col("n_tok") - F.col("pos")).alias(
+            "covered"
+        ),
+        F.when(F.expr(_span_selected("spark")), 1).otherwise(0).alias("sel"),
     )
     return (
-        joined.groupBy("source")
+        marked.groupBy("source")
         .agg(
-            F.sum("n_tok").cast("long").alias("n_tokens"),
-            F.sum("n_spans").cast("long").alias("n_spans"),
-            F.sum("n_corrupted").cast("long").alias("n_corrupted"),
+            F.sum("covered").cast("long").alias("n_tokens"),
+            F.sum("sel").cast("long").alias("n_spans"),
+            F.sum(F.col("sel") * F.col("covered"))
+            .cast("long")
+            .alias("n_corrupted"),
             F.round(
-                F.sum("n_corrupted") * 1.0 / F.sum("n_tok"), 6
+                F.sum(F.col("sel") * F.col("covered"))
+                * 1.0
+                / F.sum("covered"),
+                6,
             ).alias("corruption_rate"),
         )
         .orderBy("source")
