@@ -1518,7 +1518,7 @@ _CC_CAP = 8
 )
 def contribution_capping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user contribution-capping audit: per event type, how many
-    rows survive if each user contributes at most {cap} events — the
+    rows survive if each user contributes at most _CC_CAP events — the
     bounded-contribution report a privacy-aware (DP-adjacent) or
     dedup-by-author pipeline runs before sampling, where capping
     keeps one prolific user from dominating a slice.

@@ -2501,8 +2501,11 @@ def zipf_fit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     intercept's 1e6 descale rides the same division's denominator.
 
     Scale shape: scan -> explode -> map-side-combined (source, token)
-    counts -> a rank window over the VOCABULARY-bounded count frame
-    (term_lift_by_lang's shape) pruned to 256 rows per source -> a
+    counts -> a rank window whose `rnk <= 256` filter compiles to
+    WindowGroupLimit with a PARTIAL pass BEFORE the source shuffle
+    (verified in the physical plan), so each map task forwards at
+    most 256 rows per source and the window partition holds
+    256 x n_tasks rows — bounded regardless of vocabulary size -> a
     source-bounded closed-form projection.  No corpus-sized window,
     no join."""
     d = table(spark, sf_dir, "documents")
