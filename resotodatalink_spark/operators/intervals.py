@@ -75,7 +75,15 @@ def overlap_self_join(
         "bk",
         *[F.col(c) for c in block_cols],
     )
-    pairs = a.join(b, [*block_cols, "bk"]).filter(
+    # Pin sort-merge (optimization round 13): both join sides are the
+    # SAME exploded corpus-sized frame, whose size estimate is the
+    # pre-explode scan's — at sf10 the planner broadcast the full 10M+
+    # row exploded events frame (PLAN_AUDIT: 0 exchanges, 1 hash join;
+    # the single-threaded broadcast build was most of the 14.7s wall,
+    # and at 100 TB it is a driver OOM).  Same rule as the posting
+    # self-joins in operators/dedup.py — corpus x corpus never
+    # broadcasts; SMJ sorts and spills.
+    pairs = a.join(b.hint("merge"), [*block_cols, "bk"]).filter(
         (F.col("id_a") < F.col("id_b"))
         & (F.col("s_a") < F.col("e_b"))
         & (F.col("s_b") < F.col("e_a"))

@@ -860,15 +860,31 @@ def tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
         "INTERVAL 60 DAYS"
     )
+    # Two-level aggregate instead of the double countDistinct
+    # (optimization round 13, guide §2.3/§2.4): multi-distinct plans
+    # Expand x3 (one replica per distinct column + one for the plain
+    # aggregates) and re-shuffle the tripled join output by compound
+    # keys.  Collapsing to (orderkey, suppkey) first is exact —
+    # n_supp = rows per order, n_late_supp/culprit read the per-
+    # supplier late_lines flag, numwait = sum of per-supplier late
+    # counts — and BOTH aggregates ride the join's existing
+    # HashPartitioning(l_orderkey) (a hash partitioning satisfies any
+    # clustering it is a subset of), so when the orders join is
+    # sort-merge the whole per_order pipeline adds ZERO exchanges.
     per_order = (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .withColumn("late_supp", F.when(late, F.col("l_suppkey")))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.count(F.when(late, F.lit(1))).alias("late_lines"))
         .groupBy("l_orderkey")
         .agg(
-            F.countDistinct("l_suppkey").alias("n_supp"),
-            F.countDistinct("late_supp").alias("n_late_supp"),
-            F.max("late_supp").alias("culprit"),
-            F.count("late_supp").alias("n_late_lines"),
+            F.count("*").alias("n_supp"),
+            F.count(F.when(F.col("late_lines") > 0, F.lit(1))).alias(
+                "n_late_supp"
+            ),
+            F.max(
+                F.when(F.col("late_lines") > 0, F.col("l_suppkey"))
+            ).alias("culprit"),
+            F.sum("late_lines").alias("n_late_lines"),
         )
         .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
     )
