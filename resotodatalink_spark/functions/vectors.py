@@ -51,6 +51,31 @@ def dot_spark(a: str, b: str, dim: int = EMBED_DIM) -> Column:
     return F.expr(out)
 
 
+def dot_lit_spark(a: str, vec: list, dim: int = EMBED_DIM) -> Column:
+    """Dot of an array<float> column against a DRIVER-COLLECTED vector
+    inlined as double literals — the bounded-collect companion of
+    :func:`dot_spark` for one-row frames (greedy picks, centroids).
+
+    Bit-exactness: collect widens each float32 element to the exact
+    double ``CAST(element_at(v, i) AS DOUBLE)`` would produce, ``repr``
+    round-trips that double through decimal losslessly, and the
+    string-to-DOUBLE cast parses correctly rounded — so every product
+    and the left-associative sum chain perform the identical IEEE op
+    sequence as ``dot_spark`` against the same vector in a column.
+    Built as ONE SQL string like dot_spark, not via Column operators:
+    64 terms of py4j Column calls cost seconds of driver time per
+    chain (measured this round)."""
+    terms = [
+        f"CAST(element_at({a}, {i}) AS DOUBLE)"
+        f" * CAST('{float(vec[i - 1])!r}' AS DOUBLE)"
+        for i in range(1, dim + 1)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = f"({out} + {t})"
+    return F.expr(out)
+
+
 def dot_duck(a: str, b: str, dim: int = EMBED_DIM) -> str:
     """Left-associative explicit chain — same op order as dot_spark."""
     terms = [

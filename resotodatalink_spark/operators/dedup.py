@@ -880,7 +880,11 @@ def connected_components(
         # the planner's stack after ~8 iterations (persist alone does
         # not cut the plan).  On a cluster prefer checkpoint() with a
         # reliable dir; localCheckpoint is the local/executor-disk form.
-        new_labels = new_labels.localCheckpoint(eager=True)
+        # LAZY checkpoint + the convergence aggregate as the
+        # materializing action: the sum rides the same pass that pins
+        # the blocks, one job per round instead of eager's count + agg
+        # (optimization round 13, guide §1.3).
+        new_labels = new_labels.localCheckpoint(eager=False)
         cur_sum = new_labels.agg(F.sum("lab")).collect()[0][0]
         labels.unpersist()
         labels = new_labels

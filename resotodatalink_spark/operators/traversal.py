@@ -35,6 +35,15 @@ def reachable(
     roots is at least 2."""
     frontier = start_nodes.select(F.col(id_col)).distinct()
     visited = frontier.withColumn("depth", F.lit(0).cast("int"))
+    if max_depth > 1:
+        # the edge frame is re-entered once per hop: materialize it
+        # once so hop k reads blocks instead of re-running the edge
+        # plan (graph_shortest_paths' edges are a 3-scan union — the
+        # old shape re-scanned lineitem twice per hop; optimization
+        # round 13, guide §1.3).  Same operators/-level checkpoint
+        # class as the per-level frontier below: driver-side iteration
+        # infrastructure, guarded by the operator tests.
+        edges = edges.localCheckpoint(eager=True)
     out: DataFrame | None = None
     for depth in range(1, max_depth + 1):
         nxt = (

@@ -1493,17 +1493,17 @@ def mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     the embedding corpus' near-twin pairs make the difference visible:
     rank 1's nearest twin is NOT picked at rank 2).
 
-    Scale shape: each of the k-1 refinement steps is one corpus scan
-    with (a) a bounded equi-ANTI-join dropping already-picked ids and
-    (b) a ONE-ROW broadcast holding the picked embeddings pivoted into
-    columns, so the running max over S is a ``greatest()`` of <= k-1
-    codegen cosine chains — NO shuffle inside a step (no pairwise
-    groupBy); the argmax is a TakeOrdered.  k is a constant, so at
-    100 TB this is k linear scans, the same contract as kmeans_lloyd's
-    E-step (the one-row broadcasts are the unigram_logprob
-    constant-append pattern).  The oracle computes the identical greedy
-    trace as unrolled CTEs with max() over the selected set — same
-    IEEE chains, same tie-break, bit-equal picks."""
+    Scale shape: each of the k-1 refinement steps is one TakeOrdered
+    corpus scan with the already-picked ids excluded by a <= k-1
+    element NOT-IN and the picked embeddings inlined as double
+    literals (bounded-collect pattern — each pick is one row), so the
+    running max over S is a ``greatest()`` of <= k-1 codegen cosine
+    chains — NO shuffle inside a step (no pairwise groupBy, no
+    broadcast stage).  k is a constant, so at 100 TB this is k linear
+    scans, the same contract as kmeans_lloyd's E-step.  The oracle
+    computes the identical greedy trace as unrolled CTEs with max()
+    over the selected set — same IEEE chains, same tie-break,
+    bit-equal picks."""
     lam = _MMR_LAMBDA
     # no _spread: the corpus is the probe side of a one-row-broadcast
     # BNLJ (kmeans_lloyd's documented counter-example — a pre-shuffle
@@ -1533,43 +1533,31 @@ def mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    # Each pick is a ONE-ROW frame that every later step re-enters (ids,
-    # pivoted embedding, and the final union) — checkpoint it, or step i's
-    # lineage re-derives every earlier pick 2^i times (measured 117s ->
-    # 3.9s at sf0.001).
-    picks = [
-        _ckpt(
-            cand.orderBy(F.desc("rel"), "vec_id")
-            .limit(1)
-            .select(
-                F.lit(1).alias("rank"),
-                "vec_id",
-                "embedding",
-                "nrm",
-                F.col("rel").alias("score"),
-            )
-        )
+    # NOT persisted: an A/B (this round) measured the columnar cache
+    # build of the 64-float embedding arrays costlier than the k-1
+    # vectorized parquet re-scans it saves (5.1 -> 7.3s median at
+    # sf0.1) — the scan+chain is codegen-cheap, the cache is not.
+    # Each pick is ONE ROW: collect it (bounded-collect pattern) and
+    # re-enter later steps as double LITERALS — one TakeOrdered job per
+    # step over the persisted candidates, replacing the r10 shape's
+    # per-step checkpoint + anti-join + pivoted-row broadcast (4 AQE
+    # materializations, each re-running the corpus scan; optimization
+    # round 13, guide §4.4 "heavyweight init once" applied to the
+    # driver loop).  collect() widens float32 exactly and F.lit
+    # round-trips doubles bit-exactly (dot_lit_spark docstring), so the
+    # greedy trace and scores are unchanged.
+    first = cand.orderBy(F.desc("rel"), "vec_id").limit(1).collect()[0]
+    picked = [
+        (1, first["vec_id"], first["embedding"], first["nrm"], first["rel"])
     ]
     for i in range(2, _MMR_K + 1):
-        sel_ids = picks[0].select("vec_id")
-        sel_row = picks[0].select(
-            F.col("embedding").alias("s1"), F.col("nrm").alias("n1")
-        )
-        for j, p in enumerate(picks[1:], start=2):
-            sel_ids = sel_ids.unionByName(p.select("vec_id"))
-            sel_row = sel_row.crossJoin(
-                p.select(
-                    F.col("embedding").alias(f"s{j}"), F.col("nrm").alias(f"n{j}")
-                )
-            )
         sims = [
-            V.dot_spark("embedding", f"s{j}") / (F.col("nrm") * F.col(f"n{j}"))
-            for j in range(1, i)
+            V.dot_lit_spark("embedding", emb) / (F.col("nrm") * F.lit(nrm))
+            for (_, _, emb, nrm, _) in picked
         ]
         penalty = sims[0] if len(sims) == 1 else F.greatest(*sims)
-        scored = (
-            cand.join(F.broadcast(sel_ids), "vec_id", "left_anti")
-            .crossJoin(F.broadcast(sel_row))
+        row = (
+            cand.filter(~F.col("vec_id").isin([p[1] for p in picked]))
             .select(
                 "vec_id",
                 "embedding",
@@ -1578,19 +1566,15 @@ def mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "score"
                 ),
             )
+            .orderBy(F.desc("score"), "vec_id")
+            .limit(1)
+            .collect()[0]
         )
-        picks.append(
-            _ckpt(
-                scored.orderBy(F.desc("score"), "vec_id")
-                .limit(1)
-                .select(
-                    F.lit(i).alias("rank"), "vec_id", "embedding", "nrm", "score"
-                )
-            )
-        )
-    out = picks[0].select("rank", "vec_id", "score")
-    for p in picks[1:]:
-        out = out.unionByName(p.select("rank", "vec_id", "score"))
+        picked.append((i, row["vec_id"], row["embedding"], row["nrm"], row["score"]))
+    out = spark.createDataFrame(
+        [(r, int(v), float(s)) for (r, v, _, _, s) in picked],
+        "rank int, vec_id bigint, score double",
+    )
     return out.select("rank", "vec_id", F.round("score", 6).alias("score"))
 
 

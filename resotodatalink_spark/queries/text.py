@@ -1774,11 +1774,11 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     touched ONCE (a map-side-combined word count); every round after
     that runs on the distinct-word frame, which is sublinear in corpus
     size (zipf: ~100M rows at 100 TB, shuffling megabytes not
-    terabytes).  Per round: one pair-count aggregate, a TakeOrdered(1)
-    argmax, a ONE-ROW broadcast of the winning pair into the fold
-    (unigram_logprob's constant-append pattern — the argmax is joined,
-    never collected), and a checkpoint so round k+1's lineage starts
-    from materialized tokens instead of re-deriving k folds (the
+    terabytes).  Per round: one pair-count aggregate with a
+    TakeOrdered(1) argmax collected to the driver (ONE ROW — the
+    bounded-collect pattern) and inlined as string literals in the
+    fold, and a checkpoint so round k+1's lineage starts from
+    materialized tokens instead of re-deriving k folds (the
     kmeans_lloyd iterative-loop discipline).  The fold lambda is
     interpreted, not codegen (the documented HOF rule,
     functions/vectors.py dot_spark) — acceptable here BECAUSE it runs
@@ -1835,27 +1835,32 @@ def _bpe_learn(spark: SparkSession, sf_dir: str):
             .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
             .agg(F.sum("cnt").alias("cnt"))
         )
-        # same sentinel rule as the oracle CTEs: keep best EXACTLY ONE
-        # ROW through merge exhaustion or the cross join would
-        # annihilate the vocabulary (see _bpe_cte_prefix comment)
-        sent = spark.range(1).select(
-            F.lit("").alias("l"),
-            F.lit("").alias("r"),
-            F.lit(0).cast("long").alias("mcnt"),
+        # the argmax is ONE ROW: collect it (bounded-collect pattern)
+        # and inline the winning pair as string literals in the fold —
+        # one TakeOrdered job per round, replacing the sentinel-union
+        # second TakeOrdered, the one-row checkpoint, and the per-round
+        # broadcast stage (optimization round 13, guide §1.3).  Merge
+        # exhaustion (empty pair frame) yields the ('', '', 0) sentinel
+        # driver-side — same rule as the oracle CTEs: the empty-string
+        # merge can never fire in the fold (tokens are nonempty) and
+        # consumers of the merge table filter mcnt > 0.  A real pair
+        # (cnt >= 1) always outranks the sentinel, so the winner is the
+        # same row the union shape picked.
+        top = pairs.orderBy(F.desc("cnt"), "l", "r").limit(1).collect()
+        l, r, mcnt = (
+            (top[0]["l"], top[0]["r"], top[0]["cnt"]) if top else ("", "", 0)
         )
-        best = _ckpt(
-            pairs.orderBy(F.desc("cnt"), "l", "r")
-            .limit(1)
-            .select("l", "r", F.col("cnt").alias("mcnt"))
-            .unionByName(sent)
-            .orderBy(F.desc("mcnt"), "l", "r")
-            .limit(1)
+        bests.append(
+            spark.createDataFrame(
+                [(l, r, int(mcnt))], "l string, r string, mcnt bigint"
+            ).withColumn("round", F.lit(k))
         )
-        bests.append(best.withColumn("round", F.lit(k)))
         vocab = _ckpt(
-            vocab.crossJoin(F.broadcast(best)).select(
+            vocab.select(
                 "word",
-                F.expr(_bpe_fold("toks", "l", "r", "spark")).alias("toks"),
+                F.expr(
+                    _bpe_fold("toks", f"'{l}'", f"'{r}'", "spark")
+                ).alias("toks"),
                 "cnt",
             )
         )

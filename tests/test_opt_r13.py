@@ -1,0 +1,88 @@
+"""Round-13 optimization invariants: the rewritten driver-loop
+internals (literal-inlined picks/merges) must stay bit-equal to the
+column-based forms they replaced.
+
+The full-value proofs are the tri-SF oracle gates (the slugs'
+CORRECTNESS rows); these tests pin the two equivalence claims the
+rewrites rest on, so a future edit cannot silently break them:
+
+1. ``dot_lit_spark`` (driver-collected vector inlined as double
+   literals) performs the identical IEEE op sequence as ``dot_spark``
+   against the same vector stored in a column.
+2. The BPE literal fold (merge pair inlined as string literals) equals
+   the old broadcast-column fold for the same pair.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from resotodatalink_spark.functions import vectors as V
+
+
+def _vecs(spark, n=8, dim=V.EMBED_DIM):
+    """Deterministic float32 arrays with awkward mantissas."""
+    rows = [
+        (
+            i,
+            [
+                float((i * 31 + j * 17 + 3) % 101) / 7.0 - 5.0
+                for j in range(dim)
+            ],
+        )
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, raw array<double>")
+    return df.select(
+        "vec_id", F.col("raw").cast("array<float>").alias("embedding")
+    )
+
+
+def test_dot_lit_matches_dot_column(spark):
+    e = _vecs(spark)
+    probe = e.filter(F.col("vec_id") == 3).collect()[0]["embedding"]
+    # column form: cross join the probe row in (the old mmr shape)
+    q = e.filter(F.col("vec_id") == 3).select(F.col("embedding").alias("qv"))
+    col_form = (
+        e.crossJoin(F.broadcast(q))
+        .select("vec_id", V.dot_spark("embedding", "qv").alias("d"))
+        .collect()
+    )
+    lit_form = e.select(
+        "vec_id", V.dot_lit_spark("embedding", probe).alias("d")
+    ).collect()
+    col_map = {r["vec_id"]: r["d"] for r in col_form}
+    lit_map = {r["vec_id"]: r["d"] for r in lit_form}
+    assert col_map.keys() == lit_map.keys()
+    for k in col_map:
+        # bit-equality, not approx: the chains must be the same IEEE ops
+        assert col_map[k] == lit_map[k], (k, col_map[k], lit_map[k])
+
+
+def test_bpe_literal_fold_matches_column_fold(spark):
+    from resotodatalink_spark.queries.text import _bpe_fold
+
+    words = spark.createDataFrame(
+        [("banana",), ("anna",), ("aaa",), ("ban",), ("a",)], "word string"
+    ).select(
+        "word",
+        F.expr(
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+        ).alias("toks"),
+    )
+    pair = spark.createDataFrame([("a", "n")], "l string, r string")
+    old = (
+        words.crossJoin(F.broadcast(pair))
+        .select("word", F.expr(_bpe_fold("toks", "l", "r", "spark")).alias("toks"))
+        .collect()
+    )
+    new = words.select(
+        "word", F.expr(_bpe_fold("toks", "'a'", "'n'", "spark")).alias("toks")
+    ).collect()
+    assert {r["word"]: r["toks"] for r in old} == {
+        r["word"]: r["toks"] for r in new
+    }
+    # the greedy no-chain rule survives the literal form
+    folded = {r["word"]: r["toks"] for r in new}
+    assert folded["banana"] == ["b", "an", "an", "a"]
+    assert folded["aaa"] == ["a", "a", "a"]  # (a,n) never fires
