@@ -128,8 +128,14 @@ def minhash_signatures(
     ]
     # signatures feed self-joins downstream (bands, agreement); without
     # materialization Spark re-runs the whole shingle+hash pipeline per
-    # branch (plan showed 7 exchanges) — checkpoint computes it once
-    return g.groupBy(id_col).agg(*aggs).localCheckpoint(eager=False)
+    # branch (plan showed 7 exchanges) — checkpoint computes it once.
+    # EAGER: both self-join sides are independent AQE query stages that
+    # materialize CONCURRENTLY, so a lazy checkpoint races its own
+    # materialization and each side re-derives the shingle pipeline
+    # (same-session A/B sf0.1: dedup_minhash 3.40 -> 2.68s,
+    # minhash_estimate_vs_exact 3.17 -> 2.22s, identical shuffle
+    # bytes; optimization round 13, guide §1.1/§5)
+    return g.groupBy(id_col).agg(*aggs).localCheckpoint(eager=True)
 
 
 def _band_rows(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -269,7 +275,9 @@ def simhash_signatures(
         )
         return (
             votes.select(F.col(id_col), sim.cast("long").alias("simhash"))
-            .localCheckpoint(eager=False)
+            # eager: feeds both sides of the block self-join — see the
+            # minhash_signatures comment (round-13 concurrent-stage race)
+            .localCheckpoint(eager=True)
         )
 
     h = str_hash_sql("tok")
@@ -431,10 +439,14 @@ def jaccard_pairs(
     # by doc id, vs the groupBy-sizes + join-back shape's extra
     # full-stream shuffle (measured: sf1 17s -> 12.5s for the slug).
     # g2 feeds both sides of the posting self-join — materialize once
-    # instead of re-running shingling per branch.
+    # instead of re-running shingling per branch.  EAGER: the two join
+    # sides are concurrent AQE stages; lazy raced the materialization
+    # and re-shingled per side (same-session sf10 A/B: 50.7 -> 30.7s
+    # median, identical 2.38 GB shuffle/stages/tasks; optimization
+    # round 13, guide §1.1/§5).
     g2 = g.withColumn(
         "sz", F.count("*").over(Window.partitionBy(id_col))
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     # size-ratio prune inside the join (exactness-preserving): jaccard
     # >= t forces min(sz)/max(sz) >= t, so wildly different-sized docs
     # never reach the expensive per-pair aggregation.
@@ -470,7 +482,9 @@ def jaccard_pairs(
                 + 1
             )
             .drop("rn")
-            .localCheckpoint(eager=False)
+            # eager: feeds both prefix-join sides (round-13 race note
+            # on g2 above)
+            .localCheckpoint(eager=True)
         )
         pa_ = prefix.select(F.col(id_col).alias("doc_a"), "h", F.col("sz").alias("sza"))
         pb_ = prefix.select(F.col(id_col).alias("doc_b"), "h", F.col("sz").alias("szb"))
@@ -547,10 +561,12 @@ def containment_pairs(
     arbitrarily large B can contain A).  The division c/|A| of exact
     ints is one correctly-rounded IEEE op — engine-stable."""
     g = shingle_hashes(docs, id_col, text_col, n).distinct()
-    # same one-shuffle window-count shape as jaccard_pairs
+    # same one-shuffle window-count shape as jaccard_pairs; eager for
+    # the same both-sides concurrent-stage reason (round-13 A/B:
+    # dedup_containment 1.81 -> 1.57s, identical shuffle)
     g2 = g.withColumn(
         "sz", F.count("*").over(Window.partitionBy(id_col))
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     a = g2.select(F.col(id_col).alias("doc_a"), "h", F.col("sz").alias("sza"))
     b = g2.select(F.col(id_col).alias("doc_b"), "h", F.col("sz").alias("szb"))
     width = posting_join_width(g2)

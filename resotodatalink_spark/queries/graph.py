@@ -946,7 +946,19 @@ def _ckpt_lazy(df: DataFrame) -> DataFrame:
     return _ckpt(df)
 
 
-def _triangle_build(spark: SparkSession, sf_dir: str, ckpt=_ckpt_lazy) -> DataFrame:
+def _ckpt_eager(df: DataFrame) -> DataFrame:
+    """Eager variant for frames consumed by MULTIPLE subtrees of ONE
+    action: AQE materializes independent query stages concurrently, so
+    a LAZY checkpoint races its own materialization and every consumer
+    stage re-derives the full lineage (profiled on dsir's db this
+    round: 3x input scanned).  Pinning blocks first removed the
+    recompute — triangle same-session sf10 A/B: 23.4 -> 17.3s median,
+    61 -> 42 stages, identical 793 MB shuffle (optimization round 13,
+    guide §1.1/§5)."""
+    return _ckpt(df, eager=True)
+
+
+def _triangle_build(spark: SparkSession, sf_dir: str, ckpt=_ckpt_eager) -> DataFrame:
     li = (
         table(spark, sf_dir, "lineitem")
         .filter(F.col("l_quantity") >= 40)

@@ -419,7 +419,9 @@ def bloom_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialization each arm re-runs shingling+distinct — measured
     # 18.0s -> 12.2s at sf1 with the checkpoint (the rest is the two
     # post-checkpoint distinct exchanges + three probe semi-joins)
-    grams = _ckpt(shingle_hashes(d).distinct())
+    # eager on grams and bits: bench/probes and the k probe arms are
+    # concurrent AQE stages (round-13 race; A/B sf0.1 1.80 -> 1.37s)
+    grams = _ckpt(shingle_hashes(d).distinct(), eager=True)
     bench = grams.filter(F.col("doc_id") % 13 == 0).select("h").distinct()
     probes = grams.filter(F.col("doc_id") % 13 != 0).select("h").distinct()
     bits = (
@@ -431,7 +433,7 @@ def bloom_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pos")
         )
         .distinct()
-        .transform(_ckpt)  # probed k times below
+        .transform(lambda d: _ckpt(d, eager=True))  # probed k times below
     )
     hit = probes
     for i in range(_BLOOM_K):
@@ -722,8 +724,16 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sources scale in count, so no global sort).  The per-doc sum folds
     <= 64 doubles, rounded 6dp per the float discipline."""
     d = table(spark, sf_dir, "documents")
+    # EAGER: db feeds three subtrees (raw, tgt via the lr broadcast
+    # build, wts) that AQE materializes CONCURRENTLY — a lazy
+    # checkpoint races its own materialization and each consumer
+    # job re-derives the corpus explode+hash (profiled: 3x the
+    # 1.2 GB input scanned at sf10; eager pins blocks first and cut
+    # the same-session median 31.4 -> 24.4s, identical shuffle
+    # bytes; optimization round 13, guide §1.1/§5).
     db = _ckpt(
-        d.select(
+        eager=True,
+        df=d.select(
             "doc_id",
             "source",
             "lang",

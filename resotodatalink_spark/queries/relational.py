@@ -2076,11 +2076,14 @@ def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__toks",
         F.explode(F.expr("sequence(1, size(__toks) - 2)")).alias("__i"),
     )
+    # eager: sv/hv fan out into the per-side top-k arms — concurrent
+    # AQE stages (round-13 race; A/B sf0.1 1.34 -> 1.18s median)
     sv = _ckpt(
         pos.select(
             "side",
             F.expr("array_join(slice(__toks, __i, 3), ' ')").alias("span"),
-        ).distinct()
+        ).distinct(),
+        eager=True,
     )
     hv = sv.select(
         "side", F.expr(SK.hll_hash_sql("span", "spark")).alias("hv")

@@ -313,12 +313,16 @@ def embedding_dup_pairs(
             .select("vec_a", "vec_b", "cosine")
         )
     # slim is read three times (banded + both re-check sides); the band
-    # bits are 96 plane dots per vector, so materialize each once
-    slim = _ckpt(slim)
+    # bits are 96 plane dots per vector, so materialize each once.
+    # EAGER on both: the consumers are concurrent AQE stages, so lazy
+    # checkpoints race their own materialization and re-derive the
+    # plane dots per consumer (round-13 concurrent-stage race; A/B
+    # sf0.1 3.44 -> 2.93s median, identical shuffle).
+    slim = _ckpt(slim, eager=True)
     band_udf = V.band_keys_udf(*band_config) if band_config else V.band_keys_udf()
     banded = (
         slim.select("vec_id", F.posexplode(band_udf("embedding")).alias("band", "bkt"))
-        .transform(_ckpt)
+        .transform(lambda d: _ckpt(d, eager=True))
     )
     x, y = banded.alias("x"), banded.alias("y")
     cand = (
@@ -863,7 +867,9 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         sims.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("vec_id", "cluster_id", "embedding")
-        .transform(_ckpt)
+        # eager: a feeds both sides of the in-cluster self-join —
+        # concurrent AQE stages (round-13 race; A/B 1.14 -> 1.07s)
+        .transform(lambda d: _ckpt(d, eager=True))
     )
     x = a.select(
         F.col("cluster_id"),
@@ -1050,11 +1056,16 @@ def sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 100 TB corpus the bigram vocab is NOT broadcastable: drop the
     # hint there and Catalyst shuffles the join (plan shape otherwise
     # unchanged)
+    # EAGER: w feeds THREE subtrees (nrm, wa, wb) whose map stages AQE
+    # materializes concurrently — a lazy checkpoint lets each re-derive
+    # the tf/idf pipeline before blocks exist (the same race profiled
+    # on dsir's db; same-session sf10 A/B: 37.3 -> 26.1s median,
+    # identical 1.54 GB shuffle; optimization round 13, guide §1.1/§5).
     w = tf.join(F.broadcast(df), "tok").select(
         "doc_id",
         "tok",
         (F.col("tf") * F.log(F.lit(float(n)) / F.col("df"))).alias("w"),
-    ).transform(_ckpt)
+    ).transform(lambda d: _ckpt(d, eager=True))
     nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
     # join shingles by 64-bit hash, not the ~60-char string: 8x less
     # shuffle volume for the distinct + self-join.  A hash collision

@@ -784,15 +784,18 @@ def ngram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.array().cast("array<string>"))
     bg = d.select(F.explode(bigram_arr).alias("bigram"))
     tok = d.select(F.explode(toks).alias("tok"))
+    # eager on both marginals: n1 is probed by two join arms (w1, w2)
+    # and n2 feeds the survivor filter — concurrent AQE stages
+    # (round-13 race; A/B sf0.1 1.25 -> 0.96s median)
     n1 = (
         tok.groupBy("tok")
         .agg(F.count("*").alias("n_w"))
-        .transform(_ckpt)
+        .transform(lambda d: _ckpt(d, eager=True))
     )
     n2 = (
         bg.groupBy("bigram")
         .agg(F.count("*").alias("n_ab"))
-        .transform(_ckpt)
+        .transform(lambda d: _ckpt(d, eager=True))
     )
     surv = n2.filter(F.col("n_ab") >= 5).select(
         "bigram",
@@ -1622,12 +1625,22 @@ def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("h"),
         F.expr(H.str_hash_sql("element_at(__toks, __i)")).alias("hu"),
     )
+    # EAGER on both: allgrams feeds vocab/perdoc/types and types feeds
+    # cb/cu/typed — multi-subtree consumers AQE materializes
+    # concurrently, so lazy checkpoints re-derive the corpus explode
+    # per consumer (the dsir race, profiled this round).  Same-session
+    # sf10 A/B medians 34.4 -> 32.0s and 53.1 -> 49.1s across two
+    # sessions, identical 256 MB shuffle (optimization round 13,
+    # guide §1.1/§5).
     allgrams = _ckpt(
-        big.groupBy("doc_id", "h", "hu").agg(F.count("*").alias("m"))
+        big.groupBy("doc_id", "h", "hu").agg(F.count("*").alias("m")),
+        eager=True,
     )
     vocab = allgrams.agg(F.countDistinct("hu").alias("v"))
     perdoc = allgrams.filter(F.col("h").isNotNull())
-    types = _ckpt(perdoc.groupBy("h", "hu").agg(F.sum("m").alias("m_tot")))
+    types = _ckpt(
+        perdoc.groupBy("h", "hu").agg(F.sum("m").alias("m_tot")), eager=True
+    )
     cb = types.groupBy("h").agg(F.sum("m_tot").alias("cb"))
     cu = types.groupBy("hu").agg(F.sum("m_tot").alias("cu"))
     typed = (

@@ -86,3 +86,38 @@ def test_bpe_literal_fold_matches_column_fold(spark):
     folded = {r["word"]: r["toks"] for r in new}
     assert folded["banana"] == ["b", "an", "an", "a"]
     assert folded["aaa"] == ["a", "a", "a"]  # (a,n) never fires
+
+
+def test_span_minmax_dup_set_matches_count_distinct(spark):
+    """dup_span_merge's dup-gram filter was rewritten from
+    countDistinct(doc_id) >= 2 to min(doc_id) <> max(doc_id) (one
+    combinable aggregation pass instead of a distinct pre-phase).
+    The two predicates select the IDENTICAL h set: >= 2 distinct ids
+    iff the extremes differ.  Pin it on a frame with every branch —
+    single-doc grams, same-doc repeats, cross-doc repeats."""
+    g = spark.createDataFrame(
+        [
+            (1, 10),  # h=10 only in doc 1 (twice: same-doc repeat)
+            (1, 10),
+            (2, 20),  # h=20 in docs 2 and 3 (cross-doc)
+            (3, 20),
+            (3, 30),  # h=30 only in doc 3, once
+            (4, 20),  # h=20 also in doc 4
+        ],
+        "doc_id bigint, h bigint",
+    )
+    old = {
+        r["h"]
+        for r in g.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("n"))
+        .filter(F.col("n") >= 2)
+        .collect()
+    }
+    new = {
+        r["h"]
+        for r in g.groupBy("h")
+        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+        .filter(F.col("mn") != F.col("mx"))
+        .collect()
+    }
+    assert old == new == {20}
