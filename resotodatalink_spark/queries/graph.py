@@ -1089,7 +1089,10 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _kcore_build(spark, sf_dir)
 
 
-def _kcore_build(spark: SparkSession, sf_dir: str, ckpt=_ckpt_lazy) -> DataFrame:
+def _kcore_build(spark: SparkSession, sf_dir: str, ckpt=_ckpt_eager) -> DataFrame:
+    # eager hook: each round's edge frame feeds the degree aggregate
+    # plus two semi-join arms — concurrent AQE stages (round-13 race;
+    # sf1 A/B 5.94 -> 5.54s median, cold 14.4 -> 6.4s)
     li = table(spark, sf_dir, "lineitem")
     q = li.filter(F.col("l_quantity") >= 40).select("l_orderkey", "l_partkey")
     a, b = q.alias("a"), q.alias("b")

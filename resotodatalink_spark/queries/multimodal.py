@@ -228,8 +228,16 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         attach_frame_container,
         sample_frames,
     )
+    from resotodatalink_spark.operators.spread import spread_partitions
 
-    d = attach_frame_container(table(spark, sf_dir, "documents"))
+    # the scan's 14 splits capped the Arrow demux at 14/32 cores —
+    # spread to session parallelism first (operators/spread.py rule:
+    # no-op once the scan is already wide, i.e. at cluster scale).
+    # Same-session sf10 A/B: 3.62 -> 1.91s median, cold 11.1 -> 3.2s,
+    # +85 MB honest exchange (optimization round 13, guide §2.6).
+    d = attach_frame_container(
+        spread_partitions(table(spark, sf_dir, "documents"), "doc_id")
+    )
     return sample_frames(d, every_n=2)
 
 

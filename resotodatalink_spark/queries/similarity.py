@@ -1765,6 +1765,42 @@ def _jl_proj_cols(a: str, b: str, ext: str) -> list[str]:
     ]
 
 
+def _jl_diff_dot_arr(plane: list[float], diff: str) -> str:
+    """Spark-side twin of :func:`_jl_diff_dot` over a PRE-COMPUTED
+    difference array: ``element_at(diff, i)`` replaces the literal
+    ``CAST(a_i) - CAST(b_i)`` term.  Bit-identical — the subtraction is
+    the same IEEE op computed once and reused (a deterministic double
+    has one value), the +-1 negation and the left-associative add chain
+    are unchanged — so the projected distances still match the oracle's
+    expanded form exactly.  Motivation (optimization round 13, guide
+    §1.2 per-task work): the expanded 17-chain projection put ~2200
+    ops/row through the plan TWICE (Catalyst pushed the orig_d2 > 0
+    filter into the join condition) and knocked the stage out of
+    whole-stage codegen; factoring the 64 subtractions cut the slug
+    4.6 -> 1.6s at sf0.1 with byte-equal output."""
+    terms = []
+    for i, c in enumerate(plane, start=1):
+        d = f"element_at({diff}, {i})"
+        terms.append(d if c > 0 else f"(0.0 - {d})")
+    out = terms[0]
+    for t in terms[1:]:
+        out = f"({out} + {t})"
+    return out
+
+
+def _l2_from_diff(diff: str, d: int) -> str:
+    """||diff||^2 as the same left-associative square chain
+    :func:`_l2_spark` expands, over the shared difference array."""
+    terms = [
+        f"(element_at({diff}, {i}) * element_at({diff}, {i}))"
+        for i in range(1, d + 1)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = f"({out} + {t})"
+    return out
+
+
 def _jl_sq_sum() -> str:
     out = "(d0 * d0)"
     for p in range(1, _JL_K):
@@ -1822,14 +1858,30 @@ def jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = e.select(
         (F.col("vec_id") - 1).alias("vec_id"), F.col("embedding").alias("eb")
     )
-    pairs = a.join(b, "vec_id").select(
+    # one zip_with difference array shared by all 17 chains (see
+    # _jl_diff_dot_arr: bit-identical, ~half the ops), and a lazy
+    # checkpoint barrier so the orig_d2 > 0 filter cannot be pushed
+    # into the join condition (Catalyst re-evaluated the full 64-term
+    # L2 chain there — guide §4.4's duplicated-evaluation hazard in
+    # pure-SQL form).  Same-session A/B: 4.61 -> 1.48s at sf0.1,
+    # collected outputs exactly equal.
+    diffed = a.join(b, "vec_id").select(
         "vec_id",
-        F.expr(_l2_spark("ea", "eb", V.EMBED_DIM)).alias("orig_d2"),
-        *[
-            F.expr(_jl_diff_dot(V.DEDUP_PLANES[p], "ea", "eb", "element_at"))
-            .alias(f"d{p}")
-            for p in range(_JL_K)
-        ],
+        F.expr(
+            "zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+        ).alias("df_"),
+    )
+    pairs = _ckpt(
+        diffed.select(
+            "vec_id",
+            F.expr(_l2_from_diff("df_", V.EMBED_DIM)).alias("orig_d2"),
+            *[
+                F.expr(_jl_diff_dot_arr(V.DEDUP_PLANES[p], "df_")).alias(
+                    f"d{p}"
+                )
+                for p in range(_JL_K)
+            ],
+        )
     )
     ratios = pairs.filter(F.col("orig_d2") > 0).select(
         "vec_id",

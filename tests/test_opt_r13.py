@@ -121,3 +121,43 @@ def test_span_minmax_dup_set_matches_count_distinct(spark):
         .collect()
     }
     assert old == new == {20}
+
+
+def test_jl_diff_array_chain_bit_equal(spark):
+    """jl_projection_audit's 17 chains were rewritten over a shared
+    zip_with difference array.  Reusing the one subtraction per element
+    must be BIT-equal to re-expanding CAST(a_i)-CAST(b_i) inside every
+    chain (same casts, same op order) — pin it on awkward-mantissa
+    float32 pairs for every plane and the L2 chain."""
+    from resotodatalink_spark.queries.similarity import (
+        _JL_K,
+        _jl_diff_dot,
+        _jl_diff_dot_arr,
+        _l2_from_diff,
+        _l2_spark,
+    )
+
+    df = _vecs(spark, n=6)
+    a = df.select(F.col("vec_id"), F.col("embedding").alias("ea"))
+    b = df.select(
+        (F.col("vec_id") - 1).alias("vec_id"), F.col("embedding").alias("eb")
+    )
+    j = a.join(b, "vec_id").withColumn(
+        "df_",
+        F.expr("zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"),
+    )
+    exprs = [(_l2_spark("ea", "eb", V.EMBED_DIM), _l2_from_diff("df_", V.EMBED_DIM))]
+    exprs += [
+        (
+            _jl_diff_dot(V.DEDUP_PLANES[p], "ea", "eb", "element_at"),
+            _jl_diff_dot_arr(V.DEDUP_PLANES[p], "df_"),
+        )
+        for p in range(_JL_K)
+    ]
+    sel = j.select(
+        *[F.expr(o).alias(f"o{i}") for i, (o, _) in enumerate(exprs)],
+        *[F.expr(n).alias(f"n{i}") for i, (_, n) in enumerate(exprs)],
+    )
+    for r in sel.collect():
+        for i in range(len(exprs)):
+            assert r[f"o{i}"] == r[f"n{i}"], (i, r[f"o{i}"], r[f"n{i}"])
