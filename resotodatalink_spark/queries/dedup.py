@@ -856,17 +856,18 @@ def dup_span_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     g = shingle_hashes_pos(d, n=5).select("doc_id", "pos", "h")
-    # "appears in >= 2 docs" == min(doc_id) <> max(doc_id): the same h
-    # set as countDistinct(doc_id) >= 2 (dup is only a semi-join
-    # filter; n_docs itself is never emitted), but min/max partials
-    # combine in ONE aggregation pass where the distinct aggregate
-    # plans a (h, doc_id) dedup phase first (guide §2.3 "aggregate
-    # before you shuffle"; same-session sf10 A/B quiet cycle
-    # 26.6 -> 21.9s, identical 2,725,370 output rows).
+    # A min(doc_id) <> max(doc_id) rewrite of this filter (one
+    # combinable aggregation pass, HashAggregate 12 -> 8) was
+    # A/B-tested in optimization round 13 and REVERTED on the repo's
+    # byte standard: the gram population is mostly unique, so the
+    # distinct pre-phase removes no rows while (h, mn, mx) partials
+    # are 1.5x wider than (h, doc_id) — shuffle 269 -> 484 MB at sf10
+    # (tools/bench_drift.py flags it), a net loss on a network-bound
+    # cluster despite the quiet-cycle local wall win (26.6 -> 21.9s).
     dup = (
         g.groupBy("h")
-        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
-        .filter(F.col("mn") != F.col("mx"))
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
         .select("h")
     )
     p = g.join(dup, "h").select(

@@ -1206,11 +1206,20 @@ def cms_frequency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     state is capped at 4 x 1024 counters per partition — the textbook
     mergeable-sketch shape (counters merge by +).  The probe side is
     the 20-row top-k joined against the bounded counter table."""
-    d = table(spark, sf_dir, "documents")
-    nz = (
+    from resotodatalink_spark.operators.spread import spread_partitions
+
+    # byte-small scan (2 splits at sf1) feeding per-token hash chains
+    # TWICE (counters + exact top-k): spread to session parallelism
+    # (operators/spread.py rule, no-op on a wide scan) and eager-pin
+    # the hashed token frame — its two consumers are concurrent AQE
+    # stages (the round-13 race).  Same-session sf1 A/B:
+    # 10.54 -> 3.43s median (plans/r13/ab_eager_evidence.txt).
+    d = spread_partitions(table(spark, sf_dir, "documents"), "doc_id")
+    nz = _ckpt(
         d.select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
         .filter(F.col("tok") != "")
-        .select("tok", F.expr(H.str_hash_sql("tok")).alias("h"))
+        .select("tok", F.expr(H.str_hash_sql("tok")).alias("h")),
+        eager=True,
     )
     rows = nz.select(
         F.explode(

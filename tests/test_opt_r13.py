@@ -89,12 +89,15 @@ def test_bpe_literal_fold_matches_column_fold(spark):
 
 
 def test_span_minmax_dup_set_matches_count_distinct(spark):
-    """dup_span_merge's dup-gram filter was rewritten from
-    countDistinct(doc_id) >= 2 to min(doc_id) <> max(doc_id) (one
-    combinable aggregation pass instead of a distinct pre-phase).
-    The two predicates select the IDENTICAL h set: >= 2 distinct ids
-    iff the extremes differ.  Pin it on a frame with every branch —
-    single-doc grams, same-doc repeats, cross-doc repeats."""
+    """A min(doc_id) <> max(doc_id) rewrite of dup_span_merge's
+    dup-gram filter was evaluated in round 13 and REVERTED on byte
+    evidence (wider partials, +80% shuffle at sf10 — see the source
+    comment).  This test records the equivalence fact the evaluation
+    rested on: the two predicates select the IDENTICAL h set (>= 2
+    distinct ids iff the extremes differ), pinned on a frame with
+    every branch — single-doc grams, same-doc repeats, cross-doc
+    repeats — so a future retry at different corpus statistics starts
+    from proven ground."""
     g = spark.createDataFrame(
         [
             (1, 10),  # h=10 only in doc 1 (twice: same-doc repeat)
