@@ -20,8 +20,8 @@ spec.loader.exec_module(bench_drift)
 TEL = {
     "n_stages": 10,
     "n_tasks": 100,
-    "shuffle_read_bytes": 1_000_000,
-    "shuffle_write_bytes": 900_000,
+    "shuffle_read_bytes": 100_000_000,
+    "shuffle_write_bytes": 90_000_000,
     "disk_spill_bytes": 0,
     "mem_spill_bytes": 0,
 }
@@ -33,7 +33,7 @@ def test_wall_drift_with_identical_bytes_is_noise():
 
 
 def test_byte_growth_is_regression_even_with_flat_wall():
-    grown = dict(TEL, shuffle_read_bytes=2_000_000)
+    grown = dict(TEL, shuffle_read_bytes=200_000_000)
     verdict, _ = bench_drift.classify(10.0, 10.1, TEL, grown)
     assert verdict == "regression"
 
@@ -42,7 +42,7 @@ def test_byte_shrink_is_improvement_even_with_slower_wall():
     """The r13 knn_label_agreement row: wall rose 57% while AQE read
     10% FEWER bytes over fewer tasks — bytes win the call."""
     shrunk = dict(
-        TEL, shuffle_read_bytes=850_000, shuffle_write_bytes=800_000,
+        TEL, shuffle_read_bytes=85_000_000, shuffle_write_bytes=80_000_000,
         n_tasks=90,
     )
     verdict, _ = bench_drift.classify(6.4, 10.0, TEL, shrunk)
@@ -94,3 +94,34 @@ def test_committed_records_adjudicate_to_zero_regressions():
     # and the sf30 3.7x wall specifically lands as noise
     sf30 = {r["query"]: r["verdict"] for r in result["sf30"]}
     assert sf30["sparse_cosine_pairs"] == "noise"
+
+
+def test_sub_megabyte_byte_jitter_is_not_adjudicable():
+    """Kilobyte-scale frames (one-row argmaxes, sentinel unions) swing
+    by whole relative multiples while moving nothing a network would
+    notice — the r13 bpe_train_merges row (72.7 kB -> 82.2 kB, +13%)
+    must not read as a regression.  BYTE_MIN_DELTA floors the call."""
+    tiny = dict(TEL, shuffle_read_bytes=72_680, shuffle_write_bytes=72_680)
+    grown = dict(tiny, shuffle_read_bytes=82_238, shuffle_write_bytes=82_238)
+    verdict, _ = bench_drift.classify(1.7, 2.9, tiny, grown)
+    assert verdict == "noise"
+
+
+def test_reviewed_byte_growth_is_allowlisted_not_regression():
+    """A deliberate exchange (spread / un-broadcast) grows bytes by
+    design; slugs in REVIEWED_BYTE_DELTAS classify as 'reviewed' with
+    the justification appended, and only for GROWTH — a genuine byte
+    regression on any other slug still exits 1."""
+    grown = dict(TEL, shuffle_read_bytes=300_000_000)
+    verdict, moved = bench_drift.classify(
+        10.0, 4.0, TEL, grown, "multimodal_frames"
+    )
+    assert verdict == "reviewed"
+    assert any("spread" in m for m in moved)
+    verdict, _ = bench_drift.classify(10.0, 4.0, TEL, grown, "unlisted_slug")
+    assert verdict == "regression"
+    shrunk = dict(TEL, shuffle_read_bytes=50_000_000)
+    verdict, _ = bench_drift.classify(
+        10.0, 4.0, TEL, shrunk, "multimodal_frames"
+    )
+    assert verdict == "improvement"

@@ -30,6 +30,14 @@ r13+ headline top-10), classifies the drift:
                    (pre-r13 headline entries): the drift is
                    UNADJUDICABLE, which is exactly why
                    headline_stage_metrics exists.
+* ``reviewed``   — bytes grew on a slug in ``REVIEWED_BYTE_DELTAS``:
+                   a DELIBERATE exchange added by an optimization
+                   round (a spread buying parallel compute, or an
+                   honest shuffle replacing a corpus-side broadcast),
+                   each with committed same-session A/B evidence.
+                   Printed with its justification, never counted as a
+                   regression — the allowlist is the same reviewed-
+                   ratchet pattern as the plan guards' CARTESIAN_OK.
 
 Exit status is 1 only if a ``regression`` row exists, so the tool can
 gate CI-style checks without ever failing on host noise.
@@ -43,6 +51,35 @@ import sys
 WALL_THRESHOLD = 0.20  # fractional wall drift below this is ignored
 BYTE_THRESHOLD = 0.02  # stage metrics within 2% count as identical
                        # (spill accounting jitters by O(bytes-per-row))
+BYTE_MIN_DELTA = 1_000_000  # absolute floor per metric: kilobyte-scale
+                            # frames (one-row argmaxes, sentinel unions)
+                            # jitter by whole relative multiples while
+                            # moving nothing a network would notice
+
+# Reviewed byte-growing optimizations (round 13): slug -> why the extra
+# exchange is the intended plan.  Evidence: plans/r13/ab_eager_evidence
+# .txt same-session A/B medians; OPTIMIZATION_r13.md per-operator log.
+REVIEWED_BYTE_DELTAS: dict[str, str] = {
+    "interval_overlap_blocked": (
+        "merge-pinned self-join replaces AQE's corpus-side broadcast "
+        "(driver-OOM hazard at scale); the shuffle IS the fix — "
+        "sf10 A/B 13.9 -> 4.4s"
+    ),
+    "cms_frequency_audit": (
+        "spread_partitions exchange buys full-width token hashing "
+        "(2-split scan capped 2/32 cores); sf1 A/B 10.5 -> 3.4s"
+    ),
+    "multimodal_frames": (
+        "spread_partitions exchange buys full-width Arrow demux "
+        "(14-split scan); sf10 A/B 3.6 -> 1.9s warm"
+    ),
+    "dsir_importance_weights": (
+        "spread exchange replaces the partial-agg shuffle outright "
+        "(doc_id partitioning satisfies the group clustering); net "
+        "bytes DOWN at sf10 (321 -> 103 MB), sf1 ratio flips only "
+        "because the text exchange outweighs tiny sf1 partials"
+    ),
+}
 
 _WALL_SECTIONS = [
     ("headline", "queries", "headline_stage_metrics"),
@@ -72,6 +109,7 @@ def classify(
     wall_b: float,
     tel_a: dict | None,
     tel_b: dict | None,
+    query: str = "",
 ) -> tuple[str, list[str]]:
     """Return (verdict, moved-metric descriptions).  Direction-aware:
     the verdict follows the NET byte movement, never the wall."""
@@ -82,6 +120,7 @@ def classify(
         m
         for m in _BYTE_METRICS
         if _moved(tel_a.get(m, 0), tel_b.get(m, 0), BYTE_THRESHOLD)
+        and abs(tel_b.get(m, 0) - tel_a.get(m, 0)) >= BYTE_MIN_DELTA
     ]
     shape_moves = [
         m
@@ -96,6 +135,8 @@ def classify(
         net = sum(
             tel_b.get(m, 0) - tel_a.get(m, 0) for m in byte_moves
         )
+        if net > 0 and query in REVIEWED_BYTE_DELTAS:
+            return "reviewed", desc + [REVIEWED_BYTE_DELTAS[query]]
         return ("regression" if net > 0 else "improvement"), desc
     if shape_moves:
         return "replan", desc
@@ -112,7 +153,7 @@ def compare(old: dict, new: dict) -> dict[str, list[dict]]:
         rows = []
         for q in sorted(set(walls_a) & set(walls_b)):
             verdict, moved = classify(
-                walls_a[q], walls_b[q], tels_a.get(q), tels_b.get(q)
+                walls_a[q], walls_b[q], tels_a.get(q), tels_b.get(q), q
             )
             rows.append(
                 {
