@@ -433,7 +433,19 @@ def jaccard_pairs(
     and the candidate-x-full-posting verify join dominates — measured
     2x SLOWER at sf0.1 (2.7 -> 5.6s) and sf1 (21 -> 48s) here.  Flip
     it on for skewed shingle distributions (boilerplate-heavy corpora),
-    ideally with a frequency-ascending prefix order."""
+    ideally with a frequency-ascending prefix order.
+
+    Also measured and REJECTED (optimization round 13): a grouped
+    within-posting pair expansion — groupBy(h) + collect_list +
+    higher-order i<j struct expansion — to replace the SMJ's two
+    posting exchanges with one.  sf10 per-stage telemetry shows the
+    SMJ's posting exchange is already written ONCE and read twice
+    (ReusedExchange), so the rewrite saved nothing (shuffle write
+    2375 -> 2483 MB, the struct wrapper is WIDER than the flat row)
+    and the interpreted pair-expansion lambdas roughly doubled the
+    wall (same-session alternating medians 37.9 -> 72.9s).  The
+    byte king of this slug is the candidate-pair partial-aggregate
+    exchange (fan-out-sized), which both shapes pay identically."""
     g = shingle_hashes(docs, id_col, text_col, n).distinct()
     # per-doc set size via an unordered window count: ONE repartition
     # by doc id, vs the groupBy-sizes + join-back shape's extra

@@ -1029,7 +1029,7 @@ def sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # byte-small scan feeding FLOP-heavy explodes: spread to session
     # parallelism first (operators/spread.py rule)
     arr = _spread(d, "doc_id").select("doc_id", F.split("text", " ").alias("a"))
-    big = arr.select(
+    big0 = arr.select(
         "doc_id",
         F.explode(
             F.when(
@@ -1041,8 +1041,23 @@ def sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ),
                 ),
             ).otherwise(F.array().cast("array<string>"))
-        ).alias("tok"),
+        ).alias("tok0"),
     )
+    # the bigram token is a PURE INTERNAL KEY (never in the output):
+    # hash it to a long right after the explode so every downstream
+    # exchange — the tf partial-agg shuffle, the df broadcast, the w
+    # checkpoint blocks, and the two verify-join sorts — carries an
+    # 8-byte slot instead of a ~15-char UTF8 payload (guide §2.3,
+    # narrower types).  Same-session sf10 A/B (optimization round 13
+    # continuation): shuffle write 1541.6 -> 1283.3 MB (-17%), read
+    # -13%, identical stages/tasks/rows, warm walls no worse.  A
+    # materialized projection, NOT inside the transform lambda:
+    # lambdas are interpreted (the shingle_hashes 10x lesson);
+    # xxhash64 as a plain column codegens.  Collision tolerance is
+    # the s8-shingle argument below: two DIFFERENT bigrams colliding
+    # within the corpus vocabulary (~2^-64 x vocab^2) would merge two
+    # tf/idf terms; accepted like the candidate-side collisions.
+    big = big0.select("doc_id", F.xxhash64("tok0").alias("tok"))
     # tf feeds BOTH the df aggregate and the weight join below.  A
     # post-collapse checkpoint was A/B-tested here in round 10 (the
     # bigram_lm_perplexity win suggested it) and REJECTED: sf10

@@ -164,3 +164,68 @@ def test_jl_diff_array_chain_bit_equal(spark):
     for r in sel.collect():
         for i in range(len(exprs)):
             assert r[f"o{i}"] == r[f"n{i}"], (i, r[f"o{i}"], r[f"n{i}"])
+
+
+def test_sparse_hashed_key_matches_string_reference(spark, tmp_path):
+    """sparse_cosine_pairs groups tf/df by ``xxhash64(bigram)`` instead
+    of the bigram string (round-13 shuffle-width optimization, guide
+    §2.3): absent a 64-bit collision inside the corpus vocabulary the
+    pair set and every cosine are IDENTICAL to the string-keyed
+    computation.  Pin that with an exact Python string-keyed reference
+    of the same tf-idf pipeline on a corpus that exercises shared
+    8-token shingles, repeated bigrams, and a candidate-less doc."""
+    import math
+
+    docs = [
+        (1, "a b c d e f g h i j k l"),
+        (2, "a b c d e f g h i j k z"),
+        (3, "z y x w v u t s r q p o"),
+        (4, "z y x w v u t s r q p n"),
+        (5, "m m m m m m m m m m m m"),
+    ]
+    spark.createDataFrame(docs, "doc_id bigint, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/documents.parquet")
+    from resotodatalink_spark.queries.similarity import (
+        _SPARSE_TAU,
+        sparse_cosine_pairs,
+    )
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["cosine"]
+        for r in sparse_cosine_pairs(spark, str(tmp_path)).collect()
+    }
+
+    # string-keyed reference: tf, df, w = tf * ln(n/df), candidates by
+    # shared 8-token shingle, full weighted cosine
+    n = len(docs)
+    toks = {d: t.split(" ") for d, t in docs}
+    tf: dict = {}
+    for d, ts in toks.items():
+        for i in range(len(ts) - 1):
+            k = (d, ts[i] + "_" + ts[i + 1])
+            tf[k] = tf.get(k, 0) + 1
+    df: dict = {}
+    for _, b in tf:
+        df[b] = df.get(b, 0) + 1
+    w = {k: c * math.log(float(n) / df[k[1]]) for k, c in tf.items()}
+    sh = {
+        d: {" ".join(ts[i : i + 8]) for i in range(len(ts) - 7)}
+        for d, ts in toks.items()
+    }
+    expect = {}
+    for a in toks:
+        for b in toks:
+            if a < b and sh[a] & sh[b]:
+                wa = {k[1]: v for k, v in w.items() if k[0] == a}
+                wb = {k[1]: v for k, v in w.items() if k[0] == b}
+                dot = sum(wa[t] * wb[t] for t in set(wa) & set(wb))
+                na = math.sqrt(sum(v * v for v in wa.values()))
+                nb = math.sqrt(sum(v * v for v in wb.values()))
+                if na > 0 and nb > 0 and dot / (na * nb) >= _SPARSE_TAU:
+                    expect[(a, b)] = dot / (na * nb)
+    assert set(got) == set(expect), (set(got), set(expect))
+    for k, v in expect.items():
+        # the slug rounds to 6 decimals; the reference sums in a
+        # different addend order, so allow one ulp of the rounding
+        assert abs(got[k] - v) <= 2e-6, (k, got[k], v)
