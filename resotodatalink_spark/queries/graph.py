@@ -693,34 +693,65 @@ def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = table(spark, sf_dir, "lineitem")
     customer = table(spark, sf_dir, "customer")
 
-    def node(prefix: str, col: str):
-        return F.concat(F.lit(prefix), F.col(col).cast("string"))
+    # The prefixed node-id STRING is a deterministic, invertible
+    # encoding of (type, key[, linenumber]) — so the BFS itself runs
+    # on a packed 8-byte long (tag<<60 | key<<4 | linenumber; keys are
+    # < 2^56 at any conceivable SF, linenumber <= 7) and the string is
+    # reconstructed ONLY on the output frame (72k rows at sf1), not on
+    # the 13.5M-row edge frame that every hop re-reads.  Narrower
+    # types through the hot path (guide §2.3): the eager edge
+    # checkpoint holds 16-byte rows instead of two ~10-16 char
+    # strings, and each hop's join probes/dedups hash longs.  Packing
+    # is injective, so distinct/anti-join semantics are unchanged and
+    # the reconstructed strings are bit-identical to the old concat.
+    # Same-session A/Bs (optimization round 13 continuation): sf1
+    # shuffle 199.2 -> 1.0 MB (the hop-3 frontier now fits AQE's
+    # broadcast threshold as longs; >64 MB frontiers still go SMJ off
+    # the materialized checkpoint size), stages 38 -> 33, edge-build
+    # stage CPU 162 -> 71 s cumulative, sf1 wall a wash (10.59 vs
+    # 10.77s medians), sf0.1 wall 5.51 -> 3.79s median.  A
+    # merge-pinned variant was tested and REJECTED: pinning shuffles
+    # the full edge frame every hop (199 -> 467 MB).
+    C, O, L, S = (1 << 60), (2 << 60), (3 << 60), (4 << 60)
 
-    lnode = F.concat(
-        F.lit("L"),
-        F.col("l_orderkey").cast("string"),
-        F.lit("-"),
-        F.col("l_linenumber").cast("string"),
-    )
+    def pk(tag: int, col: str):
+        return (F.lit(tag) + F.col(col).cast("long") * 16).cast("long")
+
+    lpk = (
+        F.lit(L)
+        + F.col("l_orderkey").cast("long") * 16
+        + F.col("l_linenumber").cast("long")
+    ).cast("long")
     edges = (
         orders.select(
-            node("C", "o_custkey").alias("src"), node("O", "o_orderkey").alias("dst")
+            pk(C, "o_custkey").alias("src"), pk(O, "o_orderkey").alias("dst")
         )
         .unionByName(
-            lineitem.select(
-                node("O", "l_orderkey").alias("src"), lnode.alias("dst")
-            )
+            lineitem.select(pk(O, "l_orderkey").alias("src"), lpk.alias("dst"))
         )
         .unionByName(
-            lineitem.select(
-                lnode.alias("src"), node("S", "l_suppkey").alias("dst")
-            )
+            lineitem.select(lpk.alias("src"), pk(S, "l_suppkey").alias("dst"))
         )
     )
     roots = customer.filter(F.col("c_custkey") % 100 == 0).select(
-        node("C", "c_custkey").alias("node_id")
+        pk(C, "c_custkey").alias("node_id")
     )
-    return reachable(edges, roots, max_depth=3)
+    hit = reachable(edges, roots, max_depth=3)
+    tag = F.shiftright(F.col("node_id"), 60)
+    key = F.shiftright(F.col("node_id"), 4).bitwiseAND(F.lit((1 << 56) - 1))
+    line = F.col("node_id").bitwiseAND(F.lit(15))
+    label = (
+        F.when(tag == 1, F.concat(F.lit("C"), key.cast("string")))
+        .when(tag == 2, F.concat(F.lit("O"), key.cast("string")))
+        .when(
+            tag == 3,
+            F.concat(
+                F.lit("L"), key.cast("string"), F.lit("-"), line.cast("string")
+            ),
+        )
+        .otherwise(F.concat(F.lit("S"), key.cast("string")))
+    )
+    return hit.select(label.alias("node_id"), "depth")
 
 
 @query(

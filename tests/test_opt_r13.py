@@ -229,3 +229,64 @@ def test_sparse_hashed_key_matches_string_reference(spark, tmp_path):
         # the slug rounds to 6 decimals; the reference sums in a
         # different addend order, so allow one ulp of the rounding
         assert abs(got[k] - v) <= 2e-6, (k, got[k], v)
+
+
+def test_packed_node_labels_match_string_concat(spark):
+    """graph_shortest_paths runs its BFS on packed-long node ids
+    (tag<<60 | key<<4 | linenumber) and rebuilds the prefixed string
+    only on the output (round-13 narrower-types optimization).  Pin
+    the round trip: for adversarial keys (0, 1, large, max linenumber)
+    the packed->label reconstruction is bit-identical to the original
+    concat encoding, and packing is injective."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, 1), (1, 1), (7, 7), (599999999, 7), (123456789, 3),
+        (2 ** 40, 1), (999, 4),
+    ]
+    df = spark.createDataFrame(rows, "k bigint, line int")
+    C, O, L, S = (1 << 60), (2 << 60), (3 << 60), (4 << 60)
+    packed = {
+        "C": F.lit(C) + F.col("k") * 16,
+        "O": F.lit(O) + F.col("k") * 16,
+        "L": F.lit(L) + F.col("k") * 16 + F.col("line").cast("long"),
+        "S": F.lit(S) + F.col("k") * 16,
+    }
+    sel = df.select(
+        "k",
+        "line",
+        *[v.cast("long").alias(f"p{t}") for t, v in packed.items()],
+    )
+
+    def label(col):
+        tag = F.shiftright(F.col(col), 60)
+        key = F.shiftright(F.col(col), 4).bitwiseAND(F.lit((1 << 56) - 1))
+        line = F.col(col).bitwiseAND(F.lit(15))
+        return (
+            F.when(tag == 1, F.concat(F.lit("C"), key.cast("string")))
+            .when(tag == 2, F.concat(F.lit("O"), key.cast("string")))
+            .when(
+                tag == 3,
+                F.concat(
+                    F.lit("L"), key.cast("string"),
+                    F.lit("-"), line.cast("string"),
+                ),
+            )
+            .otherwise(F.concat(F.lit("S"), key.cast("string")))
+        )
+
+    out = sel.select(
+        "k", "line", *[label(f"p{t}").alias(f"s{t}") for t in "COLS"]
+    ).collect()
+    seen = set()
+    for r in out:
+        assert r["sC"] == f"C{r['k']}"
+        assert r["sO"] == f"O{r['k']}"
+        assert r["sL"] == f"L{r['k']}-{r['line']}"
+        assert r["sS"] == f"S{r['k']}"
+    packs = sel.collect()
+    for r in packs:
+        for t in "COLS":
+            v = r[f"p{t}"]
+            assert v not in seen or (t, r["k"]) in (("L", 0),), (t, v)
+            seen.add(v)
