@@ -2178,17 +2178,32 @@ def kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from that bounded frame; top-k is TakeOrderedAndProject; the
     one-row total attaches via broadcast crossJoin (CARTESIAN_OK)."""
     d = table(spark, sf_dir, "documents")
-    pos = d.select(
-        "doc_id",
-        F.posexplode(F.split("text", " ")).alias("i", "tok"),
+    # Adjacency built IN-ARRAY before the explode (the bigram_lm
+    # staging), not via a lead window: the window form shuffled the
+    # ENTIRE exploded token stream (311 MB at sf10, stage-1 exchange)
+    # and paid a full per-doc sort just to pair neighbors that sit
+    # next to each other in the split array already.  Same pairs,
+    # same counts — lead over (doc_id, i) is exactly element_at(a, i)
+    # / element_at(a, i+1) within one document (guide §2.4, remove
+    # shuffles outright).  Same-session sf10 A/B (optimization round
+    # 13 continuation): shuffle 398.8 -> 160.5 MB (-60%), walls
+    # pairwise no worse; the Window node is gone from the full-tree
+    # plan (plans/r13/kneser_ney_bigram_arraypair_*).  The byte-small
+    # scan feeds the explode directly; the spread rule
+    # (operators/spread.py) widens the 14-split sf10 scan for the
+    # pairing compute.
+    from resotodatalink_spark.operators.spread import spread_partitions
+
+    arr = spread_partitions(d, "doc_id").select(
+        F.split("text", " ").alias("a")
     )
-    big = (
-        pos.withColumn(
-            "w2",
-            F.lead("tok").over(W.partitionBy("doc_id").orderBy("i")),
-        )
-        .filter(F.col("w2").isNotNull())
-        .select(F.col("tok").alias("w1"), "w2")
+    pos = arr.filter(F.size("a") >= 2).select(
+        "a",
+        F.explode(F.expr("sequence(1, size(a) - 1)")).alias("i"),
+    )
+    big = pos.select(
+        F.element_at("a", F.col("i")).alias("w1"),
+        F.element_at("a", F.col("i") + 1).alias("w2"),
     )
     cb = _ckpt(big.groupBy("w1", "w2").agg(F.count("*").alias("c12")))
     left_m = cb.groupBy("w1").agg(

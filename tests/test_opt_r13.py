@@ -290,3 +290,45 @@ def test_packed_node_labels_match_string_concat(spark):
             v = r[f"p{t}"]
             assert v not in seen or (t, r["k"]) in (("L", 0),), (t, v)
             seen.add(v)
+
+
+def test_kn_array_pairing_matches_lead_window(spark):
+    """kneser_ney_bigram pairs adjacent tokens in-array before the
+    explode (round-13 shuffle removal); pin that the pair MULTISET it
+    produces equals the old lead-window form on a corpus with repeated
+    bigrams, single-token docs (no pairs), and empty-ish docs."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    docs = [
+        (1, "a b a b a"),
+        (2, "x"),
+        (3, "y y"),
+        (4, "p q r p q"),
+    ]
+    d = spark.createDataFrame(docs, "doc_id bigint, text string")
+
+    # old: lead window over (doc_id, position)
+    pos = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("i", "tok"))
+    old = (
+        pos.withColumn("w2", F.lead("tok").over(W.partitionBy("doc_id").orderBy("i")))
+        .filter(F.col("w2").isNotNull())
+        .groupBy(F.col("tok").alias("w1"), "w2")
+        .agg(F.count("*").alias("c12"))
+    )
+    # new: in-array adjacency
+    arr = d.select(F.split("text", " ").alias("a"))
+    new = (
+        arr.filter(F.size("a") >= 2)
+        .select("a", F.explode(F.expr("sequence(1, size(a) - 1)")).alias("i"))
+        .select(
+            F.element_at("a", F.col("i")).alias("w1"),
+            F.element_at("a", F.col("i") + 1).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+    )
+    o = {(r["w1"], r["w2"]): r["c12"] for r in old.collect()}
+    n = {(r["w1"], r["w2"]): r["c12"] for r in new.collect()}
+    assert o == n, (o, n)
+    assert o[("a", "b")] == 2 and o[("y", "y")] == 1
