@@ -772,6 +772,14 @@ def ngram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROUNDED value with a bigram tiebreak so the top-20 boundary is
     deterministic in both engines."""
     d = table(spark, sf_dir, "documents")
+    # byte-small scan (2 splits at sf1) feeding two explode+count
+    # corpus passes — the operators/spread.py rule: one keyed exchange
+    # of the text (23 MB at sf1) buys session-width compute; no-op on
+    # a wide cluster scan.  Same-session sf1 A/B (optimization round
+    # 13 continuation): 6.94 -> 5.76s median, tasks 14 -> 90.
+    from resotodatalink_spark.operators.spread import spread_partitions
+
+    d = spread_partitions(d, "doc_id")
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
     bigram_arr = F.when(

@@ -79,6 +79,11 @@ REVIEWED_BYTE_DELTAS: dict[str, str] = {
         "bytes DOWN at sf10 (321 -> 103 MB), sf1 ratio flips only "
         "because the text exchange outweighs tiny sf1 partials"
     ),
+    "ngram_collocations": (
+        "spread_partitions exchange buys session-width bigram/token "
+        "hashing (2-split sf1 scan capped 2/32 cores); sf1 A/B "
+        "6.94 -> 5.76s median, tasks 14 -> 90"
+    ),
 }
 
 _WALL_SECTIONS = [
