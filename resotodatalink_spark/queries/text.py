@@ -1423,6 +1423,14 @@ def bm25_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     is TakeOrderedAndProject.  No corpus-sized shuffle other than the
     doc_id combine."""
     d = table(spark, sf_dir, "documents")
+    # byte-small scan (14 splits at sf10) holding the whole tokenize+
+    # conditional-aggregate pass on 14/32 cores — the spread rule; one
+    # 85 MB keyed text exchange buys session width (same-session sf10
+    # A/B, optimization round 13 continuation: 2.80 -> 1.73s median
+    # warm, tasks 27 -> 81); no-op on a wide cluster scan
+    from resotodatalink_spark.operators.spread import spread_partitions
+
+    d = spread_partitions(d, "doc_id")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     tf = tok.groupBy("doc_id").agg(
         *[

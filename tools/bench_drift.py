@@ -84,6 +84,11 @@ REVIEWED_BYTE_DELTAS: dict[str, str] = {
         "hashing (2-split sf1 scan capped 2/32 cores); sf1 A/B "
         "6.94 -> 5.76s median, tasks 14 -> 90"
     ),
+    "bm25_scoring": (
+        "spread_partitions exchange buys session-width tokenize + "
+        "conditional aggregate (14-split sf10 scan); sf10 A/B "
+        "2.80 -> 1.73s median warm, tasks 27 -> 81"
+    ),
 }
 
 _WALL_SECTIONS = [
