@@ -539,8 +539,9 @@ def jaccard_pairs(
             # at any scale for corpus x corpus.
             a.join(b.hint("merge"), "h")
             .filter((F.col("doc_a") < F.col("doc_b")) & ratio_ok)
-            .groupBy("doc_a", "doc_b", "sza", "szb")
-            .agg(F.count("*").alias("c"))
+        )
+        common = common.groupBy("doc_a", "doc_b", "sza", "szb").agg(
+            F.count("*").alias("c")
         )
     return (
         common.withColumn(
@@ -912,6 +913,11 @@ def connected_components(
         # materializing action: the sum rides the same pass that pins
         # the blocks, one job per round instead of eager's count + agg
         # (optimization round 13, guide §1.3).
+        # Re-adjudicated in optimization round 14 (r13 verdict item 7):
+        # same-session sf10 A/B lazy 11.31s vs eager 10.86s median at
+        # identical 245.7 MB shuffle — a wash; the driver's r13
+        # dedup_clusters regression does not reproduce on a quiet
+        # host.  Lazy kept (one job per round).
         new_labels = new_labels.localCheckpoint(eager=False)
         cur_sum = new_labels.agg(F.sum("lab")).collect()[0][0]
         labels.unpersist()

@@ -1082,6 +1082,15 @@ def sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("tf") * F.log(F.lit(float(n)) / F.col("df"))).alias("w"),
     ).transform(lambda d: _ckpt(d, eager=True))
     nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    # An exact df >= 2 prune of the verify sides (a df=1 term lives in
+    # ONE doc, so it can never match across a pair) was A/B-tested in
+    # optimization round 14 and NOT shipped: this corpus's bigram
+    # vocabulary is alphabet-bounded (931 terms at sf0.1, 93k at sf10)
+    # and carries ZERO df=1 terms — the filter pruned nothing (shuffle
+    # byte-identical, 1351.2 MB) while widening the checkpoint blocks
+    # by the df column.  On an open-vocab corpus, where most bigrams
+    # are unique, it is the first thing to re-try (guide §2.3).
+    wsh = w
     # join shingles by 64-bit hash, not the ~60-char string: 8x less
     # shuffle volume for the distinct + self-join.  A hash collision
     # can only ADD a candidate, which the exact-cosine verify then
@@ -1115,8 +1124,8 @@ def sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # AQE into broadcasting one at sf10 (driver OOM) — pin sort-merge
     # on every join with a corpus-sized side; shuffling the weight
     # frame by doc id is the correct plan at any scale anyway.
-    wa = w.select(F.col("doc_id").alias("doc_a"), "tok", F.col("w").alias("wa"))
-    wb = w.select(F.col("doc_id").alias("doc_b"), "tok", F.col("w").alias("wb"))
+    wa = wsh.select(F.col("doc_id").alias("doc_a"), "tok", F.col("w").alias("wa"))
+    wb = wsh.select(F.col("doc_id").alias("doc_b"), "tok", F.col("w").alias("wb"))
     dot = (
         cand.join(wa.hint("merge"), "doc_a")
         .join(wb.hint("merge"), ["doc_b", "tok"])

@@ -2204,15 +2204,24 @@ def kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffles outright).  Same-session sf10 A/B (optimization round
     # 13 continuation): shuffle 398.8 -> 160.5 MB (-60%), walls
     # pairwise no worse; the Window node is gone from the full-tree
-    # plan (plans/r13/kneser_ney_bigram_arraypair_*).  The byte-small
-    # scan feeds the explode directly; the spread rule
-    # (operators/spread.py) widens the 14-split sf10 scan for the
-    # pairing compute.
-    from resotodatalink_spark.operators.spread import spread_partitions
-
-    arr = spread_partitions(d, "doc_id").select(
-        F.split("text", " ").alias("a")
-    )
+    # plan (plans/r13/kneser_ney_bigram_arraypair_*).
+    #
+    # NO spread_partitions here (optimization round 14, r13 verdict
+    # item 4 — the slug's sf10 inverse scaling, c8 3.25s < c32 6.63s):
+    # after the in-array pairing the only work left before the type
+    # collapse is split+element_at — too cheap to buy back a full
+    # text-byte exchange.  The spread no-oped at c8 (14-split scan
+    # >= 8 cores), so c8 was measuring the SPREAD-FREE plan; removing
+    # it gives every width the cheaper plan.  Same-session alternating
+    # A/B medians, spread vs none: sf0.1 1.40 -> 1.05s, sf1 3.71 ->
+    # 2.71s, sf10 4.55 -> 2.37s with shuffle 160.5 -> 2.7 MB (the
+    # exchange WAS the spread; /tmp/ab_r14.py kneser_spread*).  The
+    # contrast with bigram_lm_perplexity (spread KEPT, 72 vs 132s at
+    # sf10) is the per-row work: its 2x16-op hash chains + the
+    # allgrams aggregate ride the spread exchange (subset rule),
+    # while kneser's type collapse pays its own tiny (w1, w2) one
+    # either way.
+    arr = d.select(F.split("text", " ").alias("a"))
     pos = arr.filter(F.size("a") >= 2).select(
         "a",
         F.explode(F.expr("sequence(1, size(a) - 1)")).alias("i"),

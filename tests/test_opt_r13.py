@@ -288,7 +288,7 @@ def test_packed_node_labels_match_string_concat(spark):
     for r in packs:
         for t in "COLS":
             v = r[f"p{t}"]
-            assert v not in seen or (t, r["k"]) in (("L", 0),), (t, v)
+            assert v not in seen, (t, v)
             seen.add(v)
 
 
