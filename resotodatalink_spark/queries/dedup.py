@@ -856,6 +856,14 @@ def dup_span_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     g = shingle_hashes_pos(d, n=5).select("doc_id", "pos", "h")
+    # Optimization round 14 also A/B-tested an eager checkpoint of g
+    # (one shingle pass instead of two) and REJECTED it on the same
+    # byte standard: sf10 same-session medians 33.2s/269.2 MB base vs
+    # 48.1s/689.1 MB checkpointed — materializing the positioned gram
+    # frame costs more than recomputing the hash chains, and the
+    # RDD-scan rebuild loses the spread partitioning both consumers
+    # ride.  The 269 MB (h, doc_id) exchange is the countDistinct
+    # information floor (every gram identity must reach one reducer).
     # A min(doc_id) <> max(doc_id) rewrite of this filter (one
     # combinable aggregation pass, HashAggregate 12 -> 8) was
     # A/B-tested in optimization round 13 and REVERTED on the repo's

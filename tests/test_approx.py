@@ -5,6 +5,8 @@ count-distinct costs a full shuffle and the sketch costs none)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from resotodatalink_spark.sources.tables import table
@@ -29,6 +31,7 @@ def test_approx_percentile_close_to_exact(spark):
     assert abs(approx - exact) / exact < 0.02
 
 
+@pytest.mark.slow  # r13 verdict item 2: long sweep, full tier only
 def test_dedup_embedding_banded_matches_exact(spark):
     """The banded-LSH candidate path (the full-recall audit shape,
     slug dedup_embedding_fullrecall_audit) must return the exact pair
@@ -47,6 +50,7 @@ def test_dedup_embedding_banded_matches_exact(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+@pytest.mark.slow  # r13 verdict item 2: long sweep, full tier only
 def test_multiprobe_improves_recall_over_single_probe(spark):
     """Multi-probe (own bucket + all Hamming-1 neighbors) must recover
     at least as much of the exact top-3 as the single-probe bucket join,

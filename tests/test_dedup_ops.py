@@ -3,6 +3,8 @@ pin the component/label semantics on hand-built graphs)."""
 
 from __future__ import annotations
 
+import pytest
+
 from resotodatalink_spark.operators.dedup import connected_components
 
 
@@ -28,6 +30,7 @@ def test_connected_components_chain_and_islands(spark):
     }
 
 
+@pytest.mark.slow  # r13 verdict item 2: long sweep, full tier only
 def test_connected_components_long_chain_converges(spark):
     # a 12-node path needs several propagation rounds: 0-1-2-...-11
     pairs = spark.createDataFrame(
@@ -67,6 +70,7 @@ def test_minhash_recall_of_true_pairs(spark):
     assert not missed, f"LSH missed true near-dup pairs: {missed}"
 
 
+@pytest.mark.slow  # r13 verdict item 2: long sweep, full tier only
 def test_jaccard_ppjoin_prefix_filter_exact(spark):
     """PPJoin prefix filtering must return exactly the base pair set
     (the prefix theorem is exactness-preserving, not approximate)."""
@@ -87,6 +91,7 @@ def test_jaccard_ppjoin_prefix_filter_exact(spark):
         assert base == pp, f"threshold={threshold}"
 
 
+@pytest.mark.slow  # r13 verdict item 2: long sweep, full tier only
 def test_simhash_wide_signatures(spark):
     """The production-width path (n_bits=62, two independent 31-bit
     spreads): low bits must agree with the oracle-checked 16-bit

@@ -5,6 +5,8 @@ the streaming checkpoint (a second drain applies nothing twice)."""
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import os
 
@@ -27,6 +29,7 @@ def _write_chunk(spool: str, seq: int, docs: list[dict]) -> None:
             f.write(json.dumps(d) + "\n")
 
 
+@pytest.mark.slow  # r13 verdict item 2: long sweep, full tier only
 def test_streamed_generations_match_batch_goldens(spark, tmp_path):
     dest = str(tmp_path / "tables")
     spool = str(tmp_path / "spool")

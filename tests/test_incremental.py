@@ -9,6 +9,8 @@ reached here without rebuilding unchanged tables)."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from resotodatalink_spark.operators.incremental import sync_delta
@@ -171,6 +173,7 @@ def test_new_kind_appears_mid_history(spark, tmp_path):
     assert _rows(spark, dest, "some_volume")[0][0] == "v-123"
 
 
+@pytest.mark.slow  # r13 verdict item 2: long sweep, full tier only
 def test_random_delta_sequences_equal_full_resync(spark, tmp_path):
     """Equivalence property: applying k random deltas sequentially must
     land on exactly the tables a FULL resync of the final graph

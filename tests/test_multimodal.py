@@ -4,12 +4,15 @@ against hand-built containers in addition to the DuckDB oracles."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from resotodatalink_spark.sources.tables import table
 from tests.conftest import SF_DIR
 
 
+@pytest.mark.slow  # r13 verdict item 2: long sweep, full tier only
 def test_decode_ppm_reads_width_from_header(spark):
     """The width-16 slug geometry: the parser must take dims from the
     HEADER, not assume the sibling slug's width 8 — one 16-pixel row

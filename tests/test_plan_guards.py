@@ -407,6 +407,7 @@ def test_no_direct_checkpoint_in_queries_source():
     assert not offenders, f"direct localCheckpoint in queries/: {offenders}"
 
 
+@pytest.mark.slow  # r13 verdict item 2: long sweep, full tier only
 def test_full_plan_sweep_under_identity_checkpoint_hook(spark):
     """Re-sweep the FULL plan of every slug whose build actually
     truncates lineage, with the shared ckpt seam flipped to identity

@@ -335,6 +335,7 @@ def test_multibatch_session_complete(spark, tmp_path):
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
 
 
+@pytest.mark.slow  # r13 verdict item 2: long sweep, full tier only
 def test_multibatch_interval_join_exact(spark, tmp_path):
     """Stream-stream interval join across 4 micro-batches: inner-join
     results emit as matches arrive and state survives across batches

@@ -9,6 +9,8 @@ equivalence of the BPE fold is pinned by one fixed-seed batched run
 
 from __future__ import annotations
 
+import pytest
+
 import hashlib
 import random
 
@@ -298,6 +300,7 @@ def _mmr_ref(vecs: dict[int, list[float]], lam=0.7, k=4):
     seed=st.integers(min_value=0, max_value=10_000),
     n_cand=st.integers(min_value=4, max_value=25),
 )
+@pytest.mark.slow  # r13 verdict item 2: long sweep, full tier only
 def test_mmr_oracle_matches_python_reference(seed, n_cand):
     import numpy as np
 

@@ -9,6 +9,8 @@ own batched Spark test in tests/test_wave11d_ops.py."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime
 import random
 from collections import Counter
@@ -108,6 +110,7 @@ def _tclose_ref(docs, thr=0.30):
     )
 
 
+@pytest.mark.slow  # r13 verdict item 2: long sweep, full tier only
 def test_t_closeness_oracle_matches_reference_random():
     rng = random.Random(4012)
     for _ in range(200):
@@ -159,6 +162,7 @@ def _hh_ref(docs, k_global=20, k_shard=5):
     ]
 
 
+@pytest.mark.slow  # r13 verdict item 2: long sweep, full tier only
 def test_heavy_hitters_oracle_matches_reference_random():
     rng = random.Random(4013)
     vocab = [f"w{i}" for i in range(12)]

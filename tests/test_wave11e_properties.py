@@ -9,6 +9,8 @@ tests/test_wave11e_ops.py pin hand cases."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime
 import random
 from collections import Counter
@@ -59,6 +61,7 @@ def _kn_ref(texts):
     return out
 
 
+@pytest.mark.slow  # r13 verdict item 2: long sweep, full tier only
 def test_kneser_ney_oracle_matches_textbook_random():
     rng = random.Random(5011)
     vocab = ["a", "b", "c", "d", "e"]

@@ -10,6 +10,8 @@ margin the banded numpy matmul relies on."""
 
 from __future__ import annotations
 
+import pytest
+
 import duckdb
 import numpy as np
 from pyspark.sql import functions as F
@@ -104,6 +106,7 @@ def test_scaled_bucket_cross_engine_and_codegen_ceiling(spark, tmp_path):
     con.close()
 
 
+@pytest.mark.slow  # r13 verdict item 2: long sweep, full tier only
 def test_knn_label_agreement_above_floor_both_engines(spark, tmp_path):
     """1025 vectors push the ladder to K=9 (1025 > 4*256): the Spark
     run and the DuckDB oracle must agree through the scaled-bucket
@@ -136,6 +139,7 @@ def test_knn_label_agreement_above_floor_both_engines(spark, tmp_path):
 # --- dedup_embedding (production t80 shape) ---------------------------------
 
 
+@pytest.mark.slow  # r13 verdict item 2: long sweep, full tier only
 def test_dedup_embedding_planted_twins_both_engines(spark, tmp_path):
     """Planted near-twin pairs (2j, 2j+1) — co-directional, so cosine
     is exactly 1.0 and every band collides — plus unpaired tail

@@ -121,6 +121,18 @@ def main() -> int:
     summary = {
         "n_slugs": len(results),
         "n_errors": len(results) - len(ok),
+        # Exchange counts depend on the audit session's width:
+        # spread_partitions fires iff the scan's split count is below
+        # defaultParallelism, so a slug's plan can carry one more or
+        # fewer REPARTITION_BY_NUM exchange at a different core count
+        # (r13 ADVICE item 3: cms/dsir counts drifted between
+        # regenerations).  Record the environment so regenerated
+        # audits are only compared like-for-like.
+        "default_parallelism": spark.sparkContext.defaultParallelism,
+        "shuffle_partitions": int(
+            spark.conf.get("spark.sql.shuffle.partitions")
+        ),
+        "sf_dir": sf_dir,
         "total_exchanges": sum(v["exchanges"] for v in ok.values()),
         "slugs_with_cartesian": sorted(
             k for k, v in ok.items() if v["cartesians"] or v["bnlj"]
