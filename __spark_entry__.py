@@ -23,6 +23,21 @@ registry.load_all()
 # attestation.  Slugs with a fresh green row from last round and no
 # changes this round are the ones that may fall past the cap.  All
 # slugs stay registered.
+_R14_HEAD = [
+    # Round-14 changed slug (optimization round 2): the spread exchange
+    # was removed from the KN pairing pass (plans/r14/, tri-SF green).
+    "kneser_ney_bigram",
+    # r13-changed-but-driver-unattested (r13 ADVICE item 1): these four
+    # had implementation changes in round 13's optimization commits
+    # (bm25/ngram spreads, the sparse hashtok projection, the packed-
+    # long BFS) but sat outside the r13 window — window-first now, the
+    # _R13B_WAVE precedent.
+    "bm25_scoring",
+    "ngram_collocations",
+    "sparse_cosine_pairs",
+    "graph_shortest_paths",
+]
+
 _R13_CHANGED = [
     # Round-13 changed/new slugs — changed-slug policy says window-first.
     # * dedup_embedding (r12 verdict item 2): the bare name now carries
@@ -319,31 +334,42 @@ _R12_TIER = [
     "window_lag_lead",
 ]
 
+# Round-14 window composition.  Moved-up slugs are removed from their
+# home tiers by comprehension so each name appears EXACTLY once (the
+# rank dict in _ordered keeps the LAST occurrence, so a duplicate
+# would silently demote a head slug).
+_R13_ATTESTED = _R13_CHANGED + _R12_WAVE + _R8_TIER + ["anomaly_mad"]
+_R9_REST = [s for s in _R9_TIER if s not in ("anomaly_mad", "bm25_scoring")]
+_R11_REST = [
+    s for s in _R11_TIER
+    if s not in ("ngram_collocations", "sparse_cosine_pairs")
+]
+_R12_REST = [
+    s for s in _R12_TIER
+    if s not in ("kneser_ney_bigram", "graph_shortest_paths")
+]
+
 _ATTEST_FIRST = (
-    _R13_CHANGED
-    + _R12_WAVE
-    + _R8_TIER
-    + _R9_TIER
+    _R14_HEAD
     + _R13B_WAVE
+    + _R9_REST
     + _R10_TIER
-    + _R11_TIER
-    + _R12_TIER
+    + _R11_REST
+    + _R12_REST
+    + _R13_ATTESTED
 )
 
 # Window arithmetic (the driver attests the FIRST 50 dict entries):
-# 8 changed/new (2 renames + 6 newcomers) + 6 r12-wave + 35 r8-tier
-# = 49, with _R9_TIER's first entry (anomaly_mad) taking slot 50 —
-# the r12 verdict's "41 head + 9 spare" budget spent 8-for-changed,
-# 1 rolled into the staleness drain.  After r13 every slug's newest
-# driver row is r9+ (except that one r9 slug, already re-attested);
-# the never-attested set is exactly the 6 _R13B_WAVE slugs written
-# after the window filled (locally green, the r12-wave precedent).
-# The r14 cohort is the spill below (41 remaining r9 + 6 r13b-wave
-# + 44 r10 + 49 r11 + 49 r12 = 189 of the 239 registered slugs);
-# the r14 window head should be the 6 never-attested r13b slugs +
-# the 41 r9-tier slugs = 47, leaving 3 spare slots for r14's
-# changed slugs.
-_R14_COHORT = _ATTEST_FIRST[50:]
+# 5 head (1 r14-changed + 4 r13-changed-unattested, r13 ADVICE item 1)
+# + 6 never-attested _R13B_WAVE = 11, then the r9 staleness drain:
+# _R9_REST has 40 slugs (42 - anomaly_mad, re-attested r13, -
+# bm25_scoring, moved into the head), of which the first 39 fit —
+# slots 12..50 — and the last (weighted_sample) spills to slot 51 as
+# the r15 cohort's head.  Totals: 5 + 6 + 40 + 44 r10 + 47 r11-rest
+# + 47 r12-rest + 50 r13-attested = 239 = the full registry.
+# The r15 window head should be that one spilled r9 slug + the 44
+# r10-tier slugs + r15's own changed slugs (5 spare slots).
+_R15_COHORT = _ATTEST_FIRST[50:]
 
 
 def _ordered(mapping: dict) -> dict:

@@ -89,18 +89,16 @@ def test_attest_window_consistency():
     # sit inside the 50-slot window (round-9 policy: no driver row
     # ever / changed this round => head of window, unconditionally)
     window = set(names[:50])
-    assert set(entry._R13_CHANGED) <= window
-    assert set(entry._R12_WAVE) <= window
-    # after r13 the r8 staleness tier must be fully drained — the r13
-    # window is changed + r12 wave + r8 tier (49) with the remaining
-    # slot rolling into the r9 staleness drain
-    assert set(entry._R8_TIER) <= window
-    head = entry._R13_CHANGED + entry._R12_WAVE + entry._R8_TIER
-    assert window == set(head + entry._R9_TIER[: 50 - len(head)])
-    # the r14 cohort is exactly the staleness-tier slugs the r13
-    # window spills (r9/r10/r11/r12-fresh slugs rotate later)
-    assert set(entry._R14_COHORT) == set(entry._ATTEST_FIRST) - window
-    assert not set(entry._R14_COHORT) & window
+    assert set(entry._R14_HEAD) <= window
+    assert set(entry._R13B_WAVE) <= window
+    # the rest of the r14 window is the r9 staleness drain: 39 of the
+    # 40 remaining r9-tier slugs fit, the last spills to the r15 head
+    head = entry._R14_HEAD + entry._R13B_WAVE
+    assert window == set(head + entry._R9_REST[: 50 - len(head)])
+    # the r15 cohort is exactly the slugs the r14 window spills
+    # (r9-spill + r10/r11/r12/r13-fresh slugs rotate later)
+    assert set(entry._R15_COHORT) == set(entry._ATTEST_FIRST) - window
+    assert not set(entry._R15_COHORT) & window
 
 
 def test_bench_names_registered():

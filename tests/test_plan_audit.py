@@ -91,7 +91,7 @@ def test_feature_counts():
 
 import json
 
-AUDIT = pathlib.Path(__file__).parent.parent / "PLAN_AUDIT_r13.json"
+AUDIT = pathlib.Path(__file__).parent.parent / "PLAN_AUDIT_r14.json"
 
 # Every no-partition-window site in the committed audit, individually
 # reviewed as DOMAIN-bounded (DESIGN_NOTES "Plan audit (r11)").  A new
